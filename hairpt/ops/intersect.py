@@ -1,0 +1,253 @@
+"""Batched ray intersection: stackless BVH traversal + leaf kernels.
+
+TPU-native replacement for the reference's intersection stack:
+- Havran kd-tree stack traversal (include/mitsuba/render/sahkdtree3.h:178-306)
+  → stackless skip-pointer walk in a `lax.while_loop`, vmapped over a ray
+  wavefront (the loop carries only a node index, no per-ray stack).
+- SSE TriAccel 4-ray packets (include/mitsuba/render/triaccel.h:37)
+  → Möller-Trumbore over the leaf's primitive block, vectorized on the VPU.
+- HairKDTree double-precision cylinder test (src/shapes/hair.cpp:485-542)
+  → single-precision *recentered* quadratic: solving around the closest
+    approach point avoids the catastrophic cancellation that forced the
+    reference to f64 (validated against a float64 oracle in tests).
+"""
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..core.math import Ray, dot, cross
+
+INVALID = jnp.int32(-1)
+
+
+class TriGeom(NamedTuple):
+    """Sorted-by-BVH triangle data."""
+    p0: jnp.ndarray   # [N, 3]
+    e1: jnp.ndarray   # [N, 3] v1 - v0
+    e2: jnp.ndarray   # [N, 3] v2 - v0
+
+
+class HairGeom(NamedTuple):
+    """Sorted-by-BVH hair segment data (cylinders with miter end planes,
+    mirroring src/shapes/hair.cpp:70-74)."""
+    p0: jnp.ndarray      # [N, 3] first vertex
+    p1: jnp.ndarray      # [N, 3] second vertex
+    n0: jnp.ndarray      # [N, 3] first miter plane normal
+    n1: jnp.ndarray      # [N, 3] second miter plane normal
+    radius: jnp.ndarray  # [N]
+
+
+class BVHArrays(NamedTuple):
+    node_min: jnp.ndarray
+    node_max: jnp.ndarray
+    node_left: jnp.ndarray
+    node_count: jnp.ndarray
+    node_skip: jnp.ndarray
+
+
+def bvh_to_device(fb) -> BVHArrays:
+    return BVHArrays(jnp.asarray(fb.node_min), jnp.asarray(fb.node_max),
+                     jnp.asarray(fb.node_left), jnp.asarray(fb.node_count),
+                     jnp.asarray(fb.node_skip))
+
+
+# ---------------------------------------------------------------------------
+# Leaf kernels (operate on a block of `leaf_size` primitives per ray)
+# ---------------------------------------------------------------------------
+
+def tri_intersect_block(geom: TriGeom, idx, valid, o, d, mint, maxt):
+    """Möller-Trumbore for a [K] block of triangle indices against one ray.
+    Returns (t [K], u, v, hit_mask [K])."""
+    p0 = geom.p0[idx]
+    e1 = geom.e1[idx]
+    e2 = geom.e2[idx]
+    pvec = jnp.cross(jnp.broadcast_to(d, e2.shape), e2)
+    det = jnp.sum(e1 * pvec, axis=-1)
+    inv_det = 1.0 / jnp.where(jnp.abs(det) < 1e-12, 1.0, det)
+    tvec = o - p0
+    u = jnp.sum(tvec * pvec, axis=-1) * inv_det
+    qvec = jnp.cross(tvec, e1)
+    v = jnp.sum(jnp.broadcast_to(d, qvec.shape) * qvec, axis=-1) * inv_det
+    t = jnp.sum(e2 * qvec, axis=-1) * inv_det
+    hit = valid & (jnp.abs(det) >= 1e-12) & (u >= 0) & (v >= 0) & (u + v <= 1) \
+        & (t >= mint) & (t <= maxt)
+    return t, u, v, hit
+
+
+def hair_intersect_block(geom: HairGeom, idx, valid, o, d, mint, maxt):
+    """Ray vs miter-clipped cylinder segments (block form).
+
+    Reference math: src/shapes/hair.cpp:485-542 — project the ray into the
+    plane ⟂ segment axis, solve the circle quadratic, then accept the
+    near or far root lying between the two miter planes. The quadratic is
+    recentered at the closest-approach parameter for f32 robustness.
+    """
+    p0 = geom.p0[idx]
+    p1 = geom.p1[idx]
+    n0 = geom.n0[idx]
+    n1 = geom.n1[idx]
+    r = geom.radius[idx]
+
+    seg = p1 - p0
+    axis = seg * jax.lax.rsqrt(jnp.maximum(jnp.sum(seg * seg, -1, keepdims=True), 1e-30))
+
+    rel_o = o - p0
+    d_b = jnp.broadcast_to(d, rel_o.shape)
+    proj_o = rel_o - jnp.sum(axis * rel_o, -1, keepdims=True) * axis
+    proj_d = d_b - jnp.sum(axis * d_b, -1, keepdims=True) * axis
+
+    a = jnp.sum(proj_d * proj_d, axis=-1)
+    b = jnp.sum(proj_o * proj_d, axis=-1)          # = B/2
+    ok = a > 1e-18
+    a_safe = jnp.where(ok, a, 1.0)
+    t_mid = -b / a_safe
+    # recentered: distance^2 from axis at closest approach, computed directly
+    q = proj_o + proj_d * t_mid[..., None]
+    c_mid = jnp.sum(q * q, axis=-1) - r * r
+    disc = -c_mid / a_safe
+    ok = ok & (disc >= 0.0)
+    dt = jnp.sqrt(jnp.maximum(disc, 0.0))
+    t_near = t_mid - dt
+    t_far = t_mid + dt
+
+    def miter_ok(t):
+        p = o + d * t[..., None]
+        return (jnp.sum((p - p0) * n0, axis=-1) >= 0.0) & \
+               (jnp.sum((p - p1) * n1, axis=-1) <= 0.0)
+
+    near_valid = ok & (t_near >= mint) & (t_near <= maxt) & miter_ok(t_near)
+    far_valid = ok & (t_far >= mint) & (t_far <= maxt) & miter_ok(t_far)
+
+    t = jnp.where(near_valid, t_near, t_far)
+    hit = valid & (near_valid | far_valid)
+    return t, jnp.zeros_like(t), jnp.zeros_like(t), hit
+
+
+# ---------------------------------------------------------------------------
+# Traversal
+# ---------------------------------------------------------------------------
+
+def _slab_test(o, inv_d, mint, maxt, bmin, bmax):
+    t0 = (bmin - o) * inv_d
+    t1 = (bmax - o) * inv_d
+    tn = jnp.max(jnp.minimum(t0, t1), axis=-1)
+    tf = jnp.min(jnp.maximum(t0, t1), axis=-1)
+    # conservative epsilon for f32 slabs
+    tf = tf * 1.00000024 + 1e-7
+    return (tn <= tf) & (tf >= mint) & (tn <= maxt)
+
+
+def make_traverse(bvh: BVHArrays, geom, leaf_fn, leaf_size: int):
+    """Build a single-ray closest-hit traversal fn; callers vmap it."""
+    num_nodes = bvh.node_left.shape[0]
+    sentinel = jnp.int32(num_nodes)
+    offsets = jnp.arange(leaf_size, dtype=jnp.int32)
+
+    def traverse_one(o, d, mint, maxt0):
+        inv_d = 1.0 / jnp.where(jnp.abs(d) < 1e-12,
+                                jnp.where(d >= 0, 1e-12, -1e-12), d)
+
+        def cond(state):
+            node, _, _, _ = state
+            return node != sentinel
+
+        def body(state):
+            node, maxt, best_t, best_prim = state
+            bmin = bvh.node_min[node]
+            bmax = bvh.node_max[node]
+            hit_box = _slab_test(o, inv_d, mint, maxt, bmin, bmax)
+            left = bvh.node_left[node]
+            count = bvh.node_count[node]
+            is_leaf = count >= 0
+
+            # leaf: intersect the primitive block
+            idx = left + offsets
+            valid = hit_box & is_leaf & (offsets < count)
+            t, _, _, hit = leaf_fn(geom, idx, valid, o, d, mint, maxt)
+            t_masked = jnp.where(hit, t, jnp.inf)
+            k = jnp.argmin(t_masked)
+            t_best_blk = t_masked[k]
+            any_hit = t_best_blk < maxt
+            maxt = jnp.where(any_hit, t_best_blk, maxt)
+            best_t = jnp.where(any_hit, t_best_blk, best_t)
+            best_prim = jnp.where(any_hit, idx[k], best_prim)
+
+            descend = hit_box & jnp.logical_not(is_leaf)
+            node = jnp.where(descend, left, bvh.node_skip[node])
+            return node, maxt, best_t, best_prim
+
+        init = (jnp.int32(0), maxt0, jnp.float32(jnp.inf), INVALID)
+        _, _, best_t, best_prim = jax.lax.while_loop(cond, body, init)
+        return best_t, best_prim
+
+    return traverse_one
+
+
+def make_traverse_any(bvh: BVHArrays, geom, leaf_fn, leaf_size: int):
+    """Shadow-ray variant: early-exits on the first hit."""
+    num_nodes = bvh.node_left.shape[0]
+    sentinel = jnp.int32(num_nodes)
+    offsets = jnp.arange(leaf_size, dtype=jnp.int32)
+
+    def traverse_one(o, d, mint, maxt):
+        inv_d = 1.0 / jnp.where(jnp.abs(d) < 1e-12,
+                                jnp.where(d >= 0, 1e-12, -1e-12), d)
+
+        def cond(state):
+            node, occluded = state
+            return (node != sentinel) & jnp.logical_not(occluded)
+
+        def body(state):
+            node, occluded = state
+            bmin = bvh.node_min[node]
+            bmax = bvh.node_max[node]
+            hit_box = _slab_test(o, inv_d, mint, maxt, bmin, bmax)
+            left = bvh.node_left[node]
+            count = bvh.node_count[node]
+            is_leaf = count >= 0
+
+            idx = left + offsets
+            valid = hit_box & is_leaf & (offsets < count)
+            _, _, _, hit = leaf_fn(geom, idx, valid, o, d, mint, maxt)
+            occluded = occluded | jnp.any(hit)
+
+            descend = hit_box & jnp.logical_not(is_leaf)
+            node = jnp.where(descend, left, bvh.node_skip[node])
+            return node, occluded
+
+        _, occluded = jax.lax.while_loop(cond, body, (jnp.int32(0), jnp.array(False)))
+        return occluded
+
+    return traverse_one
+
+
+def closest_hit(bvh: BVHArrays, geom, leaf_fn, leaf_size: int, ray: Ray):
+    """Vectorized closest-hit query. Returns (t [B], prim [B])."""
+    f = make_traverse(bvh, geom, leaf_fn, leaf_size)
+    return jax.vmap(f)(ray.o, ray.d, ray.mint, ray.maxt)
+
+
+def any_hit(bvh: BVHArrays, geom, leaf_fn, leaf_size: int, ray: Ray):
+    f = make_traverse_any(bvh, geom, leaf_fn, leaf_size)
+    return jax.vmap(f)(ray.o, ray.d, ray.mint, ray.maxt)
+
+
+# ---------------------------------------------------------------------------
+# Brute-force oracles (tests / tiny scenes)
+# ---------------------------------------------------------------------------
+
+def brute_force_closest(geom, leaf_fn, n_prims: int, ray: Ray):
+    idx = jnp.arange(n_prims, dtype=jnp.int32)
+
+    def one(o, d, mint, maxt):
+        valid = jnp.ones((n_prims,), bool)
+        t, _, _, hit = leaf_fn(geom, idx, valid, o, d, mint, maxt)
+        t = jnp.where(hit, t, jnp.inf)
+        k = jnp.argmin(t)
+        return t[k], jnp.where(jnp.isfinite(t[k]), idx[k], INVALID)
+
+    return jax.vmap(one)(ray.o, ray.d, ray.mint, ray.maxt)
