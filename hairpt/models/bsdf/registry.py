@@ -1,0 +1,224 @@
+"""Switch-free BSDF dispatch over material tables.
+
+TPU-native replacement for the reference's virtual-dispatch plugin BSDFs
+(include/mitsuba/render/bsdf.h:215 + dlopened src/bsdfs/*.cpp): materials
+live in SoA tables; a shading wavefront gathers its per-lane parameters and
+every BSDF *family present in the scene* is evaluated branchlessly on the
+VPU, lane-selected by the material `kind`. Families absent from a scene are
+skipped at trace time (static python set), so a hair-only scene compiles
+hair-only shading code.
+
+Conventions (identical to the reference, bsdf.h:40 BSDFSamplingRecord):
+- wi, wo in the local shading frame, +z = shading normal
+- `eval` returns f(wi,wo)·|cosθo| in the solid-angle measure, smooth
+  components only (delta lobes contribute 0 to `eval`/`pdf`)
+- `sample` returns (wo, weight = f·cos/pdf, pdf, is_delta, eta_scale)
+"""
+from __future__ import annotations
+
+from typing import NamedTuple, Optional
+
+import jax.numpy as jnp
+import numpy as np
+
+# family ids (values are baked into scene material tables)
+DIFFUSE = 0
+ROUGHDIFFUSE = 1
+CONDUCTOR = 2
+ROUGHCONDUCTOR = 3
+DIELECTRIC = 4
+THINDIELECTRIC = 5
+ROUGHDIELECTRIC = 6
+PLASTIC = 7
+ROUGHPLASTIC = 8
+PHONG = 9
+WARD = 10
+NULL = 11
+KAJIYAKAY = 12
+MARSCHNER = 13          # = the fork's MarschnerDiffuse ("marschner" plugin)
+MARSCHNERDIELECTRIC = 14
+MASK = 15
+
+N_COS = 64  # resolution of the per-material external-transmittance slice
+
+
+class MaterialTable(NamedTuple):
+    """SoA material parameters, [M] leading axis."""
+    kind: jnp.ndarray        # [M] int32 family id
+    twosided: jnp.ndarray    # [M] bool — flip wi.z < 0 hemispheres
+    diffuse: jnp.ndarray     # [M, 3]
+    specular: jnp.ndarray    # [M, 3]
+    transmit: jnp.ndarray    # [M, 3]
+    exponent: jnp.ndarray    # [M]
+    alpha: jnp.ndarray       # [M] microfacet roughness
+    dist: jnp.ndarray        # [M] 0=ggx 1=beckmann
+    eta: jnp.ndarray         # [M] int_ior/ext_ior
+    k: jnp.ndarray           # [M, 3] conductor absorption
+    nonlinear: jnp.ndarray   # [M] bool
+    spec_weight: jnp.ndarray  # [M] specularSamplingWeight
+    ext_trans: jnp.ndarray   # [M, N_COS] T12(cosθ) slice at this alpha/eta
+    int_fdr: jnp.ndarray     # [M] internal diffuse Fresnel reflectance
+    sigma_a: jnp.ndarray     # [M, 3] hair absorption
+    beta_r: jnp.ndarray      # [M] hair longitudinal roughness
+    scale_tilt: jnp.ndarray  # [M] hair scale tilt (radians)
+    aux_id: jnp.ndarray      # [M] index into hair azimuthal stacks (-1 none)
+    tex_id: jnp.ndarray      # [M] index into checkerboard table (-1 none)
+
+
+class CheckerboardTable(NamedTuple):
+    """Procedural texture parameters (reference: src/textures/checkerboard.cpp)."""
+    color0: jnp.ndarray  # [T, 3]
+    color1: jnp.ndarray  # [T, 3]
+    uv_scale: jnp.ndarray   # [T, 2]
+    uv_offset: jnp.ndarray  # [T, 2]
+
+
+class HairTables(NamedTuple):
+    """Stacked Marschner azimuthal tables, [K] hair materials
+    (reference: marschner_diffuse.cpp precomputeAzimuthalDistributions)."""
+    values: jnp.ndarray    # [K, 3(lobe R/TT/TRT), 64(cosθd), 64(phi), 3(rgb)]
+    weights: jnp.ndarray   # [K, 3, 64, 64] dilated max-weights for sampling
+    lobe_weight: jnp.ndarray  # [K, 3, 64] ∫N dφ per cosθd row
+
+
+class GatheredMat(NamedTuple):
+    """Per-lane material parameters after the gather + texture eval."""
+    kind: jnp.ndarray
+    diffuse: jnp.ndarray    # texture-resolved rgb
+    specular: jnp.ndarray
+    transmit: jnp.ndarray
+    exponent: jnp.ndarray
+    alpha: jnp.ndarray
+    dist: jnp.ndarray
+    eta: jnp.ndarray
+    k: jnp.ndarray
+    nonlinear: jnp.ndarray
+    spec_weight: jnp.ndarray
+    ext_trans: jnp.ndarray  # [N, N_COS]
+    int_fdr: jnp.ndarray
+    sigma_a: jnp.ndarray
+    beta_r: jnp.ndarray
+    scale_tilt: jnp.ndarray
+    aux_id: jnp.ndarray
+
+
+def default_material_row(**over):
+    row = dict(kind=DIFFUSE, twosided=False, diffuse=(0.5, 0.5, 0.5),
+               specular=(1.0, 1.0, 1.0), transmit=(1.0, 1.0, 1.0),
+               exponent=30.0, alpha=0.1, dist=0, eta=1.5,
+               k=(1.0, 1.0, 1.0), nonlinear=False, spec_weight=0.5,
+               ext_trans=np.ones(N_COS), int_fdr=0.0,
+               sigma_a=(0.5, 0.5, 0.5), beta_r=0.1, scale_tilt=-0.1,
+               aux_id=-1, tex_id=-1)
+    row.update(over)
+    return row
+
+
+def pack_materials(rows) -> MaterialTable:
+    def arr(key, dtype=np.float32):
+        return jnp.asarray(np.array([r[key] for r in rows], dtype=dtype))
+    return MaterialTable(
+        kind=arr("kind", np.int32), twosided=arr("twosided", bool),
+        diffuse=arr("diffuse"), specular=arr("specular"),
+        transmit=arr("transmit"), exponent=arr("exponent"),
+        alpha=arr("alpha"), dist=arr("dist", np.int32), eta=arr("eta"),
+        k=arr("k"), nonlinear=arr("nonlinear", bool),
+        spec_weight=arr("spec_weight"),
+        ext_trans=arr("ext_trans"), int_fdr=arr("int_fdr"),
+        sigma_a=arr("sigma_a"), beta_r=arr("beta_r"),
+        scale_tilt=arr("scale_tilt"), aux_id=arr("aux_id", np.int32),
+        tex_id=arr("tex_id", np.int32))
+
+
+def eval_checkerboard(tex: CheckerboardTable, tex_id, uv, base):
+    """Resolve textured reflectance; lanes with tex_id < 0 keep `base`."""
+    if tex is None:
+        return base
+    tid = jnp.maximum(tex_id, 0)
+    scale = tex.uv_scale[tid]
+    off = tex.uv_offset[tid]
+    x = jnp.floor(uv[..., 0] * scale[..., 0] + off[..., 0]).astype(jnp.int32)
+    y = jnp.floor(uv[..., 1] * scale[..., 1] + off[..., 1]).astype(jnp.int32)
+    par = (x + y) % 2 == 0
+    val = jnp.where(par[..., None], tex.color0[tid], tex.color1[tid])
+    return jnp.where((tex_id >= 0)[..., None], val, base)
+
+
+def gather(table: MaterialTable, tex: Optional[CheckerboardTable],
+           mat_id, uv) -> GatheredMat:
+    m = jnp.maximum(mat_id, 0)
+    diffuse = table.diffuse[m]
+    diffuse = eval_checkerboard(tex, table.tex_id[m], uv, diffuse)
+    return GatheredMat(
+        kind=table.kind[m], diffuse=diffuse, specular=table.specular[m],
+        transmit=table.transmit[m], exponent=table.exponent[m],
+        alpha=table.alpha[m], dist=table.dist[m], eta=table.eta[m],
+        k=table.k[m], nonlinear=table.nonlinear[m],
+        spec_weight=table.spec_weight[m], ext_trans=table.ext_trans[m],
+        int_fdr=table.int_fdr[m], sigma_a=table.sigma_a[m],
+        beta_r=table.beta_r[m], scale_tilt=table.scale_tilt[m],
+        aux_id=table.aux_id[m])
+
+
+def ext_trans_lookup(gm: GatheredMat, cos_theta):
+    """Per-lane T12(cosθ) from the material's precomputed slice."""
+    x = jnp.clip(cos_theta, 0.0, 1.0) * N_COS - 0.5
+    x0 = jnp.clip(jnp.floor(x).astype(jnp.int32), 0, N_COS - 2)
+    fx = jnp.clip(x - x0.astype(x.dtype), 0.0, 1.0)
+    t0 = jnp.take_along_axis(gm.ext_trans, x0[..., None], axis=-1)[..., 0]
+    t1 = jnp.take_along_axis(gm.ext_trans, (x0 + 1)[..., None], axis=-1)[..., 0]
+    return t0 * (1.0 - fx) + t1 * fx
+
+
+# ---------------------------------------------------------------------------
+# Dispatch
+# ---------------------------------------------------------------------------
+
+# populated by the family modules at import time: kind -> module
+FAMILIES: dict = {}
+
+
+def register(kind: int, module):
+    FAMILIES[kind] = module
+
+
+def eval_pdf(active_kinds, gm: GatheredMat, wi, wo, hair_tables=None):
+    """Evaluate f·cos and the sampling pdf for all lanes.
+
+    active_kinds: static iterable of family ids present in the scene.
+    """
+    n = wi.shape[:-1]
+    f = jnp.zeros(n + (3,), jnp.float32)
+    pdf = jnp.zeros(n, jnp.float32)
+    for kind in sorted(set(int(k) for k in active_kinds)):
+        mod = FAMILIES[kind]
+        fk, pk = mod.eval_pdf(gm, wi, wo, hair_tables)
+        sel = gm.kind == kind
+        f = jnp.where(sel[..., None], fk, f)
+        pdf = jnp.where(sel, pk, pdf)
+    return f, pdf
+
+
+def sample(active_kinds, gm: GatheredMat, wi, u_lobe, u2, u2b,
+           hair_tables=None):
+    """Sample an outgoing direction for all lanes.
+
+    u_lobe: [N] lobe-selection sample; u2, u2b: [N, 2] direction samples.
+    Returns (wo, weight, pdf, is_delta, eta_scale).
+    """
+    n = wi.shape[:-1]
+    wo = jnp.zeros(n + (3,), jnp.float32)
+    weight = jnp.zeros(n + (3,), jnp.float32)
+    pdf = jnp.zeros(n, jnp.float32)
+    is_delta = jnp.zeros(n, bool)
+    eta_s = jnp.ones(n, jnp.float32)
+    for kind in sorted(set(int(k) for k in active_kinds)):
+        mod = FAMILIES[kind]
+        wk, wtk, pk, dk, ek = mod.sample(gm, wi, u_lobe, u2, u2b, hair_tables)
+        sel = gm.kind == kind
+        wo = jnp.where(sel[..., None], wk, wo)
+        weight = jnp.where(sel[..., None], wtk, weight)
+        pdf = jnp.where(sel, pk, pdf)
+        is_delta = jnp.where(sel, dk, is_delta)
+        eta_s = jnp.where(sel, ek, eta_s)
+    return wo, weight, pdf, is_delta, eta_s

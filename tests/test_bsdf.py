@@ -1,0 +1,177 @@
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from hairpt.core import rng, warps
+from hairpt.models.bsdf import registry as R
+from hairpt.models.bsdf import simple, plastic, hair, tables  # noqa: F401
+from hairpt.models.bsdf.fresnel import fresnel_dielectric
+
+
+def make_gm(n, **over):
+    rows = [R.default_material_row(**over)]
+    table = R.pack_materials(rows)
+    return R.gather(table, None, jnp.zeros(n, jnp.int32),
+                    jnp.zeros((n, 2), jnp.float32))
+
+
+def fixed_wi(n, theta_deg=40.0, phi_deg=30.0):
+    t = np.radians(theta_deg); p = np.radians(phi_deg)
+    wi = np.array([np.sin(t) * np.cos(p), np.sin(t) * np.sin(p), np.cos(t)],
+                  np.float32)
+    return jnp.broadcast_to(wi, (n, 3))
+
+
+def sample_pdf_consistency(kind, n=1 << 15, seed=0, atol=0.05, **mat_over):
+    """sample() then compare its reported pdf with pdf() of the same wo,
+    and check weight == eval/pdf. Mirrors the χ² harness intent
+    (reference: src/tests/test_chisquare.cpp) in a cheaper form."""
+    gm = make_gm(n, kind=kind, **mat_over)
+    wi = fixed_wi(n)
+    pix = jnp.arange(n, dtype=jnp.uint32)
+    ul = rng.uniform_1d(pix, 0, 1)
+    u2 = rng.uniform_2d(pix, 0, 2)
+    u2b = rng.uniform_2d(pix, 0, 4)
+    wo, w, pdf, is_delta, _ = R.sample([kind], gm, wi, ul, u2, u2b)
+    f, pdf2 = R.eval_pdf([kind], gm, wi, wo)
+    ok = np.asarray(pdf > 1e-6) & ~np.asarray(is_delta)
+    if ok.sum() > 0:
+        np.testing.assert_allclose(np.asarray(pdf)[ok], np.asarray(pdf2)[ok],
+                                   rtol=1e-3, atol=1e-5)
+        ratio = np.asarray(w)[ok] * np.asarray(pdf)[ok, None] \
+            - np.asarray(f)[ok]
+        assert np.abs(ratio).max() < 1e-3, np.abs(ratio).max()
+    return gm, wi, wo, w, pdf, is_delta
+
+
+def chi2_direction_test(kind, n=1 << 16, n_theta=10, n_phi=10, **mat_over):
+    """Histogram sampled wo against numerically integrated pdf()."""
+    gm = make_gm(n, kind=kind, **mat_over)
+    wi = fixed_wi(n)
+    pix = jnp.arange(n, dtype=jnp.uint32)
+    ul = rng.uniform_1d(pix, 0, 1)
+    u2 = rng.uniform_2d(pix, 0, 2)
+    u2b = rng.uniform_2d(pix, 0, 4)
+    wo, w, pdf, is_delta, _ = R.sample([kind], gm, wi, ul, u2, u2b)
+    keep = np.asarray(pdf > 0) & ~np.asarray(is_delta)
+    s = np.asarray(wo)[keep]
+    n_eff = len(s)
+    cos_t = np.clip(s[:, 2], -1, 1)
+    phi = np.arctan2(s[:, 1], s[:, 0]) + np.pi
+    bi = np.minimum(((cos_t + 1) / 2 * n_theta).astype(int), n_theta - 1)
+    bj = np.minimum((phi / (2 * np.pi) * n_phi).astype(int), n_phi - 1)
+    counts = np.bincount(bi * n_phi + bj, minlength=n_theta * n_phi)
+
+    # integrate pdf over each bin with an 8x8 midpoint rule
+    m = 8
+    exp = np.zeros(n_theta * n_phi)
+    gm1 = make_gm(m * m, kind=kind, **mat_over)
+    wi1 = fixed_wi(m * m)
+    for i in range(n_theta):
+        for j in range(n_phi):
+            c = -1 + 2 * (i + (np.arange(m) + 0.5) / m) / n_theta
+            p = -np.pi + 2 * np.pi * (j + (np.arange(m) + 0.5) / m) / n_phi
+            C, P = np.meshgrid(c, p, indexing="ij")
+            S = np.sqrt(np.maximum(1 - C ** 2, 0))
+            dirs = np.stack([S * np.cos(P), S * np.sin(P), C],
+                            axis=-1).reshape(-1, 3).astype(np.float32)
+            _, pd = R.eval_pdf([kind], gm1, wi1, jnp.asarray(dirs))
+            exp[i * n_phi + j] = np.mean(np.asarray(pd)) \
+                * (2 / n_theta) * (2 * np.pi / n_phi) * n_eff
+    mask = exp > 8
+    chi2 = np.sum((counts[mask] - exp[mask]) ** 2 / exp[mask])
+    dof = mask.sum() - 1
+    assert dof > 4
+    assert chi2 < dof + 5 * np.sqrt(2 * dof), (chi2, dof, kind)
+
+
+@pytest.mark.parametrize("kind", [R.DIFFUSE, R.ROUGHDIFFUSE, R.PHONG,
+                                  R.KAJIYAKAY])
+def test_sample_pdf_consistency(kind):
+    sample_pdf_consistency(kind)
+
+
+@pytest.mark.parametrize("kind,over", [
+    (R.DIFFUSE, {}),
+    (R.PHONG, dict(exponent=12.0, spec_weight=0.4)),
+    (R.KAJIYAKAY, dict(exponent=10.0, spec_weight=0.3)),
+    (R.ROUGHPLASTIC, dict(alpha=0.3, eta=1.55)),
+])
+def test_chi2_sampling(kind, over):
+    if kind == R.ROUGHPLASTIC:
+        rt = tables.get(0, 1.55)
+        over = dict(over)
+        over["ext_trans"] = rt.eval_np(
+            (np.arange(R.N_COS) + 0.5) / R.N_COS,
+            np.full(R.N_COS, over["alpha"]))
+        over["int_fdr"] = 1.0 - rt.eval_diffuse_np(over["alpha"])
+    chi2_direction_test(kind, **over)
+
+
+def test_diffuse_white_furnace():
+    # integral of eval over the hemisphere == albedo for white diffuse
+    n = 1 << 16
+    gm = make_gm(n, kind=R.DIFFUSE, diffuse=(1.0, 1.0, 1.0))
+    wi = fixed_wi(n)
+    u2 = rng.uniform_2d(jnp.arange(n, dtype=jnp.uint32), 0, 0)
+    wo = warps.square_to_uniform_hemisphere(u2)
+    f, _ = R.eval_pdf([R.DIFFUSE], gm, wi, wo)
+    est = np.mean(np.asarray(f)[:, 0]) * 2 * np.pi
+    assert abs(est - 1.0) < 0.02, est
+
+
+def test_rough_transmittance_table():
+    rt = tables.get(0, 1.5)
+    # smooth limit ≈ 1 - fresnel
+    cos = np.linspace(0.1, 1.0, 16)
+    t_tab = rt.eval_np(cos, np.full(16, 1e-3))
+    F, _ = fresnel_dielectric(jnp.asarray(cos, jnp.float32), 1.5)
+    np.testing.assert_allclose(t_tab, 1 - np.asarray(F), atol=0.02)
+    # diffuse average within [0,1] and decreasing in alpha is plausible
+    assert 0.5 < rt.eval_diffuse_np(0.001) < 1.0
+
+
+def test_marschner_precompute_tables():
+    vals = hair.precompute_azimuthal(jnp.asarray([0.5, 0.5, 0.5]), 0.1, 1.55)
+    v = np.asarray(vals)
+    assert v.shape == (3, hair.AZ_RES, hair.AZ_RES, 3)
+    assert np.all(v >= 0)
+    assert np.isfinite(v).all()
+    # R lobe peaks in the backward direction (phi=pi gets little R energy,
+    # phi near 0/2pi gets the mirror peak) — actually R's exit angle is
+    # Phi(0,h)=-2 gammaI ∈ [-pi, pi]; energy should be spread; just check
+    # normalization magnitude is sane: ∫N_R dphi ≈ average fresnel ∈ (0, 0.2)
+    int_r = v[0].sum(axis=1)[:, 0] * 2 * np.pi / hair.AZ_RES
+    assert 0.0 < int_r.mean() < 0.5
+    # TT should dominate TRT in total energy for light absorption
+    w, lw = hair.azimuthal_sampling_tables(vals)
+    assert np.asarray(lw).shape == (3, hair.AZ_RES)
+    assert np.all(np.asarray(lw) >= 0)
+
+
+def test_marschner_sample_eval_runs():
+    n = 4096
+    vals = hair.precompute_azimuthal(jnp.asarray([0.5, 0.5, 0.5]), 0.1, 1.55)
+    w, lw = hair.azimuthal_sampling_tables(vals)
+    aux = R.HairTables(values=vals[None], weights=w[None],
+                       lobe_weight=lw[None])
+    rt = tables.get(0, 1.55)
+    ext = rt.eval_np((np.arange(R.N_COS) + 0.5) / R.N_COS,
+                     np.full(R.N_COS, 0.2))
+    gm = make_gm(n, kind=R.MARSCHNER, aux_id=0, eta=1.55, alpha=0.2,
+                 ext_trans=ext, int_fdr=1.0 - rt.eval_diffuse_np(0.2),
+                 diffuse=(0.143016, 0.0156076, 1.80928e-05), spec_weight=0.5)
+    wi = fixed_wi(n, 50, 120)
+    pix = jnp.arange(n, dtype=jnp.uint32)
+    wo, wgt, pdf, is_delta, _ = R.sample(
+        [R.MARSCHNER], gm, wi, rng.uniform_1d(pix, 0, 1),
+        rng.uniform_2d(pix, 0, 2), rng.uniform_2d(pix, 0, 4),
+        hair_tables=aux)
+    assert np.isfinite(np.asarray(wgt)).all()
+    assert np.isfinite(np.asarray(wo)).all()
+    f, pdf2 = R.eval_pdf([R.MARSCHNER], gm, wi, wo, hair_tables=aux)
+    assert np.isfinite(np.asarray(f)).all()
+    np.testing.assert_allclose(np.asarray(pdf2), 1.0)  # faithful pdf quirk
+    # sampled directions must be unit length
+    np.testing.assert_allclose(np.linalg.norm(np.asarray(wo), axis=-1), 1.0,
+                               atol=1e-4)
