@@ -1,0 +1,140 @@
+"""Shared integrator machinery: scene intersection + shading records.
+
+Replaces Scene::rayIntersect + Intersection/fillIntersectionRecord
+(src/librender/scene.cpp:634-777, src/shapes/hair.cppp:825-862) with
+batched SoA queries over the two flattened BVHs (triangles / hair).
+"""
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax.numpy as jnp
+
+from ..core.math import Ray, Frame, normalize, frame_from_normal, dot
+from ..ops import intersect as isec
+from ..scene.scene import SceneArrays
+
+
+class Hit(NamedTuple):
+    valid: jnp.ndarray      # [N] bool
+    t: jnp.ndarray          # [N]
+    p: jnp.ndarray          # [N, 3]
+    geo_n: jnp.ndarray      # [N, 3]
+    sh_s: jnp.ndarray       # [N, 3] shading tangent (hair: fiber tangent)
+    sh_t: jnp.ndarray       # [N, 3]
+    sh_n: jnp.ndarray       # [N, 3] shading normal
+    uv: jnp.ndarray         # [N, 2]
+    mat_id: jnp.ndarray     # [N]
+    emitter_id: jnp.ndarray  # [N] area light index or -1
+    is_hair: jnp.ndarray    # [N] bool
+
+
+def frame(hit: Hit) -> Frame:
+    return Frame(s=hit.sh_s, t=hit.sh_t, n=hit.sh_n)
+
+
+def scene_intersect(arr: SceneArrays, ray: Ray) -> Hit:
+    """Closest hit against triangles and hair; builds the shading record."""
+    n = ray.o.shape[0]
+    inf = jnp.full((n,), jnp.inf, jnp.float32)
+    t_tri, prim_tri = (inf, jnp.full((n,), -1, jnp.int32))
+    if arr.tri is not None:
+        t_tri, prim_tri = isec.closest_hit(arr.tri_bvh, arr.tri,
+                                           isec.tri_intersect_block, 4, ray)
+    t_hair, prim_hair = (inf, jnp.full((n,), -1, jnp.int32))
+    if arr.hair is not None:
+        hair_ray = ray._replace(maxt=jnp.minimum(ray.maxt, t_tri))
+        t_hair, prim_hair = isec.closest_hit(arr.hair_bvh, arr.hair,
+                                             isec.hair_intersect_block, 4,
+                                             hair_ray)
+
+    use_hair = t_hair < t_tri
+    t = jnp.where(use_hair, t_hair, t_tri)
+    valid = jnp.isfinite(t) & (t < ray.maxt) & ((prim_tri >= 0)
+                                                | (prim_hair >= 0))
+    p = ray.o + ray.d * t[..., None]
+
+    # defaults
+    geo_n = jnp.zeros((n, 3), jnp.float32).at[:, 2].set(1.0)
+    sh_n = geo_n
+    sh_s = jnp.zeros((n, 3), jnp.float32).at[:, 0].set(1.0)
+    sh_t = jnp.zeros((n, 3), jnp.float32).at[:, 1].set(1.0)
+    uv = jnp.zeros((n, 2), jnp.float32)
+    mat_id = jnp.zeros((n,), jnp.int32)
+    emitter_id = jnp.full((n,), -1, jnp.int32)
+
+    if arr.tri is not None:
+        i = jnp.maximum(prim_tri, 0)
+        p0 = arr.tri.p0[i]
+        e1 = arr.tri.e1[i]
+        e2 = arr.tri.e2[i]
+        gn = normalize(jnp.cross(e1, e2))
+        # recompute barycentrics for the chosen triangle (cheap, exact)
+        pv = jnp.cross(ray.d, e2)
+        det = jnp.sum(e1 * pv, axis=-1)
+        inv = 1.0 / jnp.where(jnp.abs(det) < 1e-12, 1.0, det)
+        tv = ray.o - p0
+        b1 = jnp.sum(tv * pv, axis=-1) * inv
+        qv = jnp.cross(tv, e1)
+        b2 = jnp.sum(ray.d * qv, axis=-1) * inv
+        b0 = 1.0 - b1 - b2
+        sh = arr.tri_shading
+        ns = normalize(sh.n0[i] * b0[..., None] + sh.n1[i] * b1[..., None]
+                       + sh.n2[i] * b2[..., None])
+        uvi = sh.uv0[i] * b0[..., None] + sh.uv1[i] * b1[..., None] \
+            + sh.uv2[i] * b2[..., None]
+        # orient the geometric normal into the shading normal's hemisphere
+        # (winding-robust; reference meshes guarantee consistent winding,
+        # procedural stand-ins may not)
+        gn = jnp.where((dot(gn, ns) < 0)[..., None], -gn, gn)
+        f = frame_from_normal(ns)
+        tri_sel = (~use_hair) & (prim_tri >= 0)
+        m = tri_sel[..., None]
+        geo_n = jnp.where(m, gn, geo_n)
+        sh_n = jnp.where(m, ns, sh_n)
+        sh_s = jnp.where(m, f.s, sh_s)
+        sh_t = jnp.where(m, f.t, sh_t)
+        uv = jnp.where(m, uvi, uv)
+        mat_id = jnp.where(tri_sel, sh.mat_id[i], mat_id)
+        emitter_id = jnp.where(tri_sel, sh.emitter_id[i], emitter_id)
+
+    if arr.hair is not None:
+        i = jnp.maximum(prim_hair, 0)
+        p0 = arr.hair.p0[i]
+        p1 = arr.hair.p1[i]
+        radius = arr.hair.radius[i]
+        axis = normalize(p1 - p0)
+        rel = p - p0
+        nrad = normalize(rel - jnp.sum(axis * rel, -1, keepdims=True) * axis)
+        tt = jnp.cross(nrad, axis)
+        # snap the hit point back onto the cylinder (reference:
+        # fillIntersectionRecord roundoff mitigation, hair.cpp:845-848)
+        local_y = jnp.sum(tt * rel, axis=-1)
+        local_z = jnp.sum(nrad * rel, axis=-1)
+        shift = radius - jnp.sqrt(jnp.maximum(local_y ** 2 + local_z ** 2,
+                                              0.0))
+        p_snap = p + nrad * shift[..., None]
+        hair_sel = use_hair & (prim_hair >= 0)
+        m = hair_sel[..., None]
+        p = jnp.where(m, p_snap, p)
+        geo_n = jnp.where(m, nrad, geo_n)
+        sh_n = jnp.where(m, nrad, sh_n)
+        sh_s = jnp.where(m, axis, sh_s)
+        sh_t = jnp.where(m, tt, sh_t)
+        mat_id = jnp.where(hair_sel, arr.hair_mat_id[i], mat_id)
+
+    return Hit(valid=valid, t=t, p=p, geo_n=geo_n, sh_s=sh_s, sh_t=sh_t,
+               sh_n=sh_n, uv=uv, mat_id=mat_id, emitter_id=emitter_id,
+               is_hair=use_hair & valid)
+
+
+def scene_occluded(arr: SceneArrays, ray: Ray):
+    n = ray.o.shape[0]
+    occ = jnp.zeros((n,), bool)
+    if arr.tri is not None:
+        occ = occ | isec.any_hit(arr.tri_bvh, arr.tri,
+                                 isec.tri_intersect_block, 4, ray)
+    if arr.hair is not None:
+        occ = occ | isec.any_hit(arr.hair_bvh, arr.hair,
+                                 isec.hair_intersect_block, 4, ray)
+    return occ

@@ -1,0 +1,407 @@
+"""Wavefront MIS path tracer with next-event estimation + Russian roulette.
+
+Faithful vectorization of the reference `path` plugin's bounce loop
+(src/integrators/path/path.cpp:119-289 MIPathTracer::Li): the per-sample
+recursion becomes a `lax.while_loop` over a whole wavefront of SoA path
+states, all shading is lane-masked switch-free BSDF dispatch, and the film
+splat is a batched scatter-add. `direct` (src/integrators/direct/direct.cpp)
+is the max_depth=2 special case.
+
+Key correspondences:
+- power-heuristic miWeight (path.cpp:291-295)        → _mi_weight
+- emitter NEE + shadow ray (path.cpp:178-196)        → _sample_emitter_direct
+- BSDF sampling + emitter-hit MIS (path.cpp:208-266) → body of _bounce
+- RR with eta² throughput clamp (path.cpp:276-283)   → same constants
+- strictNormals handling (path.cpp:160-175)          → same tests
+"""
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..core import rng
+from ..core.math import Ray, dot, normalize
+from ..film import film as film_mod
+from ..models import emitters as em
+from ..models import sensors
+from ..models.bsdf import registry as mat
+from ..models.bsdf import simple, plastic, hair as hair_bsdf  # register families  # noqa: F401
+from ..scene.scene import Scene
+from .common import Hit, scene_intersect, scene_occluded, frame
+
+# sample-dimension layout: camera uses [0,4); bounce b uses [4+16b, 4+16(b+1))
+DIM_CAM_POS = 0
+DIM_CAM_APERTURE = 2
+DIM_BASE = 4
+DIM_STRIDE = 16
+D_NEE_SEL = 0
+D_NEE_POS = 1
+D_BSDF_LOBE = 3
+D_BSDF_U2 = 4
+D_BSDF_U2B = 6
+D_RR = 8
+
+
+def _mi_weight(pdf_a, pdf_b):
+    a2 = pdf_a * pdf_a
+    return jnp.where(pdf_a > 0, a2 / jnp.maximum(a2 + pdf_b * pdf_b, 1e-30),
+                     0.0)
+
+
+class PathState(NamedTuple):
+    depth: jnp.ndarray          # [] int32 (uniform across wavefront)
+    active: jnp.ndarray         # [N]
+    ray_o: jnp.ndarray          # [N, 3]
+    ray_d: jnp.ndarray          # [N, 3]
+    throughput: jnp.ndarray     # [N, 3]
+    li: jnp.ndarray             # [N, 3]
+    eta: jnp.ndarray            # [N]
+    # hit of the current ray (computed before loop / at end of each bounce)
+    hit: Hit
+    # MIS bookkeeping for the emitter hit by the *current* ray
+    prev_bsdf_pdf: jnp.ndarray  # [N]
+    prev_delta: jnp.ndarray     # [N]
+    emission_allowed: jnp.ndarray  # [N] loop-top Le gate (first hit only)
+
+
+def _env_radiance(scene: Scene, d):
+    if scene.arrays.env is None:
+        return jnp.zeros(d.shape[:-1] + (3,), jnp.float32)
+    return em.env_eval(scene.arrays.env, d)
+
+
+def _emitter_radiance_at_hit(scene: Scene, hit: Hit, wi_world):
+    """Le of an area emitter at the hit, facing check included."""
+    if scene.arrays.area is None:
+        return jnp.zeros(hit.p.shape[:-1] + (3,), jnp.float32)
+    area = scene.arrays.area
+    le = area.radiance[jnp.maximum(hit.emitter_id, 0)]
+    facing = dot(hit.geo_n, wi_world) > 0
+    on = (hit.emitter_id >= 0) & facing
+    return jnp.where(on[..., None], le, 0.0)
+
+
+def _sample_emitter_direct(scene: Scene, p, u_sel, u2):
+    """Pick an emitter (env vs area by static prob), sample a direction.
+    Returns (d [N,3], dist [N], Le_over_pdf? no — Le [N,3], pdf [N],
+    is_env [N])."""
+    arr = scene.arrays
+    n = p.shape[0]
+    zero3 = jnp.zeros((n, 3), jnp.float32)
+    d = zero3.at[:, 2].set(1.0)
+    le = zero3
+    pdf = jnp.zeros((n,), jnp.float32)
+    dist = jnp.full((n,), jnp.inf, jnp.float32)
+    cfg = scene.config
+    p_env = cfg.env_prob if (arr.env is not None and arr.area is not None) \
+        else (1.0 if arr.env is not None else 0.0)
+
+    if arr.env is not None:
+        d_env, le_env, pdf_env = em.env_sample(arr.env, u2)
+        sel = u_sel < p_env
+        d = jnp.where(sel[..., None], d_env, d)
+        le = jnp.where(sel[..., None], le_env, le)
+        pdf = jnp.where(sel, pdf_env * p_env, pdf)
+
+    if arr.area is not None:
+        area = arr.area
+        l, prob_l, u0r = _sample_discrete_cdf(area.cdf, u_sel)
+        # uniform point on the triangle
+        su = jnp.sqrt(jnp.maximum(u2[..., 0], 1e-12))
+        b0 = 1.0 - su
+        b1 = u2[..., 1] * su
+        q = area.p0[l] + area.e1[l] * b0[..., None] + area.e2[l] * b1[..., None]
+        dq = q - p
+        d2 = jnp.sum(dq * dq, axis=-1)
+        dl = jnp.sqrt(jnp.maximum(d2, 1e-20))
+        dd = dq / dl[..., None]
+        cos_l = -jnp.sum(area.n[l] * dd, axis=-1)
+        pdf_a = prob_l / jnp.maximum(area.area[l], 1e-12)
+        pdf_sa = pdf_a * d2 / jnp.maximum(cos_l, 1e-6)
+        ok = cos_l > 1e-6
+        sel = (u_sel >= p_env) if arr.env is not None else jnp.ones((n,), bool)
+        d = jnp.where(sel[..., None], dd, d)
+        le = jnp.where((sel & ok)[..., None], area.radiance[l],
+                       jnp.where(sel[..., None], 0.0, le))
+        pdf = jnp.where(sel, jnp.where(ok, pdf_sa * (1.0 - p_env), 0.0), pdf)
+        dist = jnp.where(sel, dl, dist)
+
+    return d, dist, le, pdf
+
+
+def _sample_discrete_cdf(cdf, u):
+    nl = cdf.shape[0]
+    idx = jnp.clip(jnp.searchsorted(cdf, u), 0, nl - 1)
+    hi = cdf[idx]
+    lo = jnp.where(idx > 0, cdf[jnp.maximum(idx - 1, 0)], 0.0)
+    return idx, hi - lo, u
+
+
+def _pdf_emitter_hit(scene: Scene, ray_o, hit: Hit, d):
+    """pdf of NEE having produced the direction that the BSDF ray took to
+    reach its emitter (env for misses, area light for emissive hits)."""
+    arr = scene.arrays
+    n = d.shape[0]
+    cfg = scene.config
+    p_env = cfg.env_prob if (arr.env is not None and arr.area is not None) \
+        else (1.0 if arr.env is not None else 0.0)
+    pdf = jnp.zeros((n,), jnp.float32)
+    if arr.env is not None:
+        pdf_env = em.env_pdf(arr.env, d) * p_env
+        pdf = jnp.where(hit.valid, pdf, pdf_env)
+    if arr.area is not None:
+        area = arr.area
+        # which light did we hit? emitter_id indexes the area table
+        l = jnp.maximum(hit.emitter_id, 0)
+        power_lum = area.area * (area.radiance
+                                 @ jnp.asarray([0.212671, 0.715160,
+                                                0.072169]))
+        prob_l = power_lum / jnp.maximum(jnp.sum(power_lum), 1e-12)
+        d2 = hit.t * hit.t
+        cos_l = -jnp.sum(area.n[l] * d, axis=-1)
+        pdf_area = prob_l[l] / jnp.maximum(area.area[l], 1e-12) * d2 \
+            / jnp.maximum(cos_l, 1e-6)
+        on = hit.valid & (hit.emitter_id >= 0) & (cos_l > 1e-6)
+        pdf = jnp.where(on, pdf_area * (1.0 - p_env), pdf)
+    return pdf
+
+
+def make_li_fn(scene: Scene):
+    """Builds the jit-able per-wavefront radiance estimator.
+
+    Returns li(pixel_idx [N], sample_idx [N]) -> (radiance [N,3], pos [N,2]).
+    """
+    cfg = scene.config
+    arr = scene.arrays
+    cam = scene.camera
+    active_kinds = scene.active_kinds
+    smode = cfg.sampler
+    ray_eps = cfg.ray_eps
+
+    def s1(pix, smp, dim):
+        return rng.next_1d(smode, pix, smp, dim)
+
+    def s2(pix, smp, dim):
+        return rng.next_2d(smode, pix, smp, dim)
+
+    def li(pixel_idx, sample_idx):
+        n = pixel_idx.shape[0]
+        px = (pixel_idx % cfg.width).astype(jnp.float32)
+        py = (pixel_idx // cfg.width).astype(jnp.float32)
+        jitter = s2(pixel_idx, sample_idx, DIM_CAM_POS)
+        pos = jnp.stack([px + jitter[..., 0], py + jitter[..., 1]], axis=-1)
+        ap = s2(pixel_idx, sample_idx, DIM_CAM_APERTURE)
+        ray = sensors.sample_ray(cam, pos, ap)
+
+        hit0 = scene_intersect(arr, ray)
+
+        state = PathState(
+            depth=jnp.int32(1),
+            active=jnp.ones((n,), bool),
+            ray_o=ray.o, ray_d=ray.d,
+            throughput=jnp.ones((n, 3), jnp.float32),
+            li=jnp.zeros((n, 3), jnp.float32),
+            eta=jnp.ones((n,), jnp.float32),
+            hit=hit0,
+            prev_bsdf_pdf=jnp.zeros((n,), jnp.float32),
+            prev_delta=jnp.zeros((n,), bool),
+            emission_allowed=jnp.ones((n,), bool),
+        )
+
+        def cond(st: PathState):
+            # depth semantics match the reference: at depth == maxDepth the
+            # loop only collects the pending emission (done by the flush
+            # below) and stops, so bounces happen at depths 1..maxDepth-1
+            return jnp.any(st.active) & (st.depth < cfg.max_depth)
+
+        def body(st: PathState):
+            dims = DIM_BASE + (st.depth - 1) * DIM_STRIDE
+            hit = st.hit
+            active = st.active
+            d_in = st.ray_d
+
+            # ---- miss: environment ----
+            miss = active & ~hit.valid
+            li_acc = st.li + jnp.where(
+                (miss & st.emission_allowed)[..., None],
+                st.throughput * _env_radiance(scene, d_in), 0.0)
+            # env with MIS for non-first hits
+            if arr.env is not None:
+                lum_pdf = _pdf_emitter_hit(scene, st.ray_o, hit, d_in)
+                w = jnp.where(st.prev_delta, 1.0,
+                              _mi_weight(st.prev_bsdf_pdf, lum_pdf))
+                li_acc = li_acc + jnp.where(
+                    (miss & ~st.emission_allowed)[..., None],
+                    st.throughput * _env_radiance(scene, d_in)
+                    * w[..., None], 0.0)
+            active = active & hit.valid
+
+            # ---- emitter hit ----
+            wi_world = -d_in
+            if arr.area is not None:
+                le = _emitter_radiance_at_hit(scene, hit, wi_world)
+                lum_pdf = _pdf_emitter_hit(scene, st.ray_o, hit, d_in)
+                w_mis = jnp.where(st.prev_delta, 1.0,
+                                  _mi_weight(st.prev_bsdf_pdf, lum_pdf))
+                w_sel = jnp.where(st.emission_allowed, 1.0, w_mis)
+                li_acc = li_acc + jnp.where(active[..., None],
+                                            st.throughput * le
+                                            * w_sel[..., None], 0.0)
+
+            # ---- shading frame (twosided flip) ----
+            two = arr.materials.twosided[jnp.maximum(hit.mat_id, 0)]
+            flip = two & (dot(hit.sh_n, wi_world) < 0)
+            sh_n = jnp.where(flip[..., None], -hit.sh_n, hit.sh_n)
+            sh_t = jnp.where(flip[..., None], -hit.sh_t, hit.sh_t)
+            geo_n = jnp.where(flip[..., None], -hit.geo_n, hit.geo_n)
+            fr = frame(hit)._replace(n=sh_n, t=sh_t)
+            wi = fr.to_local(wi_world)
+
+            # strict normals: classify wi consistently on both frames
+            if cfg.strict_normals:
+                bad = dot(d_in, geo_n) * wi[..., 2] >= 0
+                active = active & ~bad
+
+            gm = mat.gather(arr.materials, arr.checkers, hit.mat_id, hit.uv)
+
+            pix, smp = pixel_idx, sample_idx
+
+            # ---- NEE ----
+            u_sel = s1(pix, smp, dims + D_NEE_SEL)
+            u_nee = s2(pix, smp, dims + D_NEE_POS)
+            d_nee, dist_nee, le_nee, pdf_nee = _sample_emitter_direct(
+                scene, hit.p, u_sel, u_nee)
+            wo_nee = fr.to_local(d_nee)
+            f_nee, bsdf_pdf_nee = mat.eval_pdf(active_kinds, gm, wi, wo_nee,
+                                               arr.hair_tables)
+            nee_ok = active & (pdf_nee > 0) \
+                & (jnp.max(jnp.abs(f_nee), axis=-1) > 0)
+            if cfg.strict_normals:
+                nee_ok = nee_ok & (dot(geo_n, d_nee) * wo_nee[..., 2] > 0)
+            shadow_o = hit.p + geo_n * jnp.where(dot(d_nee, geo_n) > 0,
+                                                 ray_eps,
+                                                 -ray_eps)[..., None]
+            shadow = Ray(o=shadow_o, d=d_nee,
+                         mint=jnp.full((n,), 0.0, jnp.float32),
+                         maxt=dist_nee - 2.0 * ray_eps)
+            # lanes that don't need the shadow ray get a degenerate one
+            shadow = shadow._replace(
+                maxt=jnp.where(nee_ok, shadow.maxt, 0.0))
+            occluded = scene_occluded(arr, shadow)
+            vis = nee_ok & ~occluded
+            w_nee = _mi_weight(pdf_nee, bsdf_pdf_nee)
+            li_acc = li_acc + jnp.where(
+                vis[..., None],
+                st.throughput * le_nee * f_nee
+                * (w_nee / jnp.maximum(pdf_nee, 1e-20))[..., None], 0.0)
+
+            # ---- BSDF sampling ----
+            u_lobe = s1(pix, smp, dims + D_BSDF_LOBE)
+            u2 = s2(pix, smp, dims + D_BSDF_U2)
+            u2b = s2(pix, smp, dims + D_BSDF_U2B)
+            wo, bsdf_weight, bsdf_pdf, is_delta, eta_s = mat.sample(
+                active_kinds, gm, wi, u_lobe, u2, u2b, arr.hair_tables)
+            wo_world = fr.to_world(wo)
+            dead = jnp.max(jnp.abs(bsdf_weight), axis=-1) <= 0
+            active = active & ~dead
+            if cfg.strict_normals:
+                bad2 = dot(geo_n, wo_world) * wo[..., 2] <= 0
+                active = active & ~bad2
+
+            throughput = st.throughput * bsdf_weight
+            eta = st.eta * eta_s
+
+            # ---- next ray ----
+            next_o = hit.p + geo_n * jnp.where(dot(wo_world, geo_n) > 0,
+                                               ray_eps,
+                                               -ray_eps)[..., None]
+            next_ray = Ray(o=next_o, d=wo_world,
+                           mint=jnp.zeros((n,), jnp.float32),
+                           maxt=jnp.where(active, jnp.inf, 0.0))
+            hit2 = scene_intersect(arr, next_ray)
+
+            # ---- RR ----
+            depth_next = st.depth + 1
+            q = jnp.minimum(jnp.max(throughput, axis=-1) * eta * eta, 0.95)
+            do_rr = depth_next > cfg.rr_depth
+            u_rr = s1(pix, smp, dims + D_RR)
+            kill = do_rr & (u_rr >= q)
+            throughput = jnp.where((do_rr & ~kill)[..., None],
+                                   throughput / jnp.maximum(q, 1e-6)[..., None],
+                                   throughput)
+            active = active & ~kill
+
+            return PathState(
+                depth=depth_next,
+                active=active,
+                ray_o=next_o, ray_d=wo_world,
+                throughput=throughput,
+                li=li_acc,
+                eta=eta,
+                hit=hit2,
+                prev_bsdf_pdf=bsdf_pdf,
+                prev_delta=is_delta,
+                emission_allowed=jnp.zeros((n,), bool),
+            )
+
+        final = jax.lax.while_loop(cond, body, state)
+
+        # paths that terminated by depth but had a pending emitter/env hit:
+        # the loop structure above accounts for emission at loop top, so the
+        # final pending hit's emission must be added for rays that exited
+        # with depth > max_depth while still active
+        st = final
+        pending = st.active
+        d_in = st.ray_d
+        li_acc = st.li
+        miss = pending & ~st.hit.valid
+        if arr.env is not None:
+            lum_pdf = _pdf_emitter_hit(scene, st.ray_o, st.hit, d_in)
+            w = jnp.where(st.prev_delta, 1.0,
+                          _mi_weight(st.prev_bsdf_pdf, lum_pdf))
+            w = jnp.where(st.emission_allowed, 1.0, w)
+            li_acc = li_acc + jnp.where(miss[..., None],
+                                        st.throughput
+                                        * _env_radiance(scene, d_in)
+                                        * w[..., None], 0.0)
+        if arr.area is not None:
+            le = _emitter_radiance_at_hit(scene, st.hit, -d_in)
+            lum_pdf = _pdf_emitter_hit(scene, st.ray_o, st.hit, d_in)
+            w = jnp.where(st.prev_delta, 1.0,
+                          _mi_weight(st.prev_bsdf_pdf, lum_pdf))
+            w = jnp.where(st.emission_allowed, 1.0, w)
+            li_acc = li_acc + jnp.where((pending & st.hit.valid)[..., None],
+                                        st.throughput * le * w[..., None],
+                                        0.0)
+
+        return li_acc, pos
+
+    return li
+
+
+def render(scene: Scene, seed: int = 0, spp: int | None = None,
+           wave_size: int | None = None):
+    """Full-frame render: loops sample waves, accumulates on the film.
+    Returns the developed [H, W, 3] image (linear radiance)."""
+    cfg = scene.config
+    spp = spp if spp is not None else cfg.spp
+    fl = scene.film
+    n_pix = cfg.width * cfg.height
+
+    li_fn = make_li_fn(scene)
+
+    @jax.jit
+    def wave(sample_id, image, weight):
+        pixel_idx = jnp.arange(n_pix, dtype=jnp.uint32)
+        sample_idx = jnp.full((n_pix,), sample_id, jnp.uint32)
+        radiance, pos = li_fn(pixel_idx, sample_idx)
+        radiance = jnp.nan_to_num(radiance, nan=0.0, posinf=0.0, neginf=0.0)
+        return film_mod.splat_samples(fl, pos, radiance, image, weight)
+
+    image, weight = film_mod.zeros(fl)
+    for s in range(spp):
+        image, weight = wave(jnp.uint32(s + seed * 65536), image, weight)
+    return film_mod.develop(image, weight)

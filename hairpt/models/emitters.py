@@ -1,0 +1,294 @@
+"""Emitters.
+
+Design: every *environment-type* emitter (constant, envmap, sky, sun,
+sunsky) is baked at scene-build time into ONE importance-sampled lat-long
+radiance table — the TPU-native replacement for the reference's per-plugin
+virtual emitters (src/emitters/{constant,envmap,sky,sun,sunsky}.cpp):
+evaluation is a bilinear texture fetch and sampling is a two-level CDF
+inversion, both branchless. The sun disc from sunsky is rasterized into the
+table (resolution is chosen so the scaled disc spans many texels).
+
+The sky model is Preetham et al. 97 (analytic, host-side numpy); the
+reference uses Hosek-Wilkie (src/emitters/sky.cpp:218) — same capability,
+different fit. The relative sun/sky scaling honours the scene XML's
+skyScale/sunScale/sunRadiusScale parameters.
+
+Area lights (emissive triangles), point, spot and directional emitters are
+kept analytic, with a discrete CDF over emitter power for NEE selection
+(reference: Scene::sampleEmitterDirect, src/librender/scene.cpp:828).
+"""
+from __future__ import annotations
+
+from typing import NamedTuple, Optional
+
+import jax.numpy as jnp
+import numpy as np
+
+from ..core.math import normalize, dot
+
+TWO_PI = 2.0 * np.pi
+
+# sun angular radius (degrees) — physical value, as in src/emitters/sun.cpp
+SUN_APP_RADIUS_DEG = 0.5358 / 2.0
+
+
+class EnvMap(NamedTuple):
+    """Baked lat-long environment with sampling CDFs (device arrays)."""
+    image: jnp.ndarray       # [H, W, 3] radiance
+    to_world: jnp.ndarray    # [3, 3] rotation (emitter-local → world)
+    to_local: jnp.ndarray    # [3, 3]
+    marg_cdf: jnp.ndarray    # [H] row CDF  (sin-weighted)
+    cond_cdf: jnp.ndarray    # [H, W] per-row column CDF
+    row_pdf: jnp.ndarray     # [H] marginal row probability
+    col_pdf: jnp.ndarray     # [H, W] conditional col probability
+
+
+class AreaLights(NamedTuple):
+    """Emissive triangles for NEE (reference: src/emitters/area.cpp)."""
+    p0: jnp.ndarray        # [L, 3]
+    e1: jnp.ndarray        # [L, 3]
+    e2: jnp.ndarray        # [L, 3]
+    n: jnp.ndarray         # [L, 3] geometric normal
+    radiance: jnp.ndarray  # [L, 3]
+    area: jnp.ndarray      # [L]
+    cdf: jnp.ndarray       # [L] selection CDF (by power)
+    tri_index: jnp.ndarray  # [L] index into the scene's sorted triangle array
+
+
+class PointLights(NamedTuple):
+    position: jnp.ndarray   # [P, 3]
+    intensity: jnp.ndarray  # [P, 3]  (spot: premultiplied by falloff in eval)
+    direction: jnp.ndarray  # [P, 3]  spot axis / directional dir
+    cos_falloff: jnp.ndarray  # [P, 2] (cos cutoff, cos beam) for spots
+    kind: jnp.ndarray       # [P] 0=point 1=spot
+
+
+# ---------------------------------------------------------------------------
+# environment baking
+# ---------------------------------------------------------------------------
+
+def _build_env_cdfs(image: np.ndarray):
+    h, w = image.shape[:2]
+    lum = image @ np.array([0.212671, 0.715160, 0.072169])
+    theta = (np.arange(h) + 0.5) / h * np.pi
+    weights = lum * np.sin(theta)[:, None] + 1e-12
+    row_w = weights.sum(axis=1)
+    marg_cdf = np.cumsum(row_w)
+    marg_cdf /= marg_cdf[-1]
+    cond = np.cumsum(weights, axis=1)
+    col_pdf = weights / cond[:, -1:]
+    cond_cdf = cond / cond[:, -1:]
+    row_pdf = row_w / row_w.sum()
+    return marg_cdf, cond_cdf, row_pdf, col_pdf
+
+
+def make_envmap(image: np.ndarray, to_world3: Optional[np.ndarray] = None,
+                scale: float = 1.0) -> EnvMap:
+    image = np.asarray(image, np.float32) * scale
+    if to_world3 is None:
+        to_world3 = np.eye(3)
+    marg_cdf, cond_cdf, row_pdf, col_pdf = _build_env_cdfs(image)
+    return EnvMap(image=jnp.asarray(image),
+                  to_world=jnp.asarray(to_world3, jnp.float32),
+                  to_local=jnp.asarray(np.linalg.inv(to_world3), jnp.float32),
+                  marg_cdf=jnp.asarray(marg_cdf, jnp.float32),
+                  cond_cdf=jnp.asarray(cond_cdf, jnp.float32),
+                  row_pdf=jnp.asarray(row_pdf, jnp.float32),
+                  col_pdf=jnp.asarray(col_pdf, jnp.float32))
+
+
+def make_constant(radiance, res: int = 8) -> EnvMap:
+    img = np.broadcast_to(np.asarray(radiance, np.float32),
+                          (res, 2 * res, 3)).copy()
+    return make_envmap(img)
+
+
+# --- Preetham sky ----------------------------------------------------------
+
+def _perez(theta, gamma, A, B, C, D, E):
+    cg = np.cos(gamma)
+    return (1.0 + A * np.exp(B / np.maximum(np.cos(theta), 0.01))) \
+        * (1.0 + C * np.exp(D * gamma) + E * cg * cg)
+
+
+def _preetham_sky_xyY(theta, gamma, theta_s, T):
+    """Preetham sky luminance/chromaticity (theta: view zenith angle,
+    gamma: angle to sun, theta_s: sun zenith angle, T: turbidity)."""
+    # Perez coefficients
+    AY, BY, CY, DY, EY = (0.1787 * T - 1.4630, -0.3554 * T + 0.4275,
+                          -0.0227 * T + 5.3251, 0.1206 * T - 2.5771,
+                          -0.0670 * T + 0.3703)
+    Ax, Bx, Cx, Dx, Ex = (-0.0193 * T - 0.2592, -0.0665 * T + 0.0008,
+                          -0.0004 * T + 0.2125, -0.0641 * T - 0.8989,
+                          -0.0033 * T + 0.0452)
+    Ay, By, Cy, Dy, Ey = (-0.0167 * T - 0.2608, -0.0950 * T + 0.0092,
+                          -0.0079 * T + 0.2102, -0.0441 * T - 1.6537,
+                          -0.0109 * T + 0.0529)
+
+    chi = (4.0 / 9.0 - T / 120.0) * (np.pi - 2 * theta_s)
+    Yz = (4.0453 * T - 4.9710) * np.tan(chi) - 0.2155 * T + 2.4192  # kcd/m2
+    ts = theta_s
+    tv = np.array([ts ** 3, ts ** 2, ts, 1.0])
+    Tm = np.array([T * T, T, 1.0])
+    xz = Tm @ np.array([[0.00166, -0.00375, 0.00209, 0.0],
+                        [-0.02903, 0.06377, -0.03202, 0.00394],
+                        [0.11693, -0.21196, 0.06052, 0.25886]]) @ tv
+    yz = Tm @ np.array([[0.00275, -0.00610, 0.00317, 0.0],
+                        [-0.04214, 0.08970, -0.04153, 0.00516],
+                        [0.15346, -0.26756, 0.06670, 0.26688]]) @ tv
+
+    Y = Yz * _perez(theta, gamma, AY, BY, CY, DY, EY) \
+        / np.maximum(_perez(0.0, theta_s, AY, BY, CY, DY, EY), 1e-6)
+    x = xz * _perez(theta, gamma, Ax, Bx, Cx, Dx, Ex) \
+        / np.maximum(_perez(0.0, theta_s, Ax, Bx, Cx, Dx, Ex), 1e-6)
+    y = yz * _perez(theta, gamma, Ay, By, Cy, Dy, Ey) \
+        / np.maximum(_perez(0.0, theta_s, Ay, By, Cy, Dy, Ey), 1e-6)
+    return Y, x, y
+
+
+def _xyY_to_rgb(Y, x, y):
+    y = np.maximum(y, 1e-6)
+    X = x / y * Y
+    Z = (1 - x - y) / y * Y
+    M = np.array([[3.240479, -1.537150, -0.498535],
+                  [-0.969256, 1.875991, 0.041556],
+                  [0.055648, -0.204043, 1.057311]])
+    xyz = np.stack([X, Y, Z], axis=-1)
+    return np.maximum(xyz @ M.T, 0.0)
+
+
+def _sun_transmittance_rgb(theta_s, T):
+    """Simplified Preetham solar attenuation sampled at R/G/B wavelengths
+    (reference capability: src/emitters/sun.cpp computeSunRadiance)."""
+    lam = np.array([0.65, 0.55, 0.45])  # micrometers
+    cos_t = max(np.cos(theta_s), 0.0)
+    theta_deg = np.degrees(theta_s)
+    m = 1.0 / (cos_t + 0.15 * (93.885 - theta_deg) ** -1.253)
+    tau_r = np.exp(-m * 0.008735 * lam ** -4.08)
+    beta = 0.04608 * T - 0.04586
+    tau_a = np.exp(-m * beta * lam ** -1.3)
+    ko = np.array([0.06, 0.085, 0.009])  # ozone absorption coeff approx
+    tau_o = np.exp(-m * 0.35 * ko)
+    return tau_r * tau_a * tau_o
+
+
+def bake_sunsky(sun_dir, turbidity: float = 3.0, sky_scale: float = 1.0,
+                sun_scale: float = 1.0, sun_radius_scale: float = 1.0,
+                res: int = 512, with_sun: bool = True,
+                with_sky: bool = True) -> EnvMap:
+    """Rasterize the sun+sky model into a lat-long table.
+
+    World convention matches the reference sky plugins: y is up.
+    """
+    h, w = res, 2 * res
+    sun_dir = np.asarray(sun_dir, np.float64)
+    sun_dir = sun_dir / np.linalg.norm(sun_dir)
+    theta_s = np.arccos(np.clip(sun_dir[1], -1, 1))
+
+    v = (np.arange(h) + 0.5) / h
+    u = (np.arange(w) + 0.5) / w
+    theta = v * np.pi
+    phi = u * TWO_PI
+    st = np.sin(theta)[:, None]
+    d = np.stack([st * np.sin(phi)[None, :],
+                  np.broadcast_to(np.cos(theta)[:, None], (h, w)),
+                  st * (-np.cos(phi)[None, :])], axis=-1)  # mitsuba uv→dir
+
+    img = np.zeros((h, w, 3), np.float32)
+    cos_gamma = np.clip(d @ sun_dir, -1, 1)
+    gamma = np.arccos(cos_gamma)
+
+    if with_sky and theta_s < np.pi / 2:
+        zen = np.broadcast_to(theta[:, None], (h, w))
+        Y, x, y = _preetham_sky_xyY(np.minimum(zen, np.pi / 2 - 0.001),
+                                    gamma, theta_s, turbidity)
+        rgb = _xyY_to_rgb(Y, x, y)
+        # kcd/m^2-ish → scale to roughly unit-luminance sky, then skyScale
+        rgb = rgb * 0.02
+        rgb[zen > np.pi / 2] = 0.0  # below horizon
+        img += (sky_scale * rgb).astype(np.float32)
+
+    if with_sun and theta_s < np.pi / 2:
+        sun_r = np.radians(SUN_APP_RADIUS_DEG) * sun_radius_scale
+        # solar disc radiance normalized so total irradiance on a surface
+        # ⟂ sun ≈ trans * scale, independent of the radius scaling
+        # (reference: sunRadiusScale spreads the same power over a larger
+        # disc, sun.cpp:103-150)
+        trans = _sun_transmittance_rgb(theta_s, turbidity)
+        solid_angle = TWO_PI * (1.0 - np.cos(sun_r))
+        disc = gamma <= sun_r
+        L_sun = trans * 50.0 / solid_angle
+        img[disc] += (sun_scale * L_sun).astype(np.float32)
+
+    return make_envmap(img)
+
+
+# ---------------------------------------------------------------------------
+# environment queries (device)
+# ---------------------------------------------------------------------------
+
+def env_uv_from_dir(env: EnvMap, d_world):
+    """Mitsuba envmap mapping (src/emitters/envmap.cpp): u from atan2(x,-z),
+    v from acos(y)."""
+    d = d_world @ env.to_local.T
+    phi = jnp.arctan2(d[..., 0], -d[..., 2])
+    phi = jnp.where(phi < 0, phi + TWO_PI, phi)
+    theta = jnp.arccos(jnp.clip(d[..., 1], -1.0, 1.0))
+    return phi / TWO_PI, theta / jnp.pi
+
+
+def env_eval(env: EnvMap, d_world):
+    """Bilinear radiance lookup in direction d_world [..., 3]."""
+    h, w = env.image.shape[:2]
+    u, v = env_uv_from_dir(env, d_world)
+    x = u * w - 0.5
+    y = v * h - 0.5
+    x0 = jnp.floor(x).astype(jnp.int32)
+    y0 = jnp.floor(y).astype(jnp.int32)
+    fx = (x - x0)[..., None]
+    fy = (y - y0)[..., None]
+    x0m = jnp.mod(x0, w)
+    x1m = jnp.mod(x0 + 1, w)
+    y0c = jnp.clip(y0, 0, h - 1)
+    y1c = jnp.clip(y0 + 1, 0, h - 1)
+    img = env.image
+    return ((img[y0c, x0m] * (1 - fx) + img[y0c, x1m] * fx) * (1 - fy)
+            + (img[y1c, x0m] * (1 - fx) + img[y1c, x1m] * fx) * fy)
+
+
+def env_sample(env: EnvMap, u2):
+    """Importance-sample a direction ∝ luminance·sinθ.
+    Returns (d_world [N,3], radiance [N,3], pdf_solid_angle [N])."""
+    h, w = env.image.shape[:2]
+    # row
+    iy = jnp.searchsorted(env.marg_cdf, u2[..., 0])
+    iy = jnp.clip(iy, 0, h - 1)
+    # column
+    row_cdf = env.cond_cdf[iy]
+    ix = jnp.sum((row_cdf < u2[..., 1:2]).astype(jnp.int32), axis=-1)
+    ix = jnp.clip(ix, 0, w - 1)
+    # uniform within the texel
+    v = (iy.astype(jnp.float32) + 0.5) / h
+    u = (ix.astype(jnp.float32) + 0.5) / w
+    theta = v * jnp.pi
+    phi = u * TWO_PI
+    st = jnp.sin(theta)
+    d_local = jnp.stack([st * jnp.sin(phi), jnp.cos(theta),
+                         -st * jnp.cos(phi)], axis=-1)
+    d_world = d_local @ env.to_world.T
+    pdf_texel = env.row_pdf[iy] * env.col_pdf[iy, ix]
+    pdf = pdf_texel * (h * w) / (2.0 * jnp.pi * jnp.pi
+                                 * jnp.maximum(st, 1e-5))
+    radiance = env.image[iy, ix]
+    return d_world, radiance, pdf
+
+
+def env_pdf(env: EnvMap, d_world):
+    h, w = env.image.shape[:2]
+    u, v = env_uv_from_dir(env, d_world)
+    ix = jnp.clip((u * w).astype(jnp.int32), 0, w - 1)
+    iy = jnp.clip((v * h).astype(jnp.int32), 0, h - 1)
+    st = jnp.sin(jnp.clip(v, 1e-4, 1 - 1e-4) * jnp.pi)
+    pdf_texel = env.row_pdf[iy] * env.col_pdf[iy, ix]
+    return pdf_texel * (h * w) / (2.0 * jnp.pi * jnp.pi
+                                  * jnp.maximum(st, 1e-5))

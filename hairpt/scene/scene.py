@@ -1,0 +1,295 @@
+"""Scene assembly: host-side build → SoA device arrays + static config.
+
+TPU-native replacement of the reference's Scene object graph
+(src/librender/scene.cpp:322 Scene::initialize + ShapeKDTree): all triangle
+meshes are flattened into one global SoA triangle pool and all hair fibers
+into one segment pool, each under its own flattened BVH; materials/emitters
+become tables. Static facts (which BSDF families exist, resolution, depth)
+stay python-side so jit specializes the megakernel per scene.
+"""
+from __future__ import annotations
+
+import dataclasses
+from typing import NamedTuple, Optional
+
+import jax.numpy as jnp
+import numpy as np
+
+from ..models import emitters as em
+from ..models import shapes as shp
+from ..models.bsdf import registry as mat
+from ..models.bsdf import hair as hair_bsdf
+from ..models.bsdf import tables as rt_tables
+from ..models.sensors import Camera
+from ..film.film import Film
+from ..ops import bvh as bvh_mod
+from ..ops import intersect as isec
+from . import hairgen
+
+
+class TriShading(NamedTuple):
+    """Per-triangle shading attributes, sorted in BVH order."""
+    n0: jnp.ndarray      # [N, 3] vertex normals
+    n1: jnp.ndarray
+    n2: jnp.ndarray
+    uv0: jnp.ndarray     # [N, 2]
+    uv1: jnp.ndarray
+    uv2: jnp.ndarray
+    mat_id: jnp.ndarray  # [N]
+    emitter_id: jnp.ndarray  # [N] index into area light table, -1 = none
+
+
+class SceneArrays(NamedTuple):
+    """Everything the integrator needs on device (a jit-able pytree)."""
+    tri: Optional[isec.TriGeom]
+    tri_shading: Optional[TriShading]
+    tri_bvh: Optional[isec.BVHArrays]
+    hair: Optional[isec.HairGeom]
+    hair_mat_id: Optional[jnp.ndarray]
+    hair_bvh: Optional[isec.BVHArrays]
+    materials: mat.MaterialTable
+    checkers: Optional[mat.CheckerboardTable]
+    hair_tables: Optional[mat.HairTables]
+    env: Optional[em.EnvMap]
+    area: Optional[em.AreaLights]
+
+
+@dataclasses.dataclass(frozen=True)
+class RenderConfig:
+    """Static render parameters (closed over by the jitted megakernel)."""
+    width: int
+    height: int
+    spp: int
+    max_depth: int = 65
+    rr_depth: int = 5
+    strict_normals: bool = True
+    sampler: int = 1           # rng.SOBOL
+    rfilter: str = "tent"
+    gamma: float = 2.2
+    ray_eps: float = 1e-3      # self-intersection offset (scene scale units)
+    env_prob: float = 1.0      # NEE probability of picking the environment
+
+
+class Scene(NamedTuple):
+    arrays: SceneArrays
+    camera: Camera
+    film: Film
+    config: RenderConfig
+    active_kinds: tuple        # static: BSDF families present
+
+
+class SceneBuilder:
+    """Imperative host-side builder used by the XML loader and tests."""
+
+    def __init__(self):
+        self.tri_meshes = []       # (Mesh(world), mat_id, emitter_id)
+        self.fibers = []           # (FiberSet, mat_id)
+        self.materials = []        # material row dicts
+        self.checkers = []
+        self.hair_aux = []         # (sigma_a, beta_r, eta) per marschner mat
+        self.env: Optional[em.EnvMap] = None
+        self.area_lights = []      # (mesh index ...) resolved at finalize
+        self.camera: Optional[Camera] = None
+        self.film: Optional[Film] = None
+        self.config_kwargs = {}
+
+    # -- materials ---------------------------------------------------------
+
+    def add_material(self, **row) -> int:
+        kind = row.get("kind", mat.DIFFUSE)
+        # per-material precomputed transmittance slices
+        if kind in (mat.ROUGHPLASTIC, mat.MARSCHNER):
+            dist = row.get("dist", 0)
+            eta = row.get("eta", 1.5)
+            alpha = row.get("alpha", 0.1)
+            rt = rt_tables.get(dist, eta)
+            cosg = (np.arange(mat.N_COS) + 0.5) / mat.N_COS
+            row["ext_trans"] = rt.eval_np(cosg, np.full(mat.N_COS, alpha))
+            row["int_fdr"] = 1.0 - rt_tables.get(dist, 1.0 / eta) \
+                .eval_diffuse_np(alpha)
+        if kind == mat.PLASTIC:
+            from ..models.bsdf.fresnel import fresnel_diffuse_reflectance
+            row["int_fdr"] = fresnel_diffuse_reflectance(
+                1.0 / row.get("eta", 1.5))
+        if kind == mat.MARSCHNER:
+            row["aux_id"] = len(self.hair_aux)
+            self.hair_aux.append((row.get("sigma_a", (0.5, 0.5, 0.5)),
+                                  row.get("beta_r", 0.1),
+                                  row.get("eta", 1.55)))
+        # luminance-based lobe weights (reference: configure() of each BSDF)
+        lum = np.array([0.212671, 0.715160, 0.072169])
+        d = float(np.dot(np.asarray(row.get("diffuse", (0.5,) * 3)), lum))
+        s = float(np.dot(np.asarray(row.get("specular", (1.0,) * 3)), lum))
+        t = float(np.dot(np.asarray(row.get("transmit", (1.0,) * 3)), lum))
+        if "spec_weight" not in row:
+            if kind == mat.MARSCHNERDIELECTRIC:
+                row["spec_weight"] = (s + t) / max(d + s + t, 1e-9)
+            else:
+                row["spec_weight"] = s / max(d + s, 1e-9)
+        self.materials.append(mat.default_material_row(**row))
+        return len(self.materials) - 1
+
+    def add_checkerboard(self, color0, color1, uscale=1.0, vscale=1.0,
+                         uoffset=0.0, voffset=0.0) -> int:
+        self.checkers.append((color0, color1, (uscale, vscale),
+                              (uoffset, voffset)))
+        return len(self.checkers) - 1
+
+    # -- geometry ----------------------------------------------------------
+
+    def add_mesh(self, mesh: shp.Mesh, mat_id: int, to_world=None,
+                 radiance=None):
+        if to_world is not None:
+            mesh = shp.transform_mesh(mesh, to_world)
+        emitter_id = -1
+        if radiance is not None:
+            emitter_id = len(self.area_lights)
+            self.area_lights.append(np.asarray(radiance, np.float32))
+        self.tri_meshes.append((mesh, mat_id, emitter_id))
+
+    def add_fibers(self, fs: hairgen.FiberSet, mat_id: int):
+        self.fibers.append((fs, mat_id))
+
+    # -- finalize ----------------------------------------------------------
+
+    def build(self, camera: Camera, film: Film, **config_kwargs) -> Scene:
+        cfg = RenderConfig(width=film.width, height=film.height,
+                           **config_kwargs)
+
+        # triangles
+        tri = tri_shading = tri_bvh = None
+        if self.tri_meshes:
+            v0l, v1l, v2l, n0l, n1l, n2l = [], [], [], [], [], []
+            uv0l, uv1l, uv2l, midl, eidl = [], [], [], [], []
+            for mesh, mid, eid in self.tri_meshes:
+                f = mesh.faces
+                p = mesh.positions
+                v0, v1, v2 = p[f[:, 0]], p[f[:, 1]], p[f[:, 2]]
+                v0l.append(v0); v1l.append(v1); v2l.append(v2)
+                if mesh.normals is not None:
+                    nn = mesh.normals
+                    n0l.append(nn[f[:, 0]]); n1l.append(nn[f[:, 1]])
+                    n2l.append(nn[f[:, 2]])
+                else:
+                    gn = np.cross(v1 - v0, v2 - v0)
+                    gn /= np.maximum(np.linalg.norm(gn, axis=-1,
+                                                    keepdims=True), 1e-20)
+                    n0l.append(gn); n1l.append(gn); n2l.append(gn)
+                if mesh.uvs is not None:
+                    uv = mesh.uvs
+                    uv0l.append(uv[f[:, 0]]); uv1l.append(uv[f[:, 1]])
+                    uv2l.append(uv[f[:, 2]])
+                else:
+                    z = np.zeros((len(f), 2))
+                    uv0l.append(z); uv1l.append(z); uv2l.append(z)
+                midl.append(np.full(len(f), mid, np.int32))
+                eidl.append(np.full(len(f), eid, np.int32))
+            v0 = np.concatenate(v0l); v1 = np.concatenate(v1l)
+            v2 = np.concatenate(v2l)
+            fb = bvh_mod.build(np.minimum(np.minimum(v0, v1), v2),
+                               np.maximum(np.maximum(v0, v1), v2))
+            o = fb.prim_order
+            tri = isec.TriGeom(p0=jnp.asarray(v0[o], jnp.float32),
+                               e1=jnp.asarray((v1 - v0)[o], jnp.float32),
+                               e2=jnp.asarray((v2 - v0)[o], jnp.float32))
+            cat = np.concatenate
+            tri_shading = TriShading(
+                n0=jnp.asarray(cat(n0l)[o], jnp.float32),
+                n1=jnp.asarray(cat(n1l)[o], jnp.float32),
+                n2=jnp.asarray(cat(n2l)[o], jnp.float32),
+                uv0=jnp.asarray(cat(uv0l)[o], jnp.float32),
+                uv1=jnp.asarray(cat(uv1l)[o], jnp.float32),
+                uv2=jnp.asarray(cat(uv2l)[o], jnp.float32),
+                mat_id=jnp.asarray(cat(midl)[o]),
+                emitter_id=jnp.asarray(cat(eidl)[o]))
+            tri_bvh = isec.bvh_to_device(fb)
+
+        # hair segments
+        hair = hair_mat_id = hair_bvh = None
+        if self.fibers:
+            segs = [hairgen.segments(fs) for fs, _ in self.fibers]
+            p0 = np.concatenate([s["p0"] for s in segs])
+            p1 = np.concatenate([s["p1"] for s in segs])
+            n0 = np.concatenate([s["n0"] for s in segs])
+            n1 = np.concatenate([s["n1"] for s in segs])
+            rad = np.concatenate([s["radius"] for s in segs])
+            mid = np.concatenate([np.full(len(s["p0"]), m, np.int32)
+                                  for s, (_, m) in zip(segs, self.fibers)])
+            # conservative AABBs: expand by radius / steepest miter angle
+            # (reference: HairKDTree::getAABB, hair.cpp:445-464)
+            tang = p1 - p0
+            tang = tang / np.maximum(np.linalg.norm(tang, axis=-1,
+                                                    keepdims=True), 1e-20)
+            c0 = np.abs(np.sum(n0 * tang, -1))
+            c1 = np.abs(np.sum(n1 * tang, -1))
+            expand = rad / np.maximum(np.minimum(c0, c1), 0.3)
+            lo = np.minimum(p0, p1) - expand[:, None]
+            hi = np.maximum(p0, p1) + expand[:, None]
+            fb = bvh_mod.build(lo, hi)
+            o = fb.prim_order
+            hair = isec.HairGeom(p0=jnp.asarray(p0[o]),
+                                 p1=jnp.asarray(p1[o]),
+                                 n0=jnp.asarray(n0[o]),
+                                 n1=jnp.asarray(n1[o]),
+                                 radius=jnp.asarray(rad[o]))
+            hair_mat_id = jnp.asarray(mid[o])
+            hair_bvh = isec.bvh_to_device(fb)
+
+        materials = mat.pack_materials(self.materials or
+                                       [mat.default_material_row()])
+        checkers = None
+        if self.checkers:
+            checkers = mat.CheckerboardTable(
+                color0=jnp.asarray([c[0] for c in self.checkers],
+                                   jnp.float32),
+                color1=jnp.asarray([c[1] for c in self.checkers],
+                                   jnp.float32),
+                uv_scale=jnp.asarray([c[2] for c in self.checkers],
+                                     jnp.float32),
+                uv_offset=jnp.asarray([c[3] for c in self.checkers],
+                                      jnp.float32))
+
+        hair_tables = None
+        if self.hair_aux:
+            vals, ws, lws = [], [], []
+            for sigma_a, beta_r, eta in self.hair_aux:
+                v = hair_bsdf.precompute_azimuthal(
+                    jnp.asarray(sigma_a, jnp.float32), beta_r, eta)
+                w, lw = hair_bsdf.azimuthal_sampling_tables(v)
+                vals.append(v); ws.append(w); lws.append(lw)
+            hair_tables = mat.HairTables(values=jnp.stack(vals),
+                                         weights=jnp.stack(ws),
+                                         lobe_weight=jnp.stack(lws))
+
+        # area lights: collect emissive triangles (post-sort indices)
+        area = None
+        if self.area_lights and tri_shading is not None:
+            eid = np.asarray(tri_shading.emitter_id)
+            sel = np.nonzero(eid >= 0)[0]
+            p0 = np.asarray(tri.p0)[sel]
+            e1 = np.asarray(tri.e1)[sel]
+            e2 = np.asarray(tri.e2)[sel]
+            nrm = np.cross(e1, e2)
+            area_sz = 0.5 * np.linalg.norm(nrm, axis=-1)
+            nrm = nrm / np.maximum(np.linalg.norm(nrm, axis=-1,
+                                                  keepdims=True), 1e-20)
+            rad = np.stack([self.area_lights[e] for e in eid[sel]])
+            power = area_sz * (rad @ np.array([0.212671, 0.715160, 0.072169]))
+            cdf = np.cumsum(power + 1e-12)
+            cdf /= cdf[-1]
+            area = em.AreaLights(p0=jnp.asarray(p0), e1=jnp.asarray(e1),
+                                 e2=jnp.asarray(e2), n=jnp.asarray(nrm),
+                                 radiance=jnp.asarray(rad, jnp.float32),
+                                 area=jnp.asarray(area_sz, jnp.float32),
+                                 cdf=jnp.asarray(cdf, jnp.float32),
+                                 tri_index=jnp.asarray(sel.astype(np.int32)))
+
+        arrays = SceneArrays(tri=tri, tri_shading=tri_shading,
+                             tri_bvh=tri_bvh, hair=hair,
+                             hair_mat_id=hair_mat_id, hair_bvh=hair_bvh,
+                             materials=materials, checkers=checkers,
+                             hair_tables=hair_tables, env=self.env,
+                             area=area)
+        active = tuple(sorted({int(r["kind"]) for r in self.materials}))
+        return Scene(arrays=arrays, camera=camera, film=film, config=cfg,
+                     active_kinds=active)
