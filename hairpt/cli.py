@@ -1,0 +1,70 @@
+"""Headless renderer CLI — counterpart of the `mitsuba` executable
+(reference: src/mitsuba/mitsuba.cpp).
+
+    python -m hairpt.cli render scene.xml -o out.png [-D key=value]
+        [--spp N] [--res-scale S] [--hair-quality Q] [--depth D]
+
+Outputs PNG (gamma per the scene's ldrfilm), plus .npy and .pfm of linear
+radiance (covering the fork's mfilm .npy capability, src/films/mfilm.cpp:347).
+"""
+from __future__ import annotations
+
+import argparse
+import sys
+import time
+
+import numpy as np
+
+
+def main(argv=None):
+    ap = argparse.ArgumentParser(prog="hairpt")
+    sub = ap.add_subparsers(dest="cmd", required=True)
+    r = sub.add_parser("render")
+    r.add_argument("scene")
+    r.add_argument("-o", "--output", default=None)
+    r.add_argument("-D", "--define", action="append", default=[])
+    r.add_argument("--spp", type=int, default=None)
+    r.add_argument("--res-scale", type=float, default=1.0)
+    r.add_argument("--hair-quality", type=float, default=1.0)
+    r.add_argument("--depth", type=int, default=None)
+    r.add_argument("--seed", type=int, default=0)
+    r.add_argument("--cpu", action="store_true",
+                   help="force the CPU backend")
+    args = ap.parse_args(argv)
+
+    if args.cpu:
+        import jax
+        jax.config.update("jax_platforms", "cpu")
+
+    from .scene.xml_loader import load_scene
+    from .integrators import path as path_int
+    from .utils import io as io_utils
+
+    defines = dict(d.split("=", 1) for d in args.define)
+    t0 = time.time()
+    scene = load_scene(args.scene, defines, spp_override=args.spp,
+                       res_scale=args.res_scale,
+                       hair_quality=args.hair_quality,
+                       max_depth_override=args.depth)
+    t1 = time.time()
+    print(f"[hairpt] scene built in {t1 - t0:.2f}s "
+          f"({scene.config.width}x{scene.config.height} @ {scene.config.spp}"
+          f"spp, depth {scene.config.max_depth})", file=sys.stderr)
+
+    img = np.asarray(path_int.render(scene, seed=args.seed))
+    t2 = time.time()
+    n_rays_lb = scene.config.width * scene.config.height * scene.config.spp
+    print(f"[hairpt] rendered in {t2 - t1:.2f}s "
+          f"(≥{n_rays_lb / max(t2 - t1, 1e-9) / 1e6:.2f} Mprimary-rays/s)",
+          file=sys.stderr)
+
+    out = args.output or "output.png"
+    base = out.rsplit(".", 1)[0]
+    io_utils.write_png(out, io_utils.tonemap_srgb(img, scene.film.gamma))
+    io_utils.write_npy(base + ".npy", img)
+    io_utils.write_pfm(base + ".pfm", img)
+    print(f"[hairpt] wrote {out}, {base}.npy, {base}.pfm", file=sys.stderr)
+
+
+if __name__ == "__main__":
+    main()
