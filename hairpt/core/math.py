@@ -37,7 +37,13 @@ def normalize(a, eps: float = 1e-20):
 
 
 def safe_sqrt(x):
-    return jnp.sqrt(jnp.maximum(x, 0.0))
+    """sqrt clamped at 0 with a finite gradient at the boundary.
+
+    The naive sqrt(max(x,0)) has an infinite derivative at 0 which turns
+    into NaN through `jnp.where` branches (0·inf); clamping the argument
+    inside the sqrt keeps reverse-mode finite while the forward value is
+    exact for x > 0 and exactly 0 otherwise."""
+    return jnp.where(x > 0.0, jnp.sqrt(jnp.maximum(x, 1e-12)), 0.0)
 
 
 def lerp(a, b, t):

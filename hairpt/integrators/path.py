@@ -65,37 +65,36 @@ class PathState(NamedTuple):
     prev_bsdf_pdf: jnp.ndarray  # [N]
     prev_delta: jnp.ndarray     # [N]
     emission_allowed: jnp.ndarray  # [N] loop-top Le gate (first hit only)
+    n_rays: jnp.ndarray         # [] float32 — rays traced (perf counter)
 
 
-def _env_radiance(scene: Scene, d):
-    if scene.arrays.env is None:
+def _env_radiance(arr, d):
+    if arr.env is None:
         return jnp.zeros(d.shape[:-1] + (3,), jnp.float32)
-    return em.env_eval(scene.arrays.env, d)
+    return em.env_eval(arr.env, d)
 
 
-def _emitter_radiance_at_hit(scene: Scene, hit: Hit, wi_world):
+def _emitter_radiance_at_hit(arr, hit: Hit, wi_world):
     """Le of an area emitter at the hit, facing check included."""
-    if scene.arrays.area is None:
+    if arr.area is None:
         return jnp.zeros(hit.p.shape[:-1] + (3,), jnp.float32)
-    area = scene.arrays.area
+    area = arr.area
     le = area.radiance[jnp.maximum(hit.emitter_id, 0)]
     facing = dot(hit.geo_n, wi_world) > 0
     on = (hit.emitter_id >= 0) & facing
     return jnp.where(on[..., None], le, 0.0)
 
 
-def _sample_emitter_direct(scene: Scene, p, u_sel, u2):
+def _sample_emitter_direct(arr, cfg, p, u_sel, u2):
     """Pick an emitter (env vs area by static prob), sample a direction.
     Returns (d [N,3], dist [N], Le_over_pdf? no — Le [N,3], pdf [N],
     is_env [N])."""
-    arr = scene.arrays
     n = p.shape[0]
     zero3 = jnp.zeros((n, 3), jnp.float32)
     d = zero3.at[:, 2].set(1.0)
     le = zero3
     pdf = jnp.zeros((n,), jnp.float32)
     dist = jnp.full((n,), jnp.inf, jnp.float32)
-    cfg = scene.config
     p_env = cfg.env_prob if (arr.env is not None and arr.area is not None) \
         else (1.0 if arr.env is not None else 0.0)
 
@@ -140,12 +139,10 @@ def _sample_discrete_cdf(cdf, u):
     return idx, hi - lo, u
 
 
-def _pdf_emitter_hit(scene: Scene, ray_o, hit: Hit, d):
+def _pdf_emitter_hit(arr, cfg, hit: Hit, d):
     """pdf of NEE having produced the direction that the BSDF ray took to
     reach its emitter (env for misses, area light for emissive hits)."""
-    arr = scene.arrays
     n = d.shape[0]
-    cfg = scene.config
     p_env = cfg.env_prob if (arr.env is not None and arr.area is not None) \
         else (1.0 if arr.env is not None else 0.0)
     pdf = jnp.zeros((n,), jnp.float32)
@@ -169,13 +166,21 @@ def _pdf_emitter_hit(scene: Scene, ray_o, hit: Hit, d):
     return pdf
 
 
-def make_li_fn(scene: Scene):
+def make_li_fn(scene: Scene, arrays=None, differentiable: bool = False):
     """Builds the jit-able per-wavefront radiance estimator.
 
     Returns li(pixel_idx [N], sample_idx [N]) -> (radiance [N,3], pos [N,2]).
+
+    arrays: optional SceneArrays override — lets inverse rendering pass
+    parameter-dependent material tables so gradients flow to them.
+    differentiable: use a fixed-length `lax.scan` over bounces instead of
+    `lax.while_loop` (reverse-mode differentiable; sampling decisions are
+    detached — gradients flow through BSDF eval only, the standard
+    path-replay style estimator for continuous parameters). Russian
+    roulette is disabled in this mode.
     """
     cfg = scene.config
-    arr = scene.arrays
+    arr = arrays if arrays is not None else scene.arrays
     cam = scene.camera
     active_kinds = scene.active_kinds
     smode = cfg.sampler
@@ -209,6 +214,7 @@ def make_li_fn(scene: Scene):
             prev_bsdf_pdf=jnp.zeros((n,), jnp.float32),
             prev_delta=jnp.zeros((n,), bool),
             emission_allowed=jnp.ones((n,), bool),
+            n_rays=jnp.float32(n),
         )
 
         def cond(st: PathState):
@@ -227,23 +233,23 @@ def make_li_fn(scene: Scene):
             miss = active & ~hit.valid
             li_acc = st.li + jnp.where(
                 (miss & st.emission_allowed)[..., None],
-                st.throughput * _env_radiance(scene, d_in), 0.0)
+                st.throughput * _env_radiance(arr, d_in), 0.0)
             # env with MIS for non-first hits
             if arr.env is not None:
-                lum_pdf = _pdf_emitter_hit(scene, st.ray_o, hit, d_in)
+                lum_pdf = _pdf_emitter_hit(arr, cfg, hit, d_in)
                 w = jnp.where(st.prev_delta, 1.0,
                               _mi_weight(st.prev_bsdf_pdf, lum_pdf))
                 li_acc = li_acc + jnp.where(
                     (miss & ~st.emission_allowed)[..., None],
-                    st.throughput * _env_radiance(scene, d_in)
+                    st.throughput * _env_radiance(arr, d_in)
                     * w[..., None], 0.0)
             active = active & hit.valid
 
             # ---- emitter hit ----
             wi_world = -d_in
             if arr.area is not None:
-                le = _emitter_radiance_at_hit(scene, hit, wi_world)
-                lum_pdf = _pdf_emitter_hit(scene, st.ray_o, hit, d_in)
+                le = _emitter_radiance_at_hit(arr, hit, wi_world)
+                lum_pdf = _pdf_emitter_hit(arr, cfg, hit, d_in)
                 w_mis = jnp.where(st.prev_delta, 1.0,
                                   _mi_weight(st.prev_bsdf_pdf, lum_pdf))
                 w_sel = jnp.where(st.emission_allowed, 1.0, w_mis)
@@ -273,7 +279,7 @@ def make_li_fn(scene: Scene):
             u_sel = s1(pix, smp, dims + D_NEE_SEL)
             u_nee = s2(pix, smp, dims + D_NEE_POS)
             d_nee, dist_nee, le_nee, pdf_nee = _sample_emitter_direct(
-                scene, hit.p, u_sel, u_nee)
+                arr, cfg, hit.p, u_sel, u_nee)
             wo_nee = fr.to_local(d_nee)
             f_nee, bsdf_pdf_nee = mat.eval_pdf(active_kinds, gm, wi, wo_nee,
                                                arr.hair_tables)
@@ -304,6 +310,18 @@ def make_li_fn(scene: Scene):
             u2b = s2(pix, smp, dims + D_BSDF_U2B)
             wo, bsdf_weight, bsdf_pdf, is_delta, eta_s = mat.sample(
                 active_kinds, gm, wi, u_lobe, u2, u2b, arr.hair_tables)
+            if differentiable:
+                # detached-sampling estimator: the sampled direction and its
+                # pdf carry no gradient; parameter gradients flow through
+                # the BSDF value only
+                wo = jax.lax.stop_gradient(wo)
+                bsdf_pdf = jax.lax.stop_gradient(bsdf_pdf)
+                f2, p2 = mat.eval_pdf(active_kinds, gm, wi, wo,
+                                      arr.hair_tables)
+                w_smooth = f2 / jnp.maximum(jax.lax.stop_gradient(p2),
+                                            1e-9)[..., None]
+                bsdf_weight = jnp.where(is_delta[..., None], bsdf_weight,
+                                        w_smooth)
             wo_world = fr.to_world(wo)
             dead = jnp.max(jnp.abs(bsdf_weight), axis=-1) <= 0
             active = active & ~dead
@@ -323,17 +341,22 @@ def make_li_fn(scene: Scene):
                            maxt=jnp.where(active, jnp.inf, 0.0))
             hit2 = scene_intersect(arr, next_ray)
 
-            # ---- RR ----
+            # ---- RR ---- (disabled in differentiable mode: the survival
+            # decision is not differentiable and max_depth is small there)
             depth_next = st.depth + 1
-            q = jnp.minimum(jnp.max(throughput, axis=-1) * eta * eta, 0.95)
-            do_rr = depth_next > cfg.rr_depth
-            u_rr = s1(pix, smp, dims + D_RR)
-            kill = do_rr & (u_rr >= q)
-            throughput = jnp.where((do_rr & ~kill)[..., None],
-                                   throughput / jnp.maximum(q, 1e-6)[..., None],
-                                   throughput)
-            active = active & ~kill
+            if not differentiable:
+                q = jnp.minimum(jnp.max(throughput, axis=-1) * eta * eta,
+                                0.95)
+                do_rr = depth_next > cfg.rr_depth
+                u_rr = s1(pix, smp, dims + D_RR)
+                kill = do_rr & (u_rr >= q)
+                throughput = jnp.where(
+                    (do_rr & ~kill)[..., None],
+                    throughput / jnp.maximum(q, 1e-6)[..., None], throughput)
+                active = active & ~kill
 
+            n_rays = st.n_rays + jnp.sum(nee_ok.astype(jnp.float32)) \
+                + jnp.sum(active.astype(jnp.float32))
             return PathState(
                 depth=depth_next,
                 active=active,
@@ -345,9 +368,17 @@ def make_li_fn(scene: Scene):
                 prev_bsdf_pdf=bsdf_pdf,
                 prev_delta=is_delta,
                 emission_allowed=jnp.zeros((n,), bool),
+                n_rays=n_rays,
             )
 
-        final = jax.lax.while_loop(cond, body, state)
+        if differentiable:
+            # fixed-length, rematerialized per bounce (reverse-mode safe)
+            ckpt_body = jax.checkpoint(lambda st: body(st))
+            final, _ = jax.lax.scan(lambda st, _: (ckpt_body(st), None),
+                                    state, None,
+                                    length=max(cfg.max_depth - 1, 0))
+        else:
+            final = jax.lax.while_loop(cond, body, state)
 
         # paths that terminated by depth but had a pending emitter/env hit:
         # the loop structure above accounts for emission at loop top, so the
@@ -359,17 +390,17 @@ def make_li_fn(scene: Scene):
         li_acc = st.li
         miss = pending & ~st.hit.valid
         if arr.env is not None:
-            lum_pdf = _pdf_emitter_hit(scene, st.ray_o, st.hit, d_in)
+            lum_pdf = _pdf_emitter_hit(arr, cfg, st.hit, d_in)
             w = jnp.where(st.prev_delta, 1.0,
                           _mi_weight(st.prev_bsdf_pdf, lum_pdf))
             w = jnp.where(st.emission_allowed, 1.0, w)
             li_acc = li_acc + jnp.where(miss[..., None],
                                         st.throughput
-                                        * _env_radiance(scene, d_in)
+                                        * _env_radiance(arr, d_in)
                                         * w[..., None], 0.0)
         if arr.area is not None:
-            le = _emitter_radiance_at_hit(scene, st.hit, -d_in)
-            lum_pdf = _pdf_emitter_hit(scene, st.ray_o, st.hit, d_in)
+            le = _emitter_radiance_at_hit(arr, st.hit, -d_in)
+            lum_pdf = _pdf_emitter_hit(arr, cfg, st.hit, d_in)
             w = jnp.where(st.prev_delta, 1.0,
                           _mi_weight(st.prev_bsdf_pdf, lum_pdf))
             w = jnp.where(st.emission_allowed, 1.0, w)
@@ -377,13 +408,13 @@ def make_li_fn(scene: Scene):
                                         st.throughput * le * w[..., None],
                                         0.0)
 
-        return li_acc, pos
+        return li_acc, pos, final.n_rays
 
     return li
 
 
 def render(scene: Scene, seed: int = 0, spp: int | None = None,
-           wave_size: int | None = None):
+           wave_size: int | None = None, return_stats: bool = False):
     """Full-frame render: loops sample waves, accumulates on the film.
     Returns the developed [H, W, 3] image (linear radiance)."""
     cfg = scene.config
@@ -397,11 +428,19 @@ def render(scene: Scene, seed: int = 0, spp: int | None = None,
     def wave(sample_id, image, weight):
         pixel_idx = jnp.arange(n_pix, dtype=jnp.uint32)
         sample_idx = jnp.full((n_pix,), sample_id, jnp.uint32)
-        radiance, pos = li_fn(pixel_idx, sample_idx)
+        radiance, pos, n_rays = li_fn(pixel_idx, sample_idx)
         radiance = jnp.nan_to_num(radiance, nan=0.0, posinf=0.0, neginf=0.0)
-        return film_mod.splat_samples(fl, pos, radiance, image, weight)
+        image, weight = film_mod.splat_samples(fl, pos, radiance, image,
+                                               weight)
+        return image, weight, n_rays
 
     image, weight = film_mod.zeros(fl)
+    total_rays = 0.0
     for s in range(spp):
-        image, weight = wave(jnp.uint32(s + seed * 65536), image, weight)
-    return film_mod.develop(image, weight)
+        image, weight, n_rays = wave(jnp.uint32(s + seed * 65536), image,
+                                     weight)
+        total_rays += float(n_rays)
+    img = film_mod.develop(image, weight)
+    if return_stats:
+        return img, {"rays": total_rays}
+    return img

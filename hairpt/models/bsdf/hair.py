@@ -69,13 +69,16 @@ def _log_i0(x):
 
 
 def longitudinal_m(v, sin_ti, sin_to, cos_ti, cos_to):
+    # both branches are evaluated lane-wide under `where`, so each must stay
+    # finite (value AND gradient) over the other's domain — computed in log
+    # space with clipped exponents
     a = cos_ti * cos_to / v
     b = sin_ti * sin_to / v
-    stable = jnp.exp(-b + _log_i0(a) - 1.0 / v + 0.6931
-                     + jnp.log(1.0 / (2.0 * v)))
-    csch = 1.0 / jnp.sinh(jnp.minimum(1.0 / v, 40.0))
-    direct = jnp.exp(-b) * jnp.i0(jnp.minimum(a, 80.0)) * csch / (2.0 * v)
-    return jnp.where(v < 0.1, stable, direct)
+    log_stable = -b + _log_i0(a) - 1.0 / v + 0.6931 + jnp.log(1.0 / (2.0 * v))
+    log_csch = -jnp.log(jnp.sinh(jnp.clip(1.0 / v, 1e-3, 40.0)))
+    log_direct = -b + _log_i0(a) + log_csch - jnp.log(2.0 * v)
+    out = jnp.where(v < 0.1, log_stable, log_direct)
+    return jnp.exp(jnp.clip(out, -80.0, 80.0))
 
 
 def sample_longitudinal(v, sin_ti, cos_ti, u1, u2):

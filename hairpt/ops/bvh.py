@@ -74,9 +74,95 @@ def _heap_skip_pointers(num_nodes: int) -> np.ndarray:
     return skip.astype(np.int32)
 
 
+# ---------------------------------------------------------------------------
+# native binned-SAH builder (csrc/bvh_builder.cpp via ctypes)
+# ---------------------------------------------------------------------------
+
+_NATIVE = None
+_NATIVE_TRIED = False
+
+
+def _load_native():
+    """Compile (once) and load the C++ SAH builder; None if unavailable."""
+    global _NATIVE, _NATIVE_TRIED
+    if _NATIVE_TRIED:
+        return _NATIVE
+    _NATIVE_TRIED = True
+    import ctypes
+    import os
+    import subprocess
+    src_dir = os.path.join(os.path.dirname(__file__), "..", "..", "csrc")
+    src_dir = os.path.abspath(src_dir)
+    lib_path = os.path.join(src_dir, "libhairpt_bvh.so")
+    src_path = os.path.join(src_dir, "bvh_builder.cpp")
+    try:
+        if (not os.path.exists(lib_path)
+                or os.path.getmtime(lib_path) < os.path.getmtime(src_path)):
+            subprocess.run(["g++", "-O3", "-march=native", "-fPIC",
+                            "-std=c++17", "-pthread", "-shared",
+                            "-o", lib_path, src_path],
+                           check=True, capture_output=True, timeout=120)
+        lib = ctypes.CDLL(lib_path)
+        lib.hairpt_build_bvh.restype = ctypes.c_int32
+        _NATIVE = lib
+    except Exception:
+        _NATIVE = None
+    return _NATIVE
+
+
+def build_sah(aabb_min: np.ndarray, aabb_max: np.ndarray,
+              leaf_size: int = 4, n_threads: int = 0) -> FlatBVH | None:
+    """Binned-SAH build via the native library (preorder skip layout).
+    Returns None if the native builder is unavailable."""
+    lib = _load_native()
+    if lib is None:
+        return None
+    import ctypes
+    import os
+    n = int(aabb_min.shape[0])
+    if n_threads <= 0:
+        n_threads = min(os.cpu_count() or 1, 16)
+    lo = np.ascontiguousarray(aabb_min, np.float32)
+    hi = np.ascontiguousarray(aabb_max, np.float32)
+    cap = 2 * n + 16
+    node_lo = np.empty((cap, 3), np.float32)
+    node_hi = np.empty((cap, 3), np.float32)
+    node_left = np.empty(cap, np.int32)
+    node_count = np.empty(cap, np.int32)
+    node_skip = np.empty(cap, np.int32)
+    prim_order = np.empty(n, np.int32)
+
+    def ptr(a, t):
+        return a.ctypes.data_as(ctypes.POINTER(t))
+
+    m = lib.hairpt_build_bvh(
+        ptr(lo, ctypes.c_float), ptr(hi, ctypes.c_float),
+        ctypes.c_int32(n), ctypes.c_int32(leaf_size),
+        ctypes.c_int32(n_threads),
+        ptr(node_lo, ctypes.c_float), ptr(node_hi, ctypes.c_float),
+        ptr(node_left, ctypes.c_int32), ptr(node_count, ctypes.c_int32),
+        ptr(node_skip, ctypes.c_int32), ptr(prim_order, ctypes.c_int32))
+    if m <= 0:
+        return None
+    return FlatBVH(node_min=node_lo[:m].copy(), node_max=node_hi[:m].copy(),
+                   node_left=node_left[:m].copy(),
+                   node_count=node_count[:m].copy(),
+                   node_skip=node_skip[:m].copy(),
+                   prim_order=prim_order,
+                   depth=0)
+
+
 def build(aabb_min: np.ndarray, aabb_max: np.ndarray,
-          leaf_size: int = 4) -> FlatBVH:
-    """Build the flattened BVH from primitive AABBs [N, 3] (float arrays)."""
+          leaf_size: int = 4, prefer_sah: bool = True) -> FlatBVH:
+    """Build the flattened BVH from primitive AABBs [N, 3] (float arrays).
+
+    Uses the native binned-SAH builder when available (better tree quality
+    → fewer traversal steps); falls back to the pure-numpy complete-binary
+    Morton LBVH below."""
+    if prefer_sah:
+        fb = build_sah(aabb_min, aabb_max, leaf_size)
+        if fb is not None:
+            return fb
     n = aabb_min.shape[0]
     assert n > 0
     aabb_min = np.asarray(aabb_min, np.float64)

@@ -76,6 +76,7 @@ class Scene(NamedTuple):
     film: Film
     config: RenderConfig
     active_kinds: tuple        # static: BSDF families present
+    marschner_rows: tuple = ()  # material-row index per hair-table aux_id
 
 
 class SceneBuilder:
@@ -291,5 +292,8 @@ class SceneBuilder:
                              hair_tables=hair_tables, env=self.env,
                              area=area)
         active = tuple(sorted({int(r["kind"]) for r in self.materials}))
+        marschner_rows = tuple(
+            i for i, r in enumerate(self.materials)
+            if r["kind"] == mat.MARSCHNER)
         return Scene(arrays=arrays, camera=camera, film=film, config=cfg,
-                     active_kinds=active)
+                     active_kinds=active, marschner_rows=marschner_rows)
