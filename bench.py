@@ -58,6 +58,10 @@ def main():
     depth = int(os.environ.get("BENCH_DEPTH", "16"))
 
     import jax
+    jax.config.update("jax_compilation_cache_dir",
+                      os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                                   ".jax_cache"))
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
     import jax.numpy as jnp
     from hairpt.integrators import path as path_int
     from hairpt.film import film as film_mod
@@ -78,10 +82,10 @@ def main():
     n_pix = res * res
 
     @jax.jit
-    def wave(sample_id, image, weight):
+    def wave(arr, sample_id, image, weight):
         pixel_idx = jnp.arange(n_pix, dtype=jnp.uint32)
         sample_idx = jnp.full((n_pix,), sample_id, jnp.uint32)
-        radiance, pos, n_rays = li_fn(pixel_idx, sample_idx)
+        radiance, pos, n_rays = li_fn(arr, pixel_idx, sample_idx)
         radiance = jnp.nan_to_num(radiance, nan=0.0, posinf=0.0, neginf=0.0)
         image, weight = film_mod.splat_samples(fl, pos, radiance, image,
                                                weight)
@@ -89,8 +93,9 @@ def main():
 
     # warmup / compile
     image, weight = film_mod.zeros(fl)
+    arrs = scene.arrays
     t0 = time.time()
-    image, weight, n_rays = wave(jnp.uint32(0), image, weight)
+    image, weight, n_rays = wave(arrs, jnp.uint32(0), image, weight)
     jax.block_until_ready(image)
     t_compile = time.time() - t0
     print(f"[bench] first wave (incl. compile): {t_compile:.1f}s",
@@ -100,7 +105,7 @@ def main():
     t0 = time.time()
     total_rays = 0.0
     for s in range(1, spp + 1):
-        image, weight, n_rays = wave(jnp.uint32(s), image, weight)
+        image, weight, n_rays = wave(arrs, jnp.uint32(s), image, weight)
     jax.block_until_ready(image)
     t_fwd = time.time() - t0
     total_rays = float(n_rays) * spp  # rays per wave are ~constant

@@ -12,7 +12,43 @@ import jax.numpy as jnp
 
 from ..core.math import Ray, Frame, normalize, frame_from_normal, dot
 from ..ops import intersect as isec
+from ..ops import intersect_blocked as isec_blk
+from ..ops import intersect_packed as ipk
 from ..scene.scene import SceneArrays
+
+
+def _pad_ray(ray: Ray, block: int):
+    n = ray.o.shape[0]
+    pad = (-n) % block
+    if pad == 0:
+        return ray, n
+    z3 = jnp.zeros((pad, 3), jnp.float32)
+    return Ray(o=jnp.concatenate([ray.o, z3]),
+               d=jnp.concatenate([ray.d, z3.at[:, 2].set(1.0)]),
+               mint=jnp.concatenate([ray.mint, jnp.zeros(pad)]),
+               maxt=jnp.concatenate([ray.maxt, jnp.zeros(pad)])), n
+
+
+def _closest(bvh, geom, packed, leaf_fn, blk_fn, pk_fn, ray, traversal,
+             block):
+    if traversal == "packed":
+        return ipk.closest_hit_packed(packed, pk_fn, ray)
+    if traversal == "blocked":
+        pray, n = _pad_ray(ray, block)
+        t, prim = isec_blk.closest_hit_blocked(bvh, geom, blk_fn, 4, pray,
+                                               block)
+        return t[:n], prim[:n]
+    return isec.closest_hit(bvh, geom, leaf_fn, 4, ray)
+
+
+def _any(bvh, geom, packed, leaf_fn, blk_fn, pk_fn, ray, traversal, block):
+    if traversal == "packed":
+        return ipk.any_hit_packed(packed, pk_fn, ray)
+    if traversal == "blocked":
+        pray, n = _pad_ray(ray, block)
+        occ = isec_blk.any_hit_blocked(bvh, geom, blk_fn, 4, pray, block)
+        return occ[:n]
+    return isec.any_hit(bvh, geom, leaf_fn, 4, ray)
 
 
 class Hit(NamedTuple):
@@ -33,20 +69,26 @@ def frame(hit: Hit) -> Frame:
     return Frame(s=hit.sh_s, t=hit.sh_t, n=hit.sh_n)
 
 
-def scene_intersect(arr: SceneArrays, ray: Ray) -> Hit:
+def scene_intersect(arr: SceneArrays, ray: Ray, traversal: str = "packed",
+                    block: int = 256) -> Hit:
     """Closest hit against triangles and hair; builds the shading record."""
     n = ray.o.shape[0]
     inf = jnp.full((n,), jnp.inf, jnp.float32)
     t_tri, prim_tri = (inf, jnp.full((n,), -1, jnp.int32))
     if arr.tri is not None:
-        t_tri, prim_tri = isec.closest_hit(arr.tri_bvh, arr.tri,
-                                           isec.tri_intersect_block, 4, ray)
+        t_tri, prim_tri = _closest(arr.tri_bvh, arr.tri, arr.tri_packed,
+                                   isec.tri_intersect_block,
+                                   isec_blk.tri_leaf_block,
+                                   ipk.tri_leaf_eval, ray, traversal, block)
     t_hair, prim_hair = (inf, jnp.full((n,), -1, jnp.int32))
     if arr.hair is not None:
         hair_ray = ray._replace(maxt=jnp.minimum(ray.maxt, t_tri))
-        t_hair, prim_hair = isec.closest_hit(arr.hair_bvh, arr.hair,
-                                             isec.hair_intersect_block, 4,
-                                             hair_ray)
+        t_hair, prim_hair = _closest(arr.hair_bvh, arr.hair,
+                                     arr.hair_packed,
+                                     isec.hair_intersect_block,
+                                     isec_blk.hair_leaf_block,
+                                     ipk.hair_leaf_eval, hair_ray,
+                                     traversal, block)
 
     use_hair = t_hair < t_tri
     t = jnp.where(use_hair, t_hair, t_tri)
@@ -128,13 +170,17 @@ def scene_intersect(arr: SceneArrays, ray: Ray) -> Hit:
                is_hair=use_hair & valid)
 
 
-def scene_occluded(arr: SceneArrays, ray: Ray):
+def scene_occluded(arr: SceneArrays, ray: Ray, traversal: str = "packed",
+                   block: int = 256):
     n = ray.o.shape[0]
     occ = jnp.zeros((n,), bool)
     if arr.tri is not None:
-        occ = occ | isec.any_hit(arr.tri_bvh, arr.tri,
-                                 isec.tri_intersect_block, 4, ray)
+        occ = occ | _any(arr.tri_bvh, arr.tri, arr.tri_packed,
+                         isec.tri_intersect_block, isec_blk.tri_leaf_block,
+                         ipk.tri_leaf_eval, ray, traversal, block)
     if arr.hair is not None:
-        occ = occ | isec.any_hit(arr.hair_bvh, arr.hair,
-                                 isec.hair_intersect_block, 4, ray)
+        ray2 = ray._replace(maxt=jnp.where(occ, 0.0, ray.maxt))
+        occ = occ | _any(arr.hair_bvh, arr.hair, arr.hair_packed,
+                         isec.hair_intersect_block, isec_blk.hair_leaf_block,
+                         ipk.hair_leaf_eval, ray2, traversal, block)
     return occ

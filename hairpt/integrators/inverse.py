@@ -51,14 +51,14 @@ def apply_params(scene: Scene, params: dict):
 def render_image(scene: Scene, params: dict, spp: int, seed: int = 0):
     """Differentiable low-spp render with the given parameter overrides."""
     arrays = apply_params(scene, params)
-    li = path_int.make_li_fn(scene, arrays, differentiable=True)
+    li = path_int.make_li_fn(scene, differentiable=True)
     cfg = scene.config
     n_pix = cfg.width * cfg.height
     image, weight = film_mod.zeros(scene.film)
     for s in range(spp):
         pixel_idx = jnp.arange(n_pix, dtype=jnp.uint32)
         sample_idx = jnp.full((n_pix,), s + seed * 65536, jnp.uint32)
-        radiance, pos, _ = li(pixel_idx, sample_idx)
+        radiance, pos, _ = li(arrays, pixel_idx, sample_idx)
         image, weight = film_mod.splat_samples(scene.film, pos, radiance,
                                                image, weight)
     return film_mod.develop(image, weight)

@@ -166,13 +166,18 @@ def _pdf_emitter_hit(arr, cfg, hit: Hit, d):
     return pdf
 
 
-def make_li_fn(scene: Scene, arrays=None, differentiable: bool = False):
+def make_li_fn(scene: Scene, differentiable: bool = False):
     """Builds the jit-able per-wavefront radiance estimator.
 
-    Returns li(pixel_idx [N], sample_idx [N]) -> (radiance [N,3], pos [N,2]).
+    Returns li(arr: SceneArrays, pixel_idx [N], sample_idx [N])
+        -> (radiance [N,3], pos [N,2], n_rays []).
 
-    arrays: optional SceneArrays override — lets inverse rendering pass
-    parameter-dependent material tables so gradients flow to them.
+    The scene arrays are an explicit ARGUMENT (not a closure) so jit treats
+    them as device buffers rather than baking megabytes of BVH/envmap data
+    into the HLO as literals — that kept compiles fast and lets inverse
+    rendering pass parameter-dependent tables so gradients flow to them.
+    `scene` only contributes static structure/config.
+
     differentiable: use a fixed-length `lax.scan` over bounces instead of
     `lax.while_loop` (reverse-mode differentiable; sampling decisions are
     detached — gradients flow through BSDF eval only, the standard
@@ -180,7 +185,6 @@ def make_li_fn(scene: Scene, arrays=None, differentiable: bool = False):
     roulette is disabled in this mode.
     """
     cfg = scene.config
-    arr = arrays if arrays is not None else scene.arrays
     cam = scene.camera
     active_kinds = scene.active_kinds
     smode = cfg.sampler
@@ -192,7 +196,7 @@ def make_li_fn(scene: Scene, arrays=None, differentiable: bool = False):
     def s2(pix, smp, dim):
         return rng.next_2d(smode, pix, smp, dim)
 
-    def li(pixel_idx, sample_idx):
+    def li(arr, pixel_idx, sample_idx):
         n = pixel_idx.shape[0]
         px = (pixel_idx % cfg.width).astype(jnp.float32)
         py = (pixel_idx // cfg.width).astype(jnp.float32)
@@ -201,7 +205,7 @@ def make_li_fn(scene: Scene, arrays=None, differentiable: bool = False):
         ap = s2(pixel_idx, sample_idx, DIM_CAM_APERTURE)
         ray = sensors.sample_ray(cam, pos, ap)
 
-        hit0 = scene_intersect(arr, ray)
+        hit0 = scene_intersect(arr, ray, cfg.traversal, cfg.block)
 
         state = PathState(
             depth=jnp.int32(1),
@@ -296,7 +300,8 @@ def make_li_fn(scene: Scene, arrays=None, differentiable: bool = False):
             # lanes that don't need the shadow ray get a degenerate one
             shadow = shadow._replace(
                 maxt=jnp.where(nee_ok, shadow.maxt, 0.0))
-            occluded = scene_occluded(arr, shadow)
+            occluded = scene_occluded(arr, shadow, cfg.traversal,
+                                      cfg.block)
             vis = nee_ok & ~occluded
             w_nee = _mi_weight(pdf_nee, bsdf_pdf_nee)
             li_acc = li_acc + jnp.where(
@@ -339,7 +344,8 @@ def make_li_fn(scene: Scene, arrays=None, differentiable: bool = False):
             next_ray = Ray(o=next_o, d=wo_world,
                            mint=jnp.zeros((n,), jnp.float32),
                            maxt=jnp.where(active, jnp.inf, 0.0))
-            hit2 = scene_intersect(arr, next_ray)
+            hit2 = scene_intersect(arr, next_ray, cfg.traversal,
+                                   cfg.block)
 
             # ---- RR ---- (disabled in differentiable mode: the survival
             # decision is not differentiable and max_depth is small there)
@@ -425,10 +431,10 @@ def render(scene: Scene, seed: int = 0, spp: int | None = None,
     li_fn = make_li_fn(scene)
 
     @jax.jit
-    def wave(sample_id, image, weight):
+    def wave(arr, sample_id, image, weight):
         pixel_idx = jnp.arange(n_pix, dtype=jnp.uint32)
         sample_idx = jnp.full((n_pix,), sample_id, jnp.uint32)
-        radiance, pos, n_rays = li_fn(pixel_idx, sample_idx)
+        radiance, pos, n_rays = li_fn(arr, pixel_idx, sample_idx)
         radiance = jnp.nan_to_num(radiance, nan=0.0, posinf=0.0, neginf=0.0)
         image, weight = film_mod.splat_samples(fl, pos, radiance, image,
                                                weight)
@@ -437,7 +443,8 @@ def render(scene: Scene, seed: int = 0, spp: int | None = None,
     image, weight = film_mod.zeros(fl)
     total_rays = 0.0
     for s in range(spp):
-        image, weight, n_rays = wave(jnp.uint32(s + seed * 65536), image,
+        image, weight, n_rays = wave(scene.arrays,
+                                     jnp.uint32(s + seed * 65536), image,
                                      weight)
         total_rays += float(n_rays)
     img = film_mod.develop(image, weight)

@@ -47,11 +47,13 @@ def make_sharded_wave(scene: Scene, mesh: Mesh, differentiable: bool = False):
     n_padded = _padded_pixels(n_pix, n_dev)
     li = path_int.make_li_fn(scene, differentiable=differentiable)
     fl = scene.film
+    arr_specs = jax.tree.map(lambda _: P(), scene.arrays)
 
-    @partial(jax.shard_map, mesh=mesh, in_specs=(P("tiles"), P("tiles")),
+    @partial(jax.shard_map, mesh=mesh,
+             in_specs=(arr_specs, P("tiles"), P("tiles")),
              out_specs=(P(), P()), check_vma=False)
-    def wave_shard(pixel_idx, sample_idx):
-        radiance, pos, _ = li(pixel_idx, sample_idx)
+    def wave_shard(arr, pixel_idx, sample_idx):
+        radiance, pos, _ = li(arr, pixel_idx, sample_idx)
         radiance = jnp.nan_to_num(radiance, nan=0.0, posinf=0.0, neginf=0.0)
         # padded lanes carry pixel_idx == 0xffffffff → zero weight
         valid = pixel_idx != jnp.uint32(0xFFFFFFFF)
@@ -69,7 +71,7 @@ def make_sharded_wave(scene: Scene, mesh: Mesh, differentiable: bool = False):
             jnp.arange(n_pix, dtype=jnp.uint32),
             jnp.full((n_padded - n_pix,), 0xFFFFFFFF, jnp.uint32)])
         sample_idx = jnp.full((n_padded,), sample_id, jnp.uint32)
-        img_w, wt_w = wave_shard(pixel_idx, sample_idx)
+        img_w, wt_w = wave_shard(scene.arrays, pixel_idx, sample_idx)
         return image + img_w, weight + wt_w
 
     return jax.jit(wave), n_padded
@@ -99,15 +101,17 @@ def make_train_step(scene: Scene, mesh: Mesh, target, spp: int = 1,
     n_padded = _padded_pixels(n_pix, n_dev)
     fl = scene.film
 
+    li = path_int.make_li_fn(scene, differentiable=True)
+    arr_specs = jax.tree.map(lambda _: P(), scene.arrays)
+
     def loss(params, seed):
         arrays = inverse_mod.apply_params(scene, params)
-        li = path_int.make_li_fn(scene, arrays, differentiable=True)
 
         @partial(jax.shard_map, mesh=mesh,
-                 in_specs=(P("tiles"), P("tiles")), out_specs=(P(), P()),
-                 check_vma=False)
-        def wave_shard(pixel_idx, sample_idx):
-            radiance, pos, _ = li(pixel_idx, sample_idx)
+                 in_specs=(arr_specs, P("tiles"), P("tiles")),
+                 out_specs=(P(), P()), check_vma=False)
+        def wave_shard(arr, pixel_idx, sample_idx):
+            radiance, pos, _ = li(arr, pixel_idx, sample_idx)
             valid = pixel_idx != jnp.uint32(0xFFFFFFFF)
             radiance = jnp.where(valid[..., None], radiance, 0.0)
             pos = jnp.where(valid[..., None], pos, -1e6)
@@ -122,7 +126,7 @@ def make_train_step(scene: Scene, mesh: Mesh, target, spp: int = 1,
                 jnp.arange(n_pix, dtype=jnp.uint32),
                 jnp.full((n_padded - n_pix,), 0xFFFFFFFF, jnp.uint32)])
             sample_idx = jnp.full((n_padded,), seed * 131 + s, jnp.uint32)
-            iw = wave_shard(pixel_idx, sample_idx)
+            iw = wave_shard(arrays, pixel_idx, sample_idx)
             image = image + iw[0]
             weight = weight + iw[1]
         img = film_mod.develop(image, weight)

@@ -24,6 +24,7 @@ from ..models.sensors import Camera
 from ..film.film import Film
 from ..ops import bvh as bvh_mod
 from ..ops import intersect as isec
+from ..ops import intersect_packed as ipk
 from . import hairgen
 
 
@@ -44,9 +45,11 @@ class SceneArrays(NamedTuple):
     tri: Optional[isec.TriGeom]
     tri_shading: Optional[TriShading]
     tri_bvh: Optional[isec.BVHArrays]
+    tri_packed: Optional[ipk.PackedBVH]
     hair: Optional[isec.HairGeom]
     hair_mat_id: Optional[jnp.ndarray]
     hair_bvh: Optional[isec.BVHArrays]
+    hair_packed: Optional[ipk.PackedBVH]
     materials: mat.MaterialTable
     checkers: Optional[mat.CheckerboardTable]
     hair_tables: Optional[mat.HairTables]
@@ -68,6 +71,8 @@ class RenderConfig:
     gamma: float = 2.2
     ray_eps: float = 1e-3      # self-intersection offset (scene scale units)
     env_prob: float = 1.0      # NEE probability of picking the environment
+    traversal: str = "packed"  # 'packed' (TPU default) | 'perray' | 'blocked'
+    block: int = 256           # rays per block ('blocked' mode only)
 
 
 class Scene(NamedTuple):
@@ -158,7 +163,7 @@ class SceneBuilder:
                            **config_kwargs)
 
         # triangles
-        tri = tri_shading = tri_bvh = None
+        tri = tri_shading = tri_bvh = tri_packed = None
         if self.tri_meshes:
             v0l, v1l, v2l, n0l, n1l, n2l = [], [], [], [], [], []
             uv0l, uv1l, uv2l, midl, eidl = [], [], [], [], []
@@ -193,6 +198,11 @@ class SceneBuilder:
             tri = isec.TriGeom(p0=jnp.asarray(v0[o], jnp.float32),
                                e1=jnp.asarray((v1 - v0)[o], jnp.float32),
                                e2=jnp.asarray((v2 - v0)[o], jnp.float32))
+            tri_rows = ipk.tri_pack_rows(v0[o].astype(np.float32),
+                                         v1[o].astype(np.float32),
+                                         v2[o].astype(np.float32),
+                                         np.arange(len(o), dtype=np.int32))
+            tri_packed = ipk.pack_bvh(fb, tri_rows)
             cat = np.concatenate
             tri_shading = TriShading(
                 n0=jnp.asarray(cat(n0l)[o], jnp.float32),
@@ -206,7 +216,7 @@ class SceneBuilder:
             tri_bvh = isec.bvh_to_device(fb)
 
         # hair segments
-        hair = hair_mat_id = hair_bvh = None
+        hair = hair_mat_id = hair_bvh = hair_packed = None
         if self.fibers:
             segs = [hairgen.segments(fs) for fs, _ in self.fibers]
             p0 = np.concatenate([s["p0"] for s in segs])
@@ -235,6 +245,10 @@ class SceneBuilder:
                                  radius=jnp.asarray(rad[o]))
             hair_mat_id = jnp.asarray(mid[o])
             hair_bvh = isec.bvh_to_device(fb)
+            hair_rows = ipk.hair_pack_rows(p0[o], p1[o], n0[o], n1[o],
+                                           rad[o],
+                                           np.arange(len(o), dtype=np.int32))
+            hair_packed = ipk.pack_bvh(fb, hair_rows)
 
         materials = mat.pack_materials(self.materials or
                                        [mat.default_material_row()])
@@ -286,8 +300,10 @@ class SceneBuilder:
                                  tri_index=jnp.asarray(sel.astype(np.int32)))
 
         arrays = SceneArrays(tri=tri, tri_shading=tri_shading,
-                             tri_bvh=tri_bvh, hair=hair,
+                             tri_bvh=tri_bvh, tri_packed=tri_packed,
+                             hair=hair,
                              hair_mat_id=hair_mat_id, hair_bvh=hair_bvh,
+                             hair_packed=hair_packed,
                              materials=materials, checkers=checkers,
                              hair_tables=hair_tables, env=self.env,
                              area=area)
