@@ -28,7 +28,8 @@ from ..film import film as film_mod
 from ..models import emitters as em
 from ..models import sensors
 from ..models.bsdf import registry as mat
-from ..models.bsdf import simple, plastic, hair as hair_bsdf  # register families  # noqa: F401
+from ..models.bsdf import simple, plastic, hair as hair_bsdf  # noqa: F401
+from ..models.bsdf import dielectric_rough  # noqa: F401  (register families)
 from ..scene.scene import Scene
 from .common import Hit, scene_intersect, scene_occluded, frame
 
@@ -86,49 +87,64 @@ def _emitter_radiance_at_hit(arr, hit: Hit, wi_world):
 
 
 def _sample_emitter_direct(arr, cfg, p, u_sel, u2):
-    """Pick an emitter (env vs area by static prob), sample a direction.
-    Returns (d [N,3], dist [N], Le_over_pdf? no — Le [N,3], pdf [N],
-    is_env [N])."""
+    """Pick an emitter source (env / area / delta, static probs from
+    cfg.nee_probs) and sample a direction towards it
+    (reference: Scene::sampleEmitterDirect, scene.cpp:828).
+    Returns (d, dist, le, pdf, is_delta_light). `le/pdf` is the full
+    divided contribution for delta lights (MIS weight forced to 1)."""
     n = p.shape[0]
     zero3 = jnp.zeros((n, 3), jnp.float32)
     d = zero3.at[:, 2].set(1.0)
     le = zero3
     pdf = jnp.zeros((n,), jnp.float32)
     dist = jnp.full((n,), jnp.inf, jnp.float32)
-    p_env = cfg.env_prob if (arr.env is not None and arr.area is not None) \
-        else (1.0 if arr.env is not None else 0.0)
+    is_dl = jnp.zeros((n,), bool)
+    p_env, p_area, p_delta = cfg.nee_probs
 
-    if arr.env is not None:
+    if arr.env is not None and p_env > 0:
         d_env, le_env, pdf_env = em.env_sample(arr.env, u2)
         sel = u_sel < p_env
         d = jnp.where(sel[..., None], d_env, d)
         le = jnp.where(sel[..., None], le_env, le)
         pdf = jnp.where(sel, pdf_env * p_env, pdf)
 
-    if arr.area is not None:
+    if arr.area is not None and p_area > 0:
         area = arr.area
-        l, prob_l, u0r = _sample_discrete_cdf(area.cdf, u_sel)
-        # uniform point on the triangle
+        u_resc = jnp.clip((u_sel - p_env) / p_area, 0.0, 1.0 - 1e-7)
+        l, prob_l, _ = _sample_discrete_cdf(area.cdf, u_resc)
         su = jnp.sqrt(jnp.maximum(u2[..., 0], 1e-12))
         b0 = 1.0 - su
         b1 = u2[..., 1] * su
-        q = area.p0[l] + area.e1[l] * b0[..., None] + area.e2[l] * b1[..., None]
+        q = area.p0[l] + area.e1[l] * b0[..., None] \
+            + area.e2[l] * b1[..., None]
         dq = q - p
         d2 = jnp.sum(dq * dq, axis=-1)
         dl = jnp.sqrt(jnp.maximum(d2, 1e-20))
         dd = dq / dl[..., None]
         cos_l = -jnp.sum(area.n[l] * dd, axis=-1)
-        pdf_a = prob_l / jnp.maximum(area.area[l], 1e-12)
-        pdf_sa = pdf_a * d2 / jnp.maximum(cos_l, 1e-6)
+        pdf_sa = prob_l / jnp.maximum(area.area[l], 1e-12) * d2 \
+            / jnp.maximum(cos_l, 1e-6)
         ok = cos_l > 1e-6
-        sel = (u_sel >= p_env) if arr.env is not None else jnp.ones((n,), bool)
+        sel = (u_sel >= p_env) & (u_sel < p_env + p_area)
         d = jnp.where(sel[..., None], dd, d)
         le = jnp.where((sel & ok)[..., None], area.radiance[l],
                        jnp.where(sel[..., None], 0.0, le))
-        pdf = jnp.where(sel, jnp.where(ok, pdf_sa * (1.0 - p_env), 0.0), pdf)
+        pdf = jnp.where(sel, jnp.where(ok, pdf_sa * p_area, 0.0), pdf)
         dist = jnp.where(sel, dl, dist)
 
-    return d, dist, le, pdf
+    if arr.delta is not None and p_delta > 0:
+        u_resc = jnp.clip((u_sel - p_env - p_area) / p_delta,
+                          0.0, 1.0 - 1e-7)
+        d_dl, dist_dl, contrib, prob_l = em.delta_light_sample(
+            arr.delta, p, u_resc)
+        sel = u_sel >= p_env + p_area
+        d = jnp.where(sel[..., None], d_dl, d)
+        le = jnp.where(sel[..., None], contrib, le)
+        pdf = jnp.where(sel, prob_l * p_delta, pdf)
+        dist = jnp.where(sel, dist_dl, dist)
+        is_dl = is_dl | sel
+
+    return d, dist, le, pdf, is_dl
 
 
 def _sample_discrete_cdf(cdf, u):
@@ -141,17 +157,16 @@ def _sample_discrete_cdf(cdf, u):
 
 def _pdf_emitter_hit(arr, cfg, hit: Hit, d):
     """pdf of NEE having produced the direction that the BSDF ray took to
-    reach its emitter (env for misses, area light for emissive hits)."""
+    reach its emitter (env for misses, area light for emissive hits; delta
+    lights are unreachable by BSDF rays)."""
     n = d.shape[0]
-    p_env = cfg.env_prob if (arr.env is not None and arr.area is not None) \
-        else (1.0 if arr.env is not None else 0.0)
+    p_env, p_area, _ = cfg.nee_probs
     pdf = jnp.zeros((n,), jnp.float32)
-    if arr.env is not None:
+    if arr.env is not None and p_env > 0:
         pdf_env = em.env_pdf(arr.env, d) * p_env
         pdf = jnp.where(hit.valid, pdf, pdf_env)
-    if arr.area is not None:
+    if arr.area is not None and p_area > 0:
         area = arr.area
-        # which light did we hit? emitter_id indexes the area table
         l = jnp.maximum(hit.emitter_id, 0)
         power_lum = area.area * (area.radiance
                                  @ jnp.asarray([0.212671, 0.715160,
@@ -162,7 +177,7 @@ def _pdf_emitter_hit(arr, cfg, hit: Hit, d):
         pdf_area = prob_l[l] / jnp.maximum(area.area[l], 1e-12) * d2 \
             / jnp.maximum(cos_l, 1e-6)
         on = hit.valid & (hit.emitter_id >= 0) & (cos_l > 1e-6)
-        pdf = jnp.where(on, pdf_area * (1.0 - p_env), pdf)
+        pdf = jnp.where(on, pdf_area * p_area, pdf)
     return pdf
 
 
@@ -282,8 +297,8 @@ def make_li_fn(scene: Scene, differentiable: bool = False):
             # ---- NEE ----
             u_sel = s1(pix, smp, dims + D_NEE_SEL)
             u_nee = s2(pix, smp, dims + D_NEE_POS)
-            d_nee, dist_nee, le_nee, pdf_nee = _sample_emitter_direct(
-                arr, cfg, hit.p, u_sel, u_nee)
+            d_nee, dist_nee, le_nee, pdf_nee, is_dl = \
+                _sample_emitter_direct(arr, cfg, hit.p, u_sel, u_nee)
             wo_nee = fr.to_local(d_nee)
             f_nee, bsdf_pdf_nee = mat.eval_pdf(active_kinds, gm, wi, wo_nee,
                                                arr.hair_tables)
@@ -303,7 +318,8 @@ def make_li_fn(scene: Scene, differentiable: bool = False):
             occluded = scene_occluded(arr, shadow, cfg.traversal,
                                       cfg.block)
             vis = nee_ok & ~occluded
-            w_nee = _mi_weight(pdf_nee, bsdf_pdf_nee)
+            w_nee = jnp.where(is_dl, 1.0,
+                              _mi_weight(pdf_nee, bsdf_pdf_nee))
             li_acc = li_acc + jnp.where(
                 vis[..., None],
                 st.throughput * le_nee * f_nee

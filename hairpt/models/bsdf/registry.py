@@ -38,6 +38,7 @@ KAJIYAKAY = 12
 MARSCHNER = 13          # = the fork's MarschnerDiffuse ("marschner" plugin)
 MARSCHNERDIELECTRIC = 14
 MASK = 15
+DIFFTRANS = 16
 
 N_COS = 64  # resolution of the per-material external-transmittance slice
 

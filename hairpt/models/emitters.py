@@ -55,12 +55,89 @@ class AreaLights(NamedTuple):
     tri_index: jnp.ndarray  # [L] index into the scene's sorted triangle array
 
 
-class PointLights(NamedTuple):
-    position: jnp.ndarray   # [P, 3]
-    intensity: jnp.ndarray  # [P, 3]  (spot: premultiplied by falloff in eval)
-    direction: jnp.ndarray  # [P, 3]  spot axis / directional dir
-    cos_falloff: jnp.ndarray  # [P, 2] (cos cutoff, cos beam) for spots
-    kind: jnp.ndarray       # [P] 0=point 1=spot
+POINT = 0
+SPOT = 1
+DIRECTIONAL = 2
+
+
+class DeltaLights(NamedTuple):
+    """Point/spot/directional emitters (reference: src/emitters/{point,spot,
+    directional}.cpp). All are delta distributions: only reachable via NEE,
+    never by BSDF rays, so their MIS weight is 1."""
+    kind: jnp.ndarray       # [L] POINT/SPOT/DIRECTIONAL
+    position: jnp.ndarray   # [L, 3]
+    direction: jnp.ndarray  # [L, 3] spot axis / directional emit direction
+    intensity: jnp.ndarray  # [L, 3] point/spot: W/sr; directional: W/m²
+    cos_cutoff: jnp.ndarray  # [L] spot outer angle
+    cos_beam: jnp.ndarray    # [L] spot inner (full-strength) angle
+    cdf: jnp.ndarray         # [L] selection CDF (by power luminance)
+
+
+def make_delta_lights(entries) -> DeltaLights:
+    """entries: list of dicts with keys kind/position/direction/intensity/
+    cutoff_deg/beam_deg."""
+    kind = np.array([e["kind"] for e in entries], np.int32)
+    position = np.array([e.get("position", (0, 0, 0)) for e in entries],
+                        np.float32)
+    direction = np.array([e.get("direction", (0, 0, 1)) for e in entries],
+                         np.float64)
+    direction /= np.maximum(np.linalg.norm(direction, axis=-1,
+                                           keepdims=True), 1e-12)
+    intensity = np.array([e.get("intensity", (1, 1, 1)) for e in entries],
+                         np.float32)
+    cutoff = np.array([np.cos(np.radians(e.get("cutoff_deg", 20.0)))
+                       for e in entries], np.float32)
+    beam = np.array([np.cos(np.radians(e.get("beam_deg", 15.0)))
+                     for e in entries], np.float32)
+    lum = intensity @ np.array([0.212671, 0.715160, 0.072169],
+                               np.float32)
+    cdf = np.cumsum(lum + 1e-9)
+    cdf /= cdf[-1]
+    return DeltaLights(kind=jnp.asarray(kind),
+                       position=jnp.asarray(position),
+                       direction=jnp.asarray(direction, jnp.float32),
+                       intensity=jnp.asarray(intensity),
+                       cos_cutoff=jnp.asarray(cutoff),
+                       cos_beam=jnp.asarray(beam),
+                       cdf=jnp.asarray(cdf, jnp.float32))
+
+
+def delta_light_sample(dl: DeltaLights, p, u):
+    """Sample one delta light for shading point p.
+    Returns (d [N,3], dist [N], contribution Le/pdf_positional [N,3],
+    prob_selection [N])."""
+    nl = dl.cdf.shape[0]
+    l = jnp.clip(jnp.searchsorted(dl.cdf, u), 0, nl - 1)
+    hi = dl.cdf[l]
+    lo = jnp.where(l > 0, dl.cdf[jnp.maximum(l - 1, 0)], 0.0)
+    prob = hi - lo
+    kind = dl.kind[l]
+
+    to_l = dl.position[l] - p
+    d2 = jnp.sum(to_l * to_l, axis=-1)
+    dist_p = jnp.sqrt(jnp.maximum(d2, 1e-20))
+    d_point = to_l / dist_p[..., None]
+    contrib_pt = dl.intensity[l] / jnp.maximum(d2, 1e-12)[..., None]
+
+    # spot falloff (reference: spot.cpp falloffCurve, linear blend)
+    cos_a = -jnp.sum(dl.direction[l] * d_point, axis=-1)
+    cc = dl.cos_cutoff[l]
+    cb = dl.cos_beam[l]
+    fall = jnp.clip((cos_a - cc) / jnp.maximum(cb - cc, 1e-6), 0.0, 1.0)
+    fall = jnp.where(cos_a >= cb, 1.0, fall)
+    contrib_spot = contrib_pt * fall[..., None]
+
+    d_dir = -dl.direction[l]
+    contrib_dir = dl.intensity[l]
+
+    is_dir = kind == DIRECTIONAL
+    is_spot = kind == SPOT
+    d = jnp.where(is_dir[..., None], d_dir, d_point)
+    dist = jnp.where(is_dir, jnp.inf, dist_p)
+    contrib = jnp.where(is_dir[..., None], contrib_dir,
+                        jnp.where(is_spot[..., None], contrib_spot,
+                                  contrib_pt))
+    return d, dist, contrib, prob
 
 
 # ---------------------------------------------------------------------------

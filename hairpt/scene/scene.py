@@ -55,6 +55,7 @@ class SceneArrays(NamedTuple):
     hair_tables: Optional[mat.HairTables]
     env: Optional[em.EnvMap]
     area: Optional[em.AreaLights]
+    delta: Optional[em.DeltaLights]
 
 
 @dataclasses.dataclass(frozen=True)
@@ -73,6 +74,7 @@ class RenderConfig:
     env_prob: float = 1.0      # NEE probability of picking the environment
     traversal: str = "packed"  # 'packed' (TPU default) | 'perray' | 'blocked'
     block: int = 256           # rays per block ('blocked' mode only)
+    nee_probs: tuple = (1.0, 0.0, 0.0)  # (env, area, delta) selection probs
 
 
 class Scene(NamedTuple):
@@ -94,6 +96,7 @@ class SceneBuilder:
         self.checkers = []
         self.hair_aux = []         # (sigma_a, beta_r, eta) per marschner mat
         self.env: Optional[em.EnvMap] = None
+        self.delta_lights = []     # dict entries for em.make_delta_lights
         self.area_lights = []      # (mesh index ...) resolved at finalize
         self.camera: Optional[Camera] = None
         self.film: Optional[Film] = None
@@ -299,6 +302,15 @@ class SceneBuilder:
                                  cdf=jnp.asarray(cdf, jnp.float32),
                                  tri_index=jnp.asarray(sel.astype(np.int32)))
 
+        delta = em.make_delta_lights(self.delta_lights) \
+            if self.delta_lights else None
+
+        # static NEE source selection probabilities (equal among present)
+        present = [self.env is not None, area is not None, delta is not None]
+        n_src = max(sum(present), 1)
+        probs = tuple((1.0 / n_src) if p else 0.0 for p in present)
+        cfg = dataclasses.replace(cfg, nee_probs=probs)
+
         arrays = SceneArrays(tri=tri, tri_shading=tri_shading,
                              tri_bvh=tri_bvh, tri_packed=tri_packed,
                              hair=hair,
@@ -306,7 +318,7 @@ class SceneBuilder:
                              hair_packed=hair_packed,
                              materials=materials, checkers=checkers,
                              hair_tables=hair_tables, env=self.env,
-                             area=area)
+                             area=area, delta=delta)
         active = tuple(sorted({int(r["kind"]) for r in self.materials}))
         marschner_rows = tuple(
             i for i, r in enumerate(self.materials)

@@ -36,6 +36,8 @@ BSDF_KINDS = {
     "thindielectric": mat.THINDIELECTRIC,
     "plastic": mat.PLASTIC,
     "roughplastic": mat.ROUGHPLASTIC,
+    "roughdielectric": mat.ROUGHDIELECTRIC,
+    "difftrans": mat.DIFFTRANS,
     "phong": mat.PHONG,
     "ward": mat.WARD,
     "null": mat.NULL,
@@ -383,6 +385,20 @@ def load_scene(path: str, defines: dict | None = None,
                                    scale=p.get("scale", 1.0))
         elif etype == "constant":
             b.env = em.make_constant(p.get("radiance", (1.0, 1.0, 1.0)))
+        elif etype in ("point", "spot", "directional", "collimated"):
+            kind = {"point": em.POINT, "spot": em.SPOT,
+                    "directional": em.DIRECTIONAL,
+                    "collimated": em.DIRECTIONAL}[etype]
+            pos = p.get("position", tuple(to_world[:3, 3]))
+            ddir = p.get("direction", tuple(to_world[:3, :3] @ [0, 0, 1]))
+            inten = p.get("intensity",
+                          p.get("irradiance", p.get("power",
+                                                    (1.0, 1.0, 1.0))))
+            b.delta_lights.append(dict(
+                kind=kind, position=pos, direction=ddir, intensity=inten,
+                cutoff_deg=p.get("cutoffAngle", 20.0),
+                beam_deg=p.get("beamWidth", p.get("cutoffAngle", 20.0)
+                               * 0.75)))
 
     return b.build(cam, film, spp=int(spp), max_depth=int(max_depth),
                    sampler=sampler_kind, gamma=film.gamma)

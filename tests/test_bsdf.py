@@ -175,3 +175,34 @@ def test_marschner_sample_eval_runs():
     # sampled directions must be unit length
     np.testing.assert_allclose(np.linalg.norm(np.asarray(wo), axis=-1), 1.0,
                                atol=1e-4)
+
+
+@pytest.mark.parametrize("kind,over", [
+    (R.ROUGHDIELECTRIC, dict(alpha=0.3, eta=1.5)),
+    (R.DIFFTRANS, {}),
+])
+def test_chi2_sampling_transmissive(kind, over):
+    from hairpt.models.bsdf import dielectric_rough  # noqa: F401
+    chi2_direction_test(kind, **over)
+
+
+def test_rough_dielectric_energy():
+    """White rough dielectric: reflection+transmission should carry ~all
+    energy (weak-white-furnace: weights near 1 on average)."""
+    from hairpt.models.bsdf import dielectric_rough  # noqa: F401
+    n = 1 << 14
+    gm = make_gm(n, kind=R.ROUGHDIELECTRIC, alpha=0.25, eta=1.5,
+                 specular=(1, 1, 1), transmit=(1, 1, 1))
+    wi = fixed_wi(n, 35.0)
+    pix = jnp.arange(n, dtype=jnp.uint32)
+    wo, w, pdf, is_delta, eta_s = R.sample(
+        [R.ROUGHDIELECTRIC], gm, wi, rng.uniform_1d(pix, 0, 1),
+        rng.uniform_2d(pix, 0, 2), rng.uniform_2d(pix, 0, 4))
+    w = np.asarray(w)
+    ok = np.asarray(pdf) > 0
+    # account for the radiance compression factor on refracted samples:
+    # multiply back eta_rel^2 so the energy check is in power terms
+    eta_sq = np.asarray(eta_s) ** 2
+    power_w = w[:, 0] * np.where(np.asarray(eta_s) != 1.0, eta_sq, 1.0)
+    mean_w = power_w[ok].mean()
+    assert 0.75 < mean_w < 1.1, mean_w  # VNDF weights ≈ G2/G1 ≤ 1
