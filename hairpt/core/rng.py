@@ -128,17 +128,52 @@ def sobol_2d(pixel, sample, dim):
 
 INDEPENDENT = 0
 SOBOL = 1
+HALTON = 2
+
+
+def _radical_inverse(base: int, index, digits: int = 20):
+    """Vectorized radical inverse in an arbitrary base (reference:
+    include/mitsuba/core/qmc.h radicalInverse)."""
+    index = jnp.asarray(index).astype(jnp.uint32)
+    inv_base = jnp.float32(1.0 / base)
+    result = jnp.zeros(index.shape, jnp.float32)
+    factor = jnp.full(index.shape, inv_base, jnp.float32)
+    n = index
+    for _ in range(digits):
+        digit = n % base
+        result = result + digit.astype(jnp.float32) * factor
+        factor = factor * inv_base
+        n = n // base
+    return jnp.minimum(result, 1.0 - 1e-7)
+
+
+def halton_2d(pixel, sample, dim):
+    """Halton (2,3) point of index `sample`, decorrelated per (pixel, dim)
+    by Cranley-Patterson rotation (covers the reference's halton/hammersley
+    sampler capability, src/samplers/halton.cpp)."""
+    key = hash_combine(_u32(pixel), _u32(dim))
+    r1 = u32_to_unit_float(hash_u32(key ^ U32(0x11111111)))
+    r2 = u32_to_unit_float(hash_u32(key ^ U32(0x22222222)))
+    h1 = _radical_inverse(2, sample)
+    h2 = _radical_inverse(3, sample)
+    u1 = jnp.mod(h1 + r1, 1.0)
+    u2 = jnp.mod(h2 + r2, 1.0)
+    return jnp.stack(jnp.broadcast_arrays(u1, u2), axis=-1)
 
 
 def next_1d(mode: int, pixel, sample, dim: int):
     if mode == SOBOL:
         return sobol_2d(pixel, sample, dim)[..., 0]
+    if mode == HALTON:
+        return halton_2d(pixel, sample, dim)[..., 0]
     return uniform_1d(pixel, sample, dim)
 
 
 def next_2d(mode: int, pixel, sample, dim: int):
     if mode == SOBOL:
         return sobol_2d(pixel, sample, dim)
+    if mode == HALTON:
+        return halton_2d(pixel, sample, dim)
     return uniform_2d(pixel, sample, dim)
 
 

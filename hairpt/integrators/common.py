@@ -14,6 +14,7 @@ from ..core.math import Ray, Frame, normalize, frame_from_normal, dot
 from ..ops import intersect as isec
 from ..ops import intersect_blocked as isec_blk
 from ..ops import intersect_packed as ipk
+from ..ops import intersect_swept as iswept
 from ..scene.scene import SceneArrays
 
 
@@ -70,7 +71,7 @@ def frame(hit: Hit) -> Frame:
 
 
 def scene_intersect(arr: SceneArrays, ray: Ray, traversal: str = "packed",
-                    block: int = 256) -> Hit:
+                    block: int = 256, swept=None) -> Hit:
     """Closest hit against triangles and hair; builds the shading record."""
     n = ray.o.shape[0]
     inf = jnp.full((n,), jnp.inf, jnp.float32)
@@ -83,12 +84,16 @@ def scene_intersect(arr: SceneArrays, ray: Ray, traversal: str = "packed",
     t_hair, prim_hair = (inf, jnp.full((n,), -1, jnp.int32))
     if arr.hair is not None:
         hair_ray = ray._replace(maxt=jnp.minimum(ray.maxt, t_tri))
-        t_hair, prim_hair = _closest(arr.hair_bvh, arr.hair,
-                                     arr.hair_packed,
-                                     isec.hair_intersect_block,
-                                     isec_blk.hair_leaf_block,
-                                     ipk.hair_leaf_eval, hair_ray,
-                                     traversal, block)
+        if traversal == "swept" and arr.hair_swept is not None:
+            c, k, pmax, chunk = swept
+            t_hair, prim_hair = iswept.swept_closest_hit(
+                arr.hair_swept, hair_ray, c, k, p_max=pmax, chunk=chunk)
+        else:
+            t_hair, prim_hair = _closest(
+                arr.hair_bvh, arr.hair, arr.hair_packed,
+                isec.hair_intersect_block, isec_blk.hair_leaf_block,
+                ipk.hair_leaf_eval, hair_ray,
+                "packed" if traversal == "swept" else traversal, block)
 
     use_hair = t_hair < t_tri
     t = jnp.where(use_hair, t_hair, t_tri)
@@ -171,16 +176,24 @@ def scene_intersect(arr: SceneArrays, ray: Ray, traversal: str = "packed",
 
 
 def scene_occluded(arr: SceneArrays, ray: Ray, traversal: str = "packed",
-                   block: int = 256):
+                   block: int = 256, swept=None):
     n = ray.o.shape[0]
     occ = jnp.zeros((n,), bool)
     if arr.tri is not None:
         occ = occ | _any(arr.tri_bvh, arr.tri, arr.tri_packed,
                          isec.tri_intersect_block, isec_blk.tri_leaf_block,
-                         ipk.tri_leaf_eval, ray, traversal, block)
+                         ipk.tri_leaf_eval, ray,
+                         "packed" if traversal == "swept" else traversal,
+                         block)
     if arr.hair is not None:
         ray2 = ray._replace(maxt=jnp.where(occ, 0.0, ray.maxt))
-        occ = occ | _any(arr.hair_bvh, arr.hair, arr.hair_packed,
-                         isec.hair_intersect_block, isec_blk.hair_leaf_block,
-                         ipk.hair_leaf_eval, ray2, traversal, block)
+        if traversal == "swept" and arr.hair_swept is not None:
+            c, k, pmax, chunk = swept
+            occ = occ | iswept.swept_any_hit(arr.hair_swept, ray2, c, k,
+                                             p_max=pmax, chunk=chunk)
+        else:
+            occ = occ | _any(arr.hair_bvh, arr.hair, arr.hair_packed,
+                             isec.hair_intersect_block,
+                             isec_blk.hair_leaf_block,
+                             ipk.hair_leaf_eval, ray2, traversal, block)
     return occ

@@ -46,6 +46,10 @@ D_BSDF_U2B = 6
 D_RR = 8
 
 
+def _swept_params(cfg):
+    return (cfg.swept_c, cfg.swept_k, cfg.swept_pmax, cfg.swept_chunk)
+
+
 def _mi_weight(pdf_a, pdf_b):
     a2 = pdf_a * pdf_a
     return jnp.where(pdf_a > 0, a2 / jnp.maximum(a2 + pdf_b * pdf_b, 1e-30),
@@ -220,7 +224,8 @@ def make_li_fn(scene: Scene, differentiable: bool = False):
         ap = s2(pixel_idx, sample_idx, DIM_CAM_APERTURE)
         ray = sensors.sample_ray(cam, pos, ap)
 
-        hit0 = scene_intersect(arr, ray, cfg.traversal, cfg.block)
+        hit0 = scene_intersect(arr, ray, cfg.traversal, cfg.block,
+                               _swept_params(cfg))
 
         state = PathState(
             depth=jnp.int32(1),
@@ -316,7 +321,7 @@ def make_li_fn(scene: Scene, differentiable: bool = False):
             shadow = shadow._replace(
                 maxt=jnp.where(nee_ok, shadow.maxt, 0.0))
             occluded = scene_occluded(arr, shadow, cfg.traversal,
-                                      cfg.block)
+                                      cfg.block, _swept_params(cfg))
             vis = nee_ok & ~occluded
             w_nee = jnp.where(is_dl, 1.0,
                               _mi_weight(pdf_nee, bsdf_pdf_nee))
@@ -361,7 +366,7 @@ def make_li_fn(scene: Scene, differentiable: bool = False):
                            mint=jnp.zeros((n,), jnp.float32),
                            maxt=jnp.where(active, jnp.inf, 0.0))
             hit2 = scene_intersect(arr, next_ray, cfg.traversal,
-                                   cfg.block)
+                                   cfg.block, _swept_params(cfg))
 
             # ---- RR ---- (disabled in differentiable mode: the survival
             # decision is not differentiable and max_depth is small there)

@@ -139,10 +139,18 @@ def _phase_a_dense(sw: SweptHair, ray: Ray, p_max: int,
     for ci in range(n_chunks):
         lo = sw.cl_lo[ci * c_chunk:(ci + 1) * c_chunk]     # [Cc, 3]
         hi = sw.cl_hi[ci * c_chunk:(ci + 1) * c_chunk]
-        t0 = (lo[None] - o[:, None]) * inv_d[:, None]      # [N, Cc, 3]
-        t1 = (hi[None] - o[:, None]) * inv_d[:, None]
-        tn = jnp.max(jnp.minimum(t0, t1), axis=-1)
-        tf = jnp.min(jnp.maximum(t0, t1), axis=-1) * 1.00000024 + 1e-7
+        # accumulate the slab interval per axis with [N, Cc] temporaries
+        # (avoids [N, Cc, 3] materialization — 3x less memory traffic)
+        tn = None
+        tf = None
+        for ax in range(3):
+            a0 = (lo[None, :, ax] - o[:, None, ax]) * inv_d[:, None, ax]
+            a1 = (hi[None, :, ax] - o[:, None, ax]) * inv_d[:, None, ax]
+            lo_ax = jnp.minimum(a0, a1)
+            hi_ax = jnp.maximum(a0, a1)
+            tn = lo_ax if tn is None else jnp.maximum(tn, lo_ax)
+            tf = hi_ax if tf is None else jnp.minimum(tf, hi_ax)
+        tf = tf * 1.00000024 + 1e-7
         hit = (tn <= tf) & (tf >= mint[:, None]) & (tn <= maxt[:, None])
         t_enter = jnp.where(hit, jnp.maximum(tn, 0.0), jnp.inf)
         ids = jnp.arange(ci * c_chunk,

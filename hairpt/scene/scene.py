@@ -25,6 +25,7 @@ from ..film.film import Film
 from ..ops import bvh as bvh_mod
 from ..ops import intersect as isec
 from ..ops import intersect_packed as ipk
+from ..ops import intersect_swept as iswept
 from . import hairgen
 
 
@@ -50,6 +51,7 @@ class SceneArrays(NamedTuple):
     hair_mat_id: Optional[jnp.ndarray]
     hair_bvh: Optional[isec.BVHArrays]
     hair_packed: Optional[ipk.PackedBVH]
+    hair_swept: Optional[iswept.SweptHair]
     materials: mat.MaterialTable
     checkers: Optional[mat.CheckerboardTable]
     hair_tables: Optional[mat.HairTables]
@@ -72,8 +74,12 @@ class RenderConfig:
     gamma: float = 2.2
     ray_eps: float = 1e-3      # self-intersection offset (scene scale units)
     env_prob: float = 1.0      # NEE probability of picking the environment
-    traversal: str = "packed"  # 'packed' (TPU default) | 'perray' | 'blocked'
+    traversal: str = "packed"  # 'packed' | 'swept' | 'perray' | 'blocked'
     block: int = 256           # rays per block ('blocked' mode only)
+    swept_k: int = 64          # segments per cluster ('swept' hair mode)
+    swept_c: int = 0           # cluster count (filled at build)
+    swept_pmax: int = 24       # phase-A candidate clusters per ray
+    swept_chunk: int = 16      # pairs per phase-B chunk
     nee_probs: tuple = (1.0, 0.0, 0.0)  # (env, area, delta) selection probs
 
 
@@ -219,7 +225,7 @@ class SceneBuilder:
             tri_bvh = isec.bvh_to_device(fb)
 
         # hair segments
-        hair = hair_mat_id = hair_bvh = hair_packed = None
+        hair = hair_mat_id = hair_bvh = hair_packed = hair_swept = None
         if self.fibers:
             segs = [hairgen.segments(fs) for fs, _ in self.fibers]
             p0 = np.concatenate([s["p0"] for s in segs])
@@ -252,6 +258,12 @@ class SceneBuilder:
                                            rad[o],
                                            np.arange(len(o), dtype=np.int32))
             hair_packed = ipk.pack_bvh(fb, hair_rows)
+            # cluster-sweep structure over the *sorted* arrays so returned
+            # prim ids index arr.hair directly
+            hair_swept = iswept.build_swept_hair(p0[o], p1[o], n0[o], n1[o],
+                                                 rad[o], K=cfg.swept_k)
+            cfg = dataclasses.replace(
+                cfg, swept_c=int(hair_swept.seg_rows.shape[0]) // cfg.swept_k)
 
         materials = mat.pack_materials(self.materials or
                                        [mat.default_material_row()])
@@ -315,7 +327,7 @@ class SceneBuilder:
                              tri_bvh=tri_bvh, tri_packed=tri_packed,
                              hair=hair,
                              hair_mat_id=hair_mat_id, hair_bvh=hair_bvh,
-                             hair_packed=hair_packed,
+                             hair_packed=hair_packed, hair_swept=hair_swept,
                              materials=materials, checkers=checkers,
                              hair_tables=hair_tables, env=self.env,
                              area=area, delta=delta)

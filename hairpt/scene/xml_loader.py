@@ -253,9 +253,13 @@ def load_scene(path: str, defines: dict | None = None,
         if sam is not None:
             sp = _collect_props(sam, defines)
             spp = sp.get("sampleCount", 16)
-            sampler_kind = 1 if sam.get("type") in ("sobol", "ldsampler",
-                                                    "halton", "hammersley",
-                                                    "stratified") else 0
+            stype_s = sam.get("type", "independent")
+            if stype_s in ("halton", "hammersley"):
+                sampler_kind = 2
+            elif stype_s in ("sobol", "ldsampler", "stratified"):
+                sampler_kind = 1
+            else:
+                sampler_kind = 0
         fm = sensor.find("film")
         w, h, gamma, rfilter = 768, 576, 2.2, "tent"
         if fm is not None:

@@ -134,3 +134,15 @@ def test_interpolated_cdf():
     np.testing.assert_allclose(counts, np.arange(8) / 28.0, atol=0.01)
     p = d.pdf_bin(v, idx)
     np.testing.assert_allclose(np.asarray(p), np.asarray(prob), rtol=1e-4)
+
+
+def test_halton_stratification():
+    pts = rng.halton_2d(jnp.uint32(3), jnp.arange(512, dtype=jnp.uint32), 7)
+    p = np.asarray(pts)
+    assert p.min() >= 0 and p.max() < 1
+    # mean converges much faster than 1/sqrt(n) for a (2,3) Halton set
+    assert np.all(np.abs(p.mean(axis=0) - 0.5) < 0.01), p.mean(axis=0)
+    # base-2 strata of size 1/256 each contain exactly 2 of 512 points
+    strata = np.floor(np.sort(p[:, 0]) * 256).astype(int)
+    counts = np.bincount(strata, minlength=256)
+    assert counts.min() >= 1 and counts.max() <= 3

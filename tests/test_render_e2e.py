@@ -111,3 +111,33 @@ def test_hair_scene_smoke():
     assert img.mean() > 1e-3
     # center (hair) differs from corner (sky)
     assert abs(img[16, 16].mean() - img[0, 0].mean()) > 1e-3
+
+
+def test_ao_and_field_integrators():
+    from hairpt.integrators import aux_integrators as aux
+    b = SceneBuilder()
+    m = b.add_material(kind=mat.DIFFUSE, diffuse=(0.5, 0.5, 0.5),
+                       twosided=True)
+    b.add_mesh(shp.sphere(1.0, 12, 24), m)
+    rot = np.array([[1, 0, 0], [0, 0, 1], [0, -1, 0]], float)
+    floor = np.eye(4)
+    floor[:3, :3] = rot @ np.diag([10.0, 10.0, 1.0])
+    floor[:3, 3] = [0, -1.0, 0]
+    b.add_mesh(shp.rectangle(), m, to_world=floor)
+    b.env = em.make_constant((1.0, 1.0, 1.0))
+    cam = _simple_cam(16, 16, origin=(0, 1.0, -5.0), target=(0, 0, 0))
+    scene = b.build(cam, Film.make(16, 16, "box"), spp=1, max_depth=2)
+
+    ao = np.asarray(aux.render_ao(scene, spp=8))
+    assert np.isfinite(ao).all()
+    # sky pixels fully unoccluded; under-sphere floor partially occluded
+    assert ao.max() > 0.99 and ao.min() < 0.9
+
+    nrm = np.asarray(aux.render_field(scene, "shNormal"))
+    assert np.isfinite(nrm).all()
+    # sphere front normals point towards camera (-z world)
+    assert nrm[8, 8, 2] < -0.5
+    dist = np.asarray(aux.render_field(scene, "distance"))
+    assert dist[8, 8, 0] > 1.0
+    alb = np.asarray(aux.render_field(scene, "albedo"))
+    assert abs(alb[8, 8, 0] - 0.5) < 0.05

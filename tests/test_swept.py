@@ -54,3 +54,33 @@ def test_swept_matches_bruteforce():
 
     occ = sw.swept_any_hit(swept, rays, n_clusters, K, p_max=48, chunk=8)
     np.testing.assert_array_equal(np.asarray(occ)[agree], hit_ref[agree])
+
+
+def test_swept_render_matches_packed():
+    """Full render with traversal='swept' matches traversal='packed'."""
+    import dataclasses
+    import jax.numpy as jnp
+    from hairpt.film.film import Film
+    from hairpt.models import emitters as em
+    from hairpt.models.bsdf import registry as mat
+    from hairpt.models.sensors import Camera
+    from hairpt.core.math import matrix_lookat
+    from hairpt.scene.scene import SceneBuilder
+    from hairpt.integrators import path as path_int
+
+    b = SceneBuilder()
+    m = b.add_material(kind=mat.KAJIYAKAY, diffuse=(0.35, 0.2, 0.05),
+                       specular=(0.2, 0.2, 0.2), exponent=10.0)
+    fs = hairgen.gen_furball(n_fibers=250, n_segs=6, radius=0.02, seed=1,
+                             center=(0, 0, 0), core_r=0.6, fiber_len=0.8)
+    b.add_fibers(fs, m)
+    b.env = em.make_constant((0.8, 0.7, 0.6))
+    cam = Camera.perspective(matrix_lookat((0, 0.5, -4), (0, 0, 0),
+                                           (0, 1, 0)), 45.0, 24, 24)
+    scene = b.build(cam, Film.make(24, 24, "box"), spp=1, max_depth=3,
+                    sampler=1, swept_pmax=64, swept_k=32)
+    img_packed = np.asarray(path_int.render(scene, spp=2))
+    scene_sw = scene._replace(config=dataclasses.replace(
+        scene.config, traversal="swept"))
+    img_swept = np.asarray(path_int.render(scene_sw, spp=2))
+    np.testing.assert_allclose(img_swept, img_packed, rtol=2e-3, atol=2e-3)
