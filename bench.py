@@ -48,14 +48,17 @@ def build_scene(quality: float, res: int, spp: int, depth: int):
         [0, 0, 0, 1]])
     cam = Camera.perspective(cam_to_world, 35.0, res, res)
     return b.build(cam, Film.make(res, res, "tent"), spp=spp,
-                   max_depth=depth, sampler=1)
+                   max_depth=depth, sampler=1,
+                   traversal=os.environ.get("BENCH_TRAVERSAL", "swept"),
+                   swept_k=64, swept_pmax=32, swept_chunk=16)
 
 
 def main():
     quality = float(os.environ.get("BENCH_QUALITY", "1.0"))
-    res = int(os.environ.get("BENCH_RES", "512"))
+    res = int(os.environ.get("BENCH_RES", "256"))
     spp = int(os.environ.get("BENCH_SPP", "4"))
-    depth = int(os.environ.get("BENCH_DEPTH", "16"))
+    depth = int(os.environ.get("BENCH_DEPTH", "8"))
+    traversal = os.environ.get("BENCH_TRAVERSAL", "swept")
 
     import jax
     jax.config.update("jax_compilation_cache_dir",

@@ -1,0 +1,77 @@
+import numpy as np
+import jax.numpy as jnp
+
+from hairpt.core import rng
+from hairpt.models import media as med
+from hairpt.film.film import Film
+from hairpt.models import emitters as em
+from hairpt.models.bsdf import registry as mat
+from hairpt.models.sensors import Camera
+from hairpt.core.math import matrix_lookat
+from hairpt.scene.scene import SceneBuilder
+from hairpt.integrators.volpath import render_volpath
+
+
+def test_hg_phase_normalization_and_sampling():
+    n = 1 << 15
+    g = 0.4
+    wi = jnp.broadcast_to(jnp.asarray([0.0, 0.0, 1.0]), (n, 3))
+    u2 = rng.uniform_2d(jnp.arange(n, dtype=jnp.uint32), 0, 5)
+    wo, pdf = med.phase_sample(med.HG, g, wi, u2)
+    # pdf at the sampled directions equals the eval
+    pe = med.phase_eval(med.HG, g, wi, wo)
+    np.testing.assert_allclose(np.asarray(pdf), np.asarray(pe), rtol=2e-3)
+    # estimator of ∫p dω via importance sampling == 1
+    est = np.mean(np.asarray(pe) / np.asarray(pdf)) * 1.0
+    np.testing.assert_allclose(est, 1.0, rtol=1e-3)
+    # mean cosine equals g (HG property); forward dir is -wi
+    ct = np.asarray(jnp.sum(-wi * wo, axis=-1))
+    np.testing.assert_allclose(ct.mean(), g, atol=0.02)
+
+
+def test_distance_sampling_unbiased():
+    """E[weight · f(surface/medium)] reproduces analytic transmittance."""
+    m = med.make_medium(sigma_s=(0.3, 0.3, 0.3), sigma_a=(0.2, 0.2, 0.2))
+    n = 1 << 16
+    t_max = jnp.full((n,), 2.0)
+    u1 = rng.uniform_1d(jnp.arange(n, dtype=jnp.uint32), 0, 0)
+    u2 = rng.uniform_1d(jnp.arange(n, dtype=jnp.uint32), 0, 1)
+    d, is_med, w = med.sample_distance(m, u1, u2, t_max)
+    # surface-survival estimator: E[w · 1{surface}] == exp(-σt·t_max)
+    w = np.asarray(w)
+    surf = ~np.asarray(is_med)
+    est = (w[:, 0] * surf).mean()
+    ref = np.exp(-0.5 * 2.0)
+    np.testing.assert_allclose(est, ref, rtol=0.02)
+
+
+def test_volpath_fog_furnace():
+    """Scattering-only fog (albedo 1) in a uniform furnace stays at the
+    environment radiance (energy conservation through the medium)."""
+    b = SceneBuilder()
+    b.add_material(kind=mat.DIFFUSE)  # unused but table must exist
+    b.env = em.make_constant((1.0, 1.0, 1.0))
+    cam = Camera.perspective(matrix_lookat((0, 0, -3), (0, 0, 0), (0, 1, 0)),
+                             45.0, 12, 12)
+    scene = b.build(cam, Film.make(12, 12, "box"), spp=1, max_depth=16,
+                    rr_depth=64, sampler=1)
+    medium = med.make_medium(sigma_s=(0.4, 0.4, 0.4),
+                             sigma_a=(0.0, 0.0, 0.0), g=0.2, fog_depth=3.0)
+    img = np.asarray(render_volpath(scene, medium, spp=24))
+    assert np.isfinite(img).all()
+    np.testing.assert_allclose(img.mean(), 1.0, atol=0.08)
+
+
+def test_volpath_absorbing_fog_darkens():
+    b = SceneBuilder()
+    b.add_material(kind=mat.DIFFUSE)
+    b.env = em.make_constant((1.0, 1.0, 1.0))
+    cam = Camera.perspective(matrix_lookat((0, 0, -3), (0, 0, 0), (0, 1, 0)),
+                             45.0, 8, 8)
+    scene = b.build(cam, Film.make(8, 8, "box"), spp=1, max_depth=8,
+                    sampler=1)
+    medium = med.make_medium(sigma_s=(0.0, 0.0, 0.0),
+                             sigma_a=(0.5, 0.5, 0.5), fog_depth=2.0)
+    img = np.asarray(render_volpath(scene, medium, spp=32))
+    # pure absorption through a 2-unit slab: L = exp(-0.5*2) = 0.368
+    np.testing.assert_allclose(img.mean(), np.exp(-1.0), rtol=0.06)
