@@ -128,12 +128,46 @@ def main():
     except Exception as e:  # png output is best-effort
         print(f"[bench] png write failed: {e}", file=sys.stderr)
 
+    # like-for-like closest-hit query (the same workload the measured CPU
+    # baseline runs: camera rays, full furball) for the vs_baseline ratio
+    from hairpt.models import sensors as sens_mod
+    from hairpt.ops import intersect_swept as sw_mod
+    pix = jnp.arange(n_pix, dtype=jnp.uint32)
+    cpos = jnp.stack([(pix % res).astype(jnp.float32) + 0.5,
+                      (pix // res).astype(jnp.float32) + 0.5], -1)
+    cray = sens_mod.sample_ray(scene.camera, cpos, None)
+    ccfg = scene.config
+    f_ch = jax.jit(lambda s, r: sw_mod.swept_closest_hit(
+        s, r, ccfg.swept_c, ccfg.swept_k, p_max=ccfg.swept_pmax,
+        chunk=ccfg.swept_chunk))
+    sw = scene.arrays.hair_swept
+    t, _ = f_ch(sw, cray)
+    jax.block_until_ready(t)
+    t0 = time.time()
+    reps = 5
+    for _ in range(reps):
+        t, _ = f_ch(sw, cray)
+    jax.block_until_ready(t)
+    closest_mrays = reps * n_pix / (time.time() - t0) / 1e6
+    print(f"[bench] closest-hit (like-for-like): {closest_mrays:.3f} Mrays/s",
+          file=sys.stderr)
+
+    cpu_mrays = PROVISIONAL_CPU_BASELINE_MRAYS
+    cpu_note = "provisional_cpu_2Mrays"
+    bl_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                           "BASELINE_CPU.json")
+    if os.path.exists(bl_path):
+        with open(bl_path) as f:
+            cpu = json.load(f)
+        cpu_mrays = cpu["cpu_mrays"]
+        cpu_note = f"measured_native_cpu_{cpu.get('threads', '?')}threads"
+
     print(json.dumps({
-        "metric": "furball_fwd_Mrays_per_s_per_chip"
-                  "_vs_provisional_cpu_2Mrays",
+        "metric": "furball_fwd_path_Mrays_per_s_per_chip"
+                  f"_closesthit_{closest_mrays:.2f}_vs_{cpu_note}",
         "value": round(mrays, 3),
         "unit": "Mrays/s",
-        "vs_baseline": round(mrays / PROVISIONAL_CPU_BASELINE_MRAYS, 3),
+        "vs_baseline": round(closest_mrays / cpu_mrays, 3),
     }))
 
 

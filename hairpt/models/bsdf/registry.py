@@ -67,11 +67,16 @@ class MaterialTable(NamedTuple):
 
 
 class CheckerboardTable(NamedTuple):
-    """Procedural texture parameters (reference: src/textures/checkerboard.cpp)."""
+    """Texture table: procedural checkerboards + bitmaps resampled to a
+    common resolution (reference: src/textures/{checkerboard,bitmap}.cpp;
+    trilinear mipmapping is a roadmap item — bilinear at a fixed resolution
+    here)."""
+    kind: jnp.ndarray    # [T] 0 = checkerboard, 1 = bitmap
     color0: jnp.ndarray  # [T, 3]
     color1: jnp.ndarray  # [T, 3]
     uv_scale: jnp.ndarray   # [T, 2]
     uv_offset: jnp.ndarray  # [T, 2]
+    bitmaps: jnp.ndarray    # [T, R, R, 3] (zeros for checkers)
 
 
 class HairTables(NamedTuple):
@@ -138,10 +143,29 @@ def eval_checkerboard(tex: CheckerboardTable, tex_id, uv, base):
     tid = jnp.maximum(tex_id, 0)
     scale = tex.uv_scale[tid]
     off = tex.uv_offset[tid]
-    x = jnp.floor(uv[..., 0] * scale[..., 0] + off[..., 0]).astype(jnp.int32)
-    y = jnp.floor(uv[..., 1] * scale[..., 1] + off[..., 1]).astype(jnp.int32)
+    su = uv[..., 0] * scale[..., 0] + off[..., 0]
+    sv = uv[..., 1] * scale[..., 1] + off[..., 1]
+    # checkerboard
+    x = jnp.floor(su).astype(jnp.int32)
+    y = jnp.floor(sv).astype(jnp.int32)
     par = (x + y) % 2 == 0
-    val = jnp.where(par[..., None], tex.color0[tid], tex.color1[tid])
+    val_ck = jnp.where(par[..., None], tex.color0[tid], tex.color1[tid])
+    # bitmap (bilinear, repeat wrap; v flipped as in the reference)
+    r = tex.bitmaps.shape[1]
+    fu = jnp.mod(su, 1.0) * r - 0.5
+    fv = jnp.mod(1.0 - jnp.mod(sv, 1.0), 1.0) * r - 0.5
+    x0 = jnp.floor(fu).astype(jnp.int32)
+    y0 = jnp.floor(fv).astype(jnp.int32)
+    wx = (fu - x0)[..., None]
+    wy = (fv - y0)[..., None]
+    x0m = jnp.mod(x0, r); x1m = jnp.mod(x0 + 1, r)
+    y0m = jnp.mod(y0, r); y1m = jnp.mod(y0 + 1, r)
+    bm = tex.bitmaps
+    val_bm = ((bm[tid, y0m, x0m] * (1 - wx) + bm[tid, y0m, x1m] * wx)
+              * (1 - wy)
+              + (bm[tid, y1m, x0m] * (1 - wx) + bm[tid, y1m, x1m] * wx)
+              * wy)
+    val = jnp.where((tex.kind[tid] == 1)[..., None], val_bm, val_ck)
     return jnp.where((tex_id >= 0)[..., None], val, base)
 
 

@@ -146,8 +146,20 @@ class SceneBuilder:
 
     def add_checkerboard(self, color0, color1, uscale=1.0, vscale=1.0,
                          uoffset=0.0, voffset=0.0) -> int:
-        self.checkers.append((color0, color1, (uscale, vscale),
-                              (uoffset, voffset)))
+        self.checkers.append((0, color0, color1, (uscale, vscale),
+                              (uoffset, voffset), None))
+        return len(self.checkers) - 1
+
+    def add_bitmap_texture(self, image, uscale=1.0, vscale=1.0,
+                           uoffset=0.0, voffset=0.0, res=256) -> int:
+        """image: [H, W, 3] linear float; resampled to res x res."""
+        img = np.asarray(image, np.float32)
+        ys = (np.arange(res) + 0.5) / res * img.shape[0]
+        xs = (np.arange(res) + 0.5) / res * img.shape[1]
+        img_r = img[np.clip(ys.astype(int), 0, img.shape[0] - 1)][
+            :, np.clip(xs.astype(int), 0, img.shape[1] - 1)]
+        self.checkers.append((1, (0, 0, 0), (0, 0, 0), (uscale, vscale),
+                              (uoffset, voffset), img_r))
         return len(self.checkers) - 1
 
     # -- geometry ----------------------------------------------------------
@@ -269,15 +281,24 @@ class SceneBuilder:
                                        [mat.default_material_row()])
         checkers = None
         if self.checkers:
+            res = max([c[5].shape[0] for c in self.checkers
+                       if c[5] is not None], default=4)
+            bitmaps = np.zeros((len(self.checkers), res, res, 3),
+                               np.float32)
+            for i, c in enumerate(self.checkers):
+                if c[5] is not None:
+                    bitmaps[i] = c[5]
             checkers = mat.CheckerboardTable(
-                color0=jnp.asarray([c[0] for c in self.checkers],
+                kind=jnp.asarray([c[0] for c in self.checkers], jnp.int32),
+                color0=jnp.asarray([c[1] for c in self.checkers],
                                    jnp.float32),
-                color1=jnp.asarray([c[1] for c in self.checkers],
+                color1=jnp.asarray([c[2] for c in self.checkers],
                                    jnp.float32),
-                uv_scale=jnp.asarray([c[2] for c in self.checkers],
+                uv_scale=jnp.asarray([c[3] for c in self.checkers],
                                      jnp.float32),
-                uv_offset=jnp.asarray([c[3] for c in self.checkers],
-                                      jnp.float32))
+                uv_offset=jnp.asarray([c[4] for c in self.checkers],
+                                      jnp.float32),
+                bitmaps=jnp.asarray(bitmaps))
 
         hair_tables = None
         if self.hair_aux:

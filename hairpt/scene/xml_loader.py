@@ -129,7 +129,8 @@ def _parse_transform(node) -> np.ndarray:
     return m
 
 
-def _material_row_from_bsdf(node, defines, builder: SceneBuilder):
+def _material_row_from_bsdf(node, defines, builder: SceneBuilder,
+                            scene_dir: str = ""):
     """Translate a <bsdf> element (possibly twosided-wrapped) into a
     material row + optional checkerboard texture."""
     twosided = False
@@ -183,7 +184,7 @@ def _material_row_from_bsdf(node, defines, builder: SceneBuilder):
         if btype == "mirror":
             row["eta"] = 1e4  # F → 1
 
-    # checkerboard texture child (teapot floor)
+    # texture children (teapot floor checkerboard; bitmap textures)
     tex = node.find("texture")
     if tex is not None and tex.get("type") == "checkerboard":
         tp = _collect_props(tex, defines)
@@ -193,6 +194,33 @@ def _material_row_from_bsdf(node, defines, builder: SceneBuilder):
             uscale=tp.get("uscale", 1.0), vscale=tp.get("vscale", 1.0),
             uoffset=tp.get("uoffset", 0.0), voffset=tp.get("voffset", 0.0))
         row["tex_id"] = tid
+    elif tex is not None and tex.get("type") == "bitmap":
+        tp = _collect_props(tex, defines)
+        fname = tp.get("filename", "")
+        img = None
+        if fname and not os.path.isabs(fname):
+            cand = os.path.join(scene_dir, fname)
+            if os.path.exists(cand):
+                fname = cand
+        if fname and os.path.exists(fname):
+            if fname.lower().endswith(".hdr"):
+                img = io_utils.read_hdr(fname)
+            elif fname.lower().endswith(".pfm"):
+                img = io_utils.read_pfm(fname)
+            else:
+                try:
+                    from PIL import Image
+                    arr = np.asarray(Image.open(fname).convert("RGB"),
+                                     np.float32) / 255.0
+                    img = arr ** 2.2
+                except Exception:
+                    img = None
+        if img is not None:
+            row["tex_id"] = builder.add_bitmap_texture(
+                img, uscale=tp.get("uscale", 1.0),
+                vscale=tp.get("vscale", 1.0),
+                uoffset=tp.get("uoffset", 0.0),
+                voffset=tp.get("voffset", 0.0))
     return row
 
 
@@ -283,7 +311,7 @@ def load_scene(path: str, defines: dict | None = None,
     # materials by id
     mat_ids = {}
     for bsdf in root.findall("bsdf"):
-        row = _material_row_from_bsdf(bsdf, defines, b)
+        row = _material_row_from_bsdf(bsdf, defines, b, scene_dir)
         mat_ids[bsdf.get("id")] = b.add_material(**row)
 
     # shapes
@@ -301,7 +329,8 @@ def load_scene(path: str, defines: dict | None = None,
             inline = shape.find("bsdf")
             if inline is not None:
                 mid = b.add_material(
-                    **_material_row_from_bsdf(inline, defines, b))
+                    **_material_row_from_bsdf(inline, defines, b,
+                                              scene_dir))
         if mid is None:
             mid = b.add_material(kind=mat.DIFFUSE)
         # emissive?

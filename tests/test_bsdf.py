@@ -206,3 +206,21 @@ def test_rough_dielectric_energy():
     power_w = w[:, 0] * np.where(np.asarray(eta_s) != 1.0, eta_sq, 1.0)
     mean_w = power_w[ok].mean()
     assert 0.75 < mean_w < 1.1, mean_w  # VNDF weights ≈ G2/G1 ≤ 1
+
+
+def test_bitmap_texture_eval():
+    import numpy as _np
+    img = _np.zeros((8, 8, 3), _np.float32)
+    img[:, :4] = [1.0, 0.0, 0.0]   # left half red
+    img[:, 4:] = [0.0, 1.0, 0.0]   # right half green
+    tex = R.CheckerboardTable(
+        kind=jnp.asarray([1], jnp.int32),
+        color0=jnp.zeros((1, 3)), color1=jnp.zeros((1, 3)),
+        uv_scale=jnp.ones((1, 2)), uv_offset=jnp.zeros((1, 2)),
+        bitmaps=jnp.asarray(img[None]))
+    uv = jnp.asarray([[0.2, 0.5], [0.8, 0.5]], jnp.float32)
+    out = R.eval_checkerboard(tex, jnp.asarray([0, 0], jnp.int32), uv,
+                              jnp.zeros((2, 3)))
+    o = np.asarray(out)
+    assert o[0, 0] > 0.9 and o[0, 1] < 0.1   # red at u=0.2
+    assert o[1, 1] > 0.9 and o[1, 0] < 0.1   # green at u=0.8
