@@ -50,7 +50,7 @@ def build_scene(quality: float, res: int, spp: int, depth: int):
     return b.build(cam, Film.make(res, res, "tent"), spp=spp,
                    max_depth=depth, sampler=1,
                    traversal=os.environ.get("BENCH_TRAVERSAL", "swept"),
-                   swept_k=64, swept_pmax=32, swept_chunk=16)
+                   swept_k=128, swept_pmax=24, swept_chunk=64)
 
 
 def main():

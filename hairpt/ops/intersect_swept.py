@@ -46,6 +46,7 @@ class SweptHair(NamedTuple):
     cl_lo: jnp.ndarray      # [C, 3] cluster bounds (dense phase-A sweep)
     cl_hi: jnp.ndarray      # [C, 3]
     seg_rows: jnp.ndarray   # [C * K, PRIM_F] cluster-major packed segments
+    seg_rows_t: jnp.ndarray  # [C, PRIM_F, K] transposed (pallas DMA layout)
     # static geometry of the layout (python ints kept out of the pytree):
     # K = seg_rows.shape[0] // n_clusters is carried via shapes below
     cluster_count: jnp.ndarray  # [] int32 == C (device scalar, unused in jit)
@@ -106,10 +107,12 @@ def build_swept_hair(p0, p1, n0, n1, radius, K: int = 64) -> SweptHair:
     nodes[:, 3:6] = fb.node_max
     nodes[:, 6] = _bitcast_i2f(meta.astype(np.int32))
     nodes[:, 7] = _bitcast_i2f(fb.node_skip)
+    rows_t = rows.reshape(C, K, PRIM_F).transpose(0, 2, 1).copy()
     return SweptHair(nodes=jnp.asarray(nodes),
                      cl_lo=jnp.asarray(cl_lo[corder], jnp.float32),
                      cl_hi=jnp.asarray(cl_hi[corder], jnp.float32),
                      seg_rows=jnp.asarray(rows),
+                     seg_rows_t=jnp.asarray(rows_t),
                      cluster_count=jnp.int32(C))
 
 
@@ -158,6 +161,21 @@ def _phase_a_dense(sw: SweptHair, ray: Ray, p_max: int,
         merged_t = jnp.concatenate([cand_t, t_enter], axis=1)
         merged_i = jnp.concatenate(
             [cand_i, jnp.broadcast_to(ids[None], t_enter.shape)], axis=1)
+        if n_chunks == 1:
+            # single chunk: extract hit slots with masked min-reduces —
+            # far cheaper than a top_k sort. Overflow (> p_max hits) drops
+            # the highest cluster indices.
+            rank = jnp.cumsum(hit.astype(jnp.int32), axis=1)     # [N, Cc]
+            col = jnp.broadcast_to(ids[None], hit.shape)
+            BIGI = jnp.int32(2 ** 30)
+            slots = []
+            for j in range(p_max):
+                sel = hit & (rank == j + 1)
+                slots.append(jnp.min(jnp.where(sel, col, BIGI), axis=1))
+            cand_i = jnp.stack(slots, axis=1)
+            cand_i = jnp.where(cand_i >= BIGI, -1, cand_i)
+            cnt = jnp.minimum(rank[:, -1], p_max)
+            return cand_i, cnt
         neg_t, top_idx = jax.lax.top_k(-merged_t, p_max)
         cand_t = -neg_t
         cand_i = jnp.take_along_axis(merged_i, top_idx, axis=1)
@@ -269,11 +287,14 @@ def _hair_test_chunk(rows, o, d, mint, maxt):
 
 
 def swept_closest_hit(sw: SweptHair, ray: Ray, n_clusters: int, K: int,
-                      p_max: int = 24, chunk: int = 16):
+                      p_max: int = 24, chunk: int = 16, impl: str = "auto"):
     """Returns (t [N], original_prim_id [N]).
 
     n_clusters, K: static layout ints (seg_rows is [n_clusters*K, PRIM_F]).
+    impl: 'pallas' (explicit-DMA phase-B kernel, TPU), 'xla', or 'auto'.
     """
+    if impl == "auto":
+        impl = "pallas" if jax.default_backend() == "tpu" else "xla"
     N = ray.o.shape[0]
     slots, cnt = _phase_a_dense(sw, ray, p_max)   # [N, P], [N]
 
@@ -319,19 +340,34 @@ def swept_closest_hit(sw: SweptHair, ray: Ray, n_clusters: int, K: int,
     ray_mint = ray.mint
     ray_maxt = ray.maxt
 
-    def do_chunk(c_cluster, c_rays):
-        rows = jax.lax.dynamic_slice(
-            sw.seg_rows, (jnp.maximum(c_cluster, 0) * K, 0), (K, PRIM_F))
-        ridx = jnp.maximum(c_rays, 0)
-        o = ray_o[ridx]
-        d = ray_d[ridx]
-        mint = ray_mint[ridx]
-        maxt = ray_maxt[ridx]
-        tb, pb = _hair_test_chunk(rows, o, d, mint, maxt)
-        live = (c_rays >= 0) & (c_cluster >= 0)
-        return jnp.where(live, tb, jnp.inf), jnp.where(live, pb, -1)
+    if impl == "pallas":
+        from .pallas_phaseb import phase_b_pallas
+        ridx = jnp.maximum(cr, 0)
+        rays8 = jnp.stack([
+            ray_o[ridx][..., 0], ray_o[ridx][..., 1], ray_o[ridx][..., 2],
+            ray_d[ridx][..., 0], ray_d[ridx][..., 1], ray_d[ridx][..., 2],
+            ray_mint[ridx],
+            # dead lanes get maxt = -1 so nothing can hit
+            jnp.where(cr >= 0, ray_maxt[ridx], -1.0),
+        ], axis=1)                                     # [n_chunks, 8, CH]
+        t_chunks, p_chunks = phase_b_pallas(
+            cc, rays8, sw.seg_rows_t, K,
+            interpret=(jax.default_backend() != "tpu"))
+    else:
+        def do_chunk(c_cluster, c_rays):
+            rows = jax.lax.dynamic_slice(
+                sw.seg_rows, (jnp.maximum(c_cluster, 0) * K, 0),
+                (K, PRIM_F))
+            ridx = jnp.maximum(c_rays, 0)
+            o = ray_o[ridx]
+            d = ray_d[ridx]
+            mint = ray_mint[ridx]
+            maxt = ray_maxt[ridx]
+            tb, pb = _hair_test_chunk(rows, o, d, mint, maxt)
+            live = (c_rays >= 0) & (c_cluster >= 0)
+            return jnp.where(live, tb, jnp.inf), jnp.where(live, pb, -1)
 
-    t_chunks, p_chunks = jax.vmap(do_chunk)(cc, cr)     # [n_chunks, chunk]
+        t_chunks, p_chunks = jax.vmap(do_chunk)(cc, cr)  # [n_chunks, chunk]
     t_flat = t_chunks.reshape(n_padded)
     p_flat = p_chunks.reshape(n_padded)
 
@@ -340,7 +376,9 @@ def swept_closest_hit(sw: SweptHair, ray: Ray, n_clusters: int, K: int,
     p_sorted = p_flat[jnp.where(valid_pair, dest, n_padded - 1)]
     t_sorted = jnp.where(valid_pair, t_sorted, jnp.inf)
     p_sorted = jnp.where(valid_pair, p_sorted, -1)
-    inv = jnp.argsort(order)
+    # inverse permutation via scatter (cheaper than a second argsort)
+    inv = jnp.zeros((P,), jnp.int32).at[order].set(
+        jnp.arange(P, dtype=jnp.int32))
     t_pairs = t_sorted[inv].reshape(N, p_max)
     p_pairs = p_sorted[inv].reshape(N, p_max)
 

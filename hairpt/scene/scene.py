@@ -76,10 +76,10 @@ class RenderConfig:
     env_prob: float = 1.0      # NEE probability of picking the environment
     traversal: str = "packed"  # 'packed' | 'swept' | 'perray' | 'blocked'
     block: int = 256           # rays per block ('blocked' mode only)
-    swept_k: int = 64          # segments per cluster ('swept' hair mode)
+    swept_k: int = 128         # segments per cluster ('swept' hair mode)
     swept_c: int = 0           # cluster count (filled at build)
     swept_pmax: int = 24       # phase-A candidate clusters per ray
-    swept_chunk: int = 16      # pairs per phase-B chunk
+    swept_chunk: int = 64      # pairs per phase-B chunk
     nee_probs: tuple = (1.0, 0.0, 0.0)  # (env, area, delta) selection probs
 
 

@@ -84,3 +84,19 @@ def test_swept_render_matches_packed():
         scene.config, traversal="swept"))
     img_swept = np.asarray(path_int.render(scene_sw, spp=2))
     np.testing.assert_allclose(img_swept, img_packed, rtol=2e-3, atol=2e-3)
+
+
+def test_swept_pallas_interpret_matches_xla():
+    """Pallas phase-B kernel (interpret mode on CPU) == XLA phase B."""
+    (p0, p1, n0, n1, rad), rays = _geom_and_rays(n_fibers=120, n_rays=512)
+    K = 32
+    swept = sw.build_swept_hair(p0, p1, n0, n1, rad, K=K)
+    C = int(swept.seg_rows.shape[0]) // K
+    t_x, p_x = sw.swept_closest_hit(swept, rays, C, K, p_max=48, chunk=8,
+                                    impl="xla")
+    t_p, p_p = sw.swept_closest_hit(swept, rays, C, K, p_max=48, chunk=8,
+                                    impl="pallas")
+    np.testing.assert_array_equal(np.asarray(p_x), np.asarray(p_p))
+    m = np.asarray(p_x) >= 0
+    np.testing.assert_allclose(np.asarray(t_x)[m], np.asarray(t_p)[m],
+                               rtol=1e-5)
