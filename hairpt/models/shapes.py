@@ -326,3 +326,58 @@ def compute_smooth_normals(mesh: Mesh) -> Mesh:
     ln = np.linalg.norm(normals, axis=-1, keepdims=True)
     normals = normals / np.maximum(ln, 1e-12)
     return Mesh(pos, normals, mesh.uvs, mesh.faces)
+
+
+def load_serialized(path: str, shape_index: int = 0) -> Mesh:
+    """Mitsuba `.serialized` mesh format (reference:
+    src/librender/trimesh.cpp:175-300 loadCompressed — little-endian header
+    0x041C + version, zlib-compressed body with flags/counts/attribute
+    blocks, end-of-file offset dictionary for multi-shape files)."""
+    import zlib
+    with open(path, "rb") as f:
+        data = f.read()
+    fmt, version = np.frombuffer(data[:4], "<u2")
+    if fmt != 0x041C:
+        raise ValueError(f"not a .serialized file: {path}")
+    offset = 0
+    if shape_index != 0:
+        count = int(np.frombuffer(data[-4:], "<u4")[0])
+        if version == 0x0004:
+            table = np.frombuffer(data[-4 - 8 * count:-4], "<u8")
+        else:
+            table = np.frombuffer(data[-4 - 4 * count:-4], "<u4")
+        offset = int(table[shape_index])
+    body = zlib.decompress(data[offset + 4:])
+
+    pos = 0
+
+    def take(n):
+        nonlocal pos
+        out = body[pos:pos + n]
+        pos += n
+        return out
+
+    flags = int(np.frombuffer(take(4), "<u4")[0])
+    if version == 0x0004:
+        end = body.index(b"\0", pos)
+        pos = end + 1
+    n_vert = int(np.frombuffer(take(8), "<u8")[0])
+    n_tri = int(np.frombuffer(take(8), "<u8")[0])
+    double = bool(flags & 0x2000)
+    ftype, fsize = ("<f8", 8) if double else ("<f4", 4)
+
+    def farr(n):
+        return np.frombuffer(take(n * fsize), ftype).astype(np.float64)
+
+    positions = farr(n_vert * 3).reshape(-1, 3)
+    normals = None
+    if flags & 0x0001:
+        normals = farr(n_vert * 3).reshape(-1, 3)
+    uvs = None
+    if flags & 0x0002:
+        uvs = farr(n_vert * 2).reshape(-1, 2)
+    if flags & 0x0008:
+        farr(n_vert * 3)  # vertex colors (unused)
+    faces = np.frombuffer(take(n_tri * 12), "<u4").astype(
+        np.int32).reshape(-1, 3)
+    return Mesh(positions, normals, uvs, faces)

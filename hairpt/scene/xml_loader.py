@@ -179,10 +179,25 @@ def _material_row_from_bsdf(node, defines, builder: SceneBuilder,
         row["scale_tilt"] = -0.1
         row.setdefault("specular", (0.5, 0.5, 0.5))
         row.setdefault("transmit", (0.5, 0.5, 0.5))
-    if btype in ("conductor", "mirror"):
-        row["k"] = (0.0, 0.0, 0.0) if btype == "mirror" else (3.9, 2.45, 2.14)
+    if btype in ("conductor", "mirror", "roughconductor"):
+        # named conductor presets: (eta_avg, k rgb) sampled at R/G/B
+        # wavelengths (reference ships spectral .spd tables; these are the
+        # standard rgb-averaged values)
+        presets = {
+            "Cu": (0.95, (3.9, 2.45, 2.14)),
+            "Au": (0.40, (2.82, 2.35, 1.77)),
+            "Ag": (0.14, (4.16, 3.44, 2.56)),
+            "Al": (1.35, (7.47, 6.40, 5.30)),
+            "Cr": (3.18, (3.33, 3.33, 3.33)),
+            "none": (1e4, (0.0, 0.0, 0.0)),
+        }
+        name = p.get("material", "Cu")
+        eta_c, k_c = presets.get(name, presets["Cu"])
+        row["eta"] = eta_c
+        row["k"] = k_c
         if btype == "mirror":
             row["eta"] = 1e4  # F → 1
+            row["k"] = (0.0, 0.0, 0.0)
 
     # texture children (teapot floor checkerboard; bitmap textures)
     tex = node.find("texture")
@@ -315,6 +330,7 @@ def load_scene(path: str, defines: dict | None = None,
         mat_ids[bsdf.get("id")] = b.add_material(**row)
 
     # shapes
+    shape_groups = {}
     for shape in root.findall("shape"):
         stype = shape.get("type")
         p = _collect_props(shape, defines)
@@ -360,8 +376,13 @@ def load_scene(path: str, defines: dict | None = None,
         elif stype in ("obj", "ply", "serialized"):
             fname = os.path.join(scene_dir, p.get("filename", ""))
             if os.path.exists(fname):
-                mesh = shp.load_obj(fname) if stype == "obj" \
-                    else shp.load_ply_ascii(fname)
+                if stype == "obj":
+                    mesh = shp.load_obj(fname)
+                elif stype == "ply":
+                    mesh = shp.load_ply_ascii(fname)
+                else:
+                    mesh = shp.load_serialized(fname,
+                                               p.get("shapeIndex", 0))
                 if mesh.normals is None and p.get("faceNormals", False) \
                         is False:
                     mesh = shp.compute_smooth_normals(mesh)
@@ -369,6 +390,41 @@ def load_scene(path: str, defines: dict | None = None,
                 mesh = shp.teapot_standin()
                 mesh = shp.compute_smooth_normals(mesh)
             b.add_mesh(mesh, mid, to_world=to_world, radiance=radiance)
+        elif stype == "shapegroup":
+            # collect child meshes for later instancing
+            group = []
+            for child in shape.findall("shape"):
+                cp = _collect_props(child, defines)
+                ctype = child.get("type")
+                cmesh = None
+                if ctype == "rectangle":
+                    cmesh = shp.rectangle()
+                elif ctype == "sphere":
+                    cmesh = shp.sphere(cp.get("radius", 1.0))
+                elif ctype == "cube":
+                    cmesh = shp.cube()
+                elif ctype in ("obj", "ply", "serialized"):
+                    fn = os.path.join(scene_dir, cp.get("filename", ""))
+                    if os.path.exists(fn):
+                        cmesh = shp.load_obj(fn) if ctype == "obj" else (
+                            shp.load_ply_ascii(fn) if ctype == "ply"
+                            else shp.load_serialized(fn))
+                if cmesh is not None:
+                    ctr = child.find("transform")
+                    if ctr is not None:
+                        cmesh = shp.transform_mesh(cmesh,
+                                                   _parse_transform(ctr))
+                    cref = child.find("ref")
+                    cmid = mat_ids.get(cref.get("id")) if cref is not None \
+                        else mid
+                    group.append((cmesh, cmid if cmid is not None else mid))
+            shape_groups[shape.get("id")] = group
+        elif stype == "instance":
+            gref = shape.find("ref")
+            group = shape_groups.get(gref.get("id") if gref is not None
+                                     else None, [])
+            for cmesh, cmid in group:
+                b.add_mesh(cmesh, cmid, to_world=to_world)
         elif stype == "rectangle":
             b.add_mesh(shp.rectangle(), mid, to_world=to_world,
                        radiance=radiance)
