@@ -10,6 +10,7 @@ radiance (covering the fork's mfilm .npy capability, src/films/mfilm.cpp:347).
 from __future__ import annotations
 
 import argparse
+import os
 import sys
 import time
 
@@ -30,11 +31,19 @@ def main(argv=None):
     r.add_argument("--seed", type=int, default=0)
     r.add_argument("--cpu", action="store_true",
                    help="force the CPU backend")
+    r.add_argument("--integrator", default=None,
+                   help="override: path | direct | ao | field:<name> "
+                        "(field names: distance, position, geoNormal, "
+                        "shNormal, uv, albedo, primIndex)")
     args = ap.parse_args(argv)
 
+    import jax
     if args.cpu:
-        import jax
         jax.config.update("jax_platforms", "cpu")
+    cache = os.path.join(os.path.dirname(os.path.abspath(__file__)), "..",
+                         ".jax_cache")
+    jax.config.update("jax_compilation_cache_dir", os.path.abspath(cache))
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
     from .scene.xml_loader import load_scene
     from .integrators import path as path_int
@@ -51,7 +60,19 @@ def main(argv=None):
           f"({scene.config.width}x{scene.config.height} @ {scene.config.spp}"
           f"spp, depth {scene.config.max_depth})", file=sys.stderr)
 
-    img = np.asarray(path_int.render(scene, seed=args.seed))
+    integ = args.integrator or "path"
+    if integ == "ao":
+        from .integrators import aux_integrators as aux
+        img = np.asarray(aux.render_ao(scene, spp=scene.config.spp))
+    elif integ == "direct":
+        from .integrators import aux_integrators as aux
+        img = np.asarray(aux.render_direct(scene, seed=args.seed))
+    elif integ.startswith("field"):
+        from .integrators import aux_integrators as aux
+        name = integ.split(":", 1)[1] if ":" in integ else "shNormal"
+        img = np.asarray(aux.render_field(scene, name))
+    else:
+        img = np.asarray(path_int.render(scene, seed=args.seed))
     t2 = time.time()
     n_rays_lb = scene.config.width * scene.config.height * scene.config.spp
     print(f"[hairpt] rendered in {t2 - t1:.2f}s "
