@@ -117,3 +117,50 @@ def render_field(scene: Scene, field: str = "shNormal", spp: int = 1):
     for s in range(spp):
         image, weight = wave(scene.arrays, jnp.uint32(s), image, weight)
     return film_mod.develop(image, weight)
+
+
+def render_adaptive(scene: Scene, base_spp: int = 8, extra_spp: int = 24,
+                    fraction: float = 0.25, seed: int = 0):
+    """Adaptive sampling (reference: src/integrators/misc/adaptive.cpp):
+    after a base pass, the noisiest `fraction` of pixels — by a two-buffer
+    variance estimate — receive `extra_spp` additional samples. Wavefront
+    formulation: the refinement pass is a fixed-size top-K pixel subset, so
+    shapes stay static for jit."""
+    cfg = scene.config
+    fl = scene.film
+    n_pix = cfg.width * cfg.height
+    li = path_int.make_li_fn(scene)
+
+    @jax.jit
+    def wave(arrs, pixel_idx, sample_id, image, weight):
+        sample_idx = jnp.full(pixel_idx.shape, sample_id, jnp.uint32)
+        radiance, pos, _ = li(arrs, pixel_idx, sample_idx)
+        radiance = jnp.nan_to_num(radiance, nan=0.0, posinf=0.0, neginf=0.0)
+        return film_mod.splat_samples(fl, pos, radiance, image, weight)
+
+    all_pix = jnp.arange(n_pix, dtype=jnp.uint32)
+    img_a, wt_a = film_mod.zeros(fl)
+    img_b, wt_b = film_mod.zeros(fl)
+    half = max(base_spp // 2, 1)
+    for s in range(half):
+        img_a, wt_a = wave(scene.arrays, all_pix,
+                           jnp.uint32(s + seed * 65536), img_a, wt_a)
+    for s in range(half, 2 * half):
+        img_b, wt_b = wave(scene.arrays, all_pix,
+                           jnp.uint32(s + seed * 65536), img_b, wt_b)
+
+    a = film_mod.develop(img_a, wt_a)
+    b = film_mod.develop(img_b, wt_b)
+    # two-buffer variance proxy, relative to brightness (tonemapped-ish)
+    err = jnp.sum(jnp.abs(a - b), axis=-1) \
+        / jnp.maximum(jnp.sum(a + b, axis=-1), 1e-3)
+    k = max(int(n_pix * fraction), 1)
+    _, hot = jax.lax.top_k(err.reshape(-1), k)
+    hot = hot.astype(jnp.uint32)
+
+    image = img_a + img_b
+    weight = wt_a + wt_b
+    for s in range(2 * half, 2 * half + extra_spp):
+        image, weight = wave(scene.arrays, hot,
+                             jnp.uint32(s + seed * 65536), image, weight)
+    return film_mod.develop(image, weight)

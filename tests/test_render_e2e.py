@@ -141,3 +141,19 @@ def test_ao_and_field_integrators():
     assert dist[8, 8, 0] > 1.0
     alb = np.asarray(aux.render_field(scene, "albedo"))
     assert abs(alb[8, 8, 0] - 0.5) < 0.05
+
+
+def test_adaptive_sampling():
+    from hairpt.integrators import aux_integrators as aux
+    b = SceneBuilder()
+    m = b.add_material(kind=mat.DIFFUSE, diffuse=(0.6, 0.6, 0.6),
+                       twosided=True)
+    b.add_mesh(shp.sphere(1.0, 12, 24), m)
+    b.env = em.make_constant((1.0, 1.0, 1.0))
+    cam = _simple_cam(16, 16, origin=(0, 0, -5.0), target=(0, 0, 0))
+    scene = b.build(cam, Film.make(16, 16, "box"), spp=1, max_depth=4,
+                    strict_normals=False)
+    img = np.asarray(aux.render_adaptive(scene, base_spp=4, extra_spp=8))
+    assert np.isfinite(img).all()
+    # furnace: everything ~1 regardless of sample allocation
+    np.testing.assert_allclose(img.mean(), 1.0, atol=0.08)
