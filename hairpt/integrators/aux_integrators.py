@@ -164,3 +164,19 @@ def render_adaptive(scene: Scene, base_spp: int = 8, extra_spp: int = 24,
         image, weight = wave(scene.arrays, hot,
                              jnp.uint32(s + seed * 65536), image, weight)
     return film_mod.develop(image, weight)
+
+
+def render_multichannel(scene: Scene, channels=("radiance", "shNormal",
+                                                "distance", "albedo"),
+                        spp: int = 8, seed: int = 0):
+    """Render several channels of the same scene (reference:
+    src/integrators/misc/multichannel.cpp). Returns {name: image}."""
+    out = {}
+    for ch in channels:
+        if ch == "radiance":
+            out[ch] = path_int.render(scene, seed=seed, spp=spp)
+        elif ch == "ao":
+            out[ch] = render_ao(scene, spp=spp, seed=seed)
+        else:
+            out[ch] = render_field(scene, ch)
+    return out
