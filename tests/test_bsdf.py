@@ -224,3 +224,59 @@ def test_bitmap_texture_eval():
     o = np.asarray(out)
     assert o[0, 0] > 0.9 and o[0, 1] < 0.1   # red at u=0.2
     assert o[1, 1] > 0.9 and o[1, 0] < 0.1   # green at u=0.8
+
+
+def test_longitudinal_m_vs_reference_formula():
+    """longitudinal_m must match the reference's closed form
+    M(v) = exp(-b)·I0(a)/(2v·sinh(1/v)) (marschner_diffuse.cpp:365-377)
+    in float64, across both numerical branches."""
+    import numpy as _np
+    from hairpt.models.bsdf.hair import longitudinal_m
+
+    rng_ = _np.random.default_rng(5)
+    for v in [0.01, 0.04, 0.09, 0.11, 0.25, 1.0]:
+        for _ in range(20):
+            ti = rng_.uniform(-1.2, 1.2)
+            to = rng_.uniform(-1.2, 1.2)
+            si, ci = _np.sin(ti), _np.cos(ti)
+            so, co = _np.sin(to), _np.cos(to)
+            a = ci * co / v
+            b = si * so / v
+            ref = _np.exp(-b) * _np.i0(a) / (2 * v * _np.sinh(1.0 / v))
+            got = float(longitudinal_m(jnp.float32(v), jnp.float32(si),
+                                       jnp.float32(so), jnp.float32(ci),
+                                       jnp.float32(co)))
+            if ref < 1e-30 or not _np.isfinite(ref):
+                continue
+            assert abs(got - ref) / max(ref, 1e-6) < 2e-2, (v, ti, to, got,
+                                                            ref)
+
+
+def test_kajiyakay_eval_matches_reference_formula():
+    """KajiyaKay.eval must equal the literal reference expression
+    (kajiyakay.cpp:121-180) at arbitrary directions."""
+    import numpy as _np
+    rng_ = _np.random.default_rng(6)
+    n = 64
+    wi = rng_.normal(size=(n, 3)); wi /= _np.linalg.norm(wi, axis=1,
+                                                         keepdims=True)
+    wo = rng_.normal(size=(n, 3)); wo /= _np.linalg.norm(wo, axis=1,
+                                                         keepdims=True)
+    kd = _np.array([0.3, 0.2, 0.1]); ks = _np.array([0.6, 0.5, 0.4])
+    expo = 17.0
+    gm = make_gm(n, kind=R.KAJIYAKAY, diffuse=tuple(kd), specular=tuple(ks),
+                 exponent=expo)
+    f, _ = R.eval_pdf([R.KAJIYAKAY], gm, jnp.asarray(wi, jnp.float32),
+                      jnp.asarray(wo, jnp.float32))
+    f = np.asarray(f)
+    for i in range(n):
+        if wi[i, 2] <= 0 or wo[i, 2] <= 0:
+            ref = _np.zeros(3)
+        else:
+            tl, te = abs(wi[i, 0]), abs(wo[i, 0])
+            alpha = tl * te + _np.sqrt(1 - tl * tl) * _np.sqrt(1 - te * te)
+            spec = _np.zeros(3)
+            if alpha > 0 and wi[i, 0] * wo[i, 0] < 0:
+                spec = 0.15 * ks * (expo + 2) / (4 * _np.pi) * alpha ** expo
+            ref = (spec + kd / _np.pi) * wo[i, 2]
+        _np.testing.assert_allclose(f[i], ref, rtol=2e-3, atol=1e-6)
