@@ -9,8 +9,6 @@ step so σ_a/β gradients reach it.
 """
 from __future__ import annotations
 
-from typing import NamedTuple
-
 import jax
 import jax.numpy as jnp
 

@@ -20,10 +20,9 @@ from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp
-import numpy as np
 
 from ..core import rng
-from ..core.math import Ray, dot, normalize
+from ..core.math import Ray, dot
 from ..film import film as film_mod
 from ..models import emitters as em
 from ..models import sensors

@@ -9,15 +9,12 @@ the forward path tracer.)
 """
 from __future__ import annotations
 
-from typing import NamedTuple
-
 import jax
 import jax.numpy as jnp
 
 from ..core import rng
 from ..core.math import Ray, dot
 from ..film import film as film_mod
-from ..models import emitters as em
 from ..models import sensors
 from ..models import media as med
 from ..models.bsdf import registry as mat

@@ -9,7 +9,6 @@ import jax.numpy as jnp
 
 from ...core import warps
 from ...core.math import normalize, safe_sqrt
-from . import microfacet as mf
 from . import registry as R
 from .fresnel import fresnel_dielectric
 from .plastic import _dyn_ndf, _dyn_g, _dyn_sample_m, _dyn_pdf_m

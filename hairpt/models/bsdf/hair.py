@@ -30,11 +30,8 @@ Faithful-mode quirks reproduced (marschner_diffuse.cpp):
 """
 from __future__ import annotations
 
-from typing import NamedTuple
-
 import jax
 import jax.numpy as jnp
-import numpy as np
 
 from ...core import warps
 from ...core.math import safe_sqrt

@@ -24,7 +24,6 @@ from typing import NamedTuple, Optional
 import jax.numpy as jnp
 import numpy as np
 
-from ..core.math import normalize, dot
 
 TWO_PI = 2.0 * np.pi
 

@@ -13,7 +13,7 @@ from typing import NamedTuple
 import jax.numpy as jnp
 import numpy as np
 
-from ..core.math import Ray, normalize, vec3
+from ..core.math import Ray, normalize
 from ..core import warps
 
 PERSPECTIVE = 0

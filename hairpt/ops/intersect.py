@@ -17,9 +17,8 @@ from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp
-import numpy as np
 
-from ..core.math import Ray, dot, cross
+from ..core.math import Ray
 
 INVALID = jnp.int32(-1)
 

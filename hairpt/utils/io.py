@@ -8,7 +8,6 @@ npy instead of OpenEXR (no OpenEXR binding in this environment).
 """
 from __future__ import annotations
 
-import struct
 import numpy as np
 
 
