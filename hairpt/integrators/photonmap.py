@@ -1,0 +1,251 @@
+"""Photon mapping (wavefront formulation).
+
+Capability counterpart of the reference's photon-map family
+(src/integrators/photonmapper/*, src/librender/{photon,photonmap,
+gatherproc}.cpp): the light pass is the same wavefront machinery run from
+the emitter side (SURVEY §2.4 P7), the balanced kd-tree photon map becomes
+a sorted uniform hash grid (TPU-native: build = one sort, query = 27
+searchsorted range scans), and the gather is a batched density estimate.
+
+v1 scope: photons are emitted from the environment map (importance-sampled
+over the baked table — covers constant/envmap/sunsky) and deposited on
+diffuse-ish surfaces; `render_photonmap` visualizes the global map at the
+first camera hit (the classic biased estimator that photographers of
+photon maps use for validation; final-gather integration is a roadmap
+item). Cross-validated against the path tracer in tests.
+"""
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..core import rng
+from ..core.math import Ray, dot, normalize
+from ..film import film as film_mod
+from ..models import emitters as em
+from ..models import sensors
+from ..models.bsdf import registry as mat
+from ..scene.scene import Scene
+from .common import scene_intersect, frame
+from .path import _swept_params, DIM_BASE, DIM_STRIDE
+
+
+class PhotonMap(NamedTuple):
+    pos: jnp.ndarray      # [M, 3] sorted by grid cell
+    power: jnp.ndarray    # [M, 3]
+    wi: jnp.ndarray       # [M, 3] incident direction (towards the surface)
+    cell: jnp.ndarray     # [M] int32 sorted cell keys
+    valid: jnp.ndarray    # [M] bool
+    grid_min: jnp.ndarray  # [3]
+    inv_cell: jnp.ndarray  # [] 1/cell_size
+    grid_res: int          # cells per axis (static)
+
+
+def _env_emit(scene: Scene, n: int, seed: int):
+    """Emit photons from the environment: importance-sample a direction,
+    start on a disk of radius R tangent to the scene's bounding sphere
+    (reference: envmap.cpp samplePosition/sampleDirection)."""
+    arr = scene.arrays
+    env = arr.env
+    # scene bounding sphere from geometry
+    los, his = [], []
+    if arr.tri is not None:
+        los.append(jnp.min(arr.tri.p0, axis=0))
+        his.append(jnp.max(arr.tri.p0, axis=0))
+    if arr.hair is not None:
+        los.append(jnp.min(arr.hair.p0, axis=0))
+        his.append(jnp.max(arr.hair.p0, axis=0))
+    lo = jnp.min(jnp.stack(los), axis=0)
+    hi = jnp.max(jnp.stack(his), axis=0)
+    center = 0.5 * (lo + hi)
+    radius = 0.5 * jnp.linalg.norm(hi - lo) * 1.2 + 1e-3
+
+    idx = jnp.arange(n, dtype=jnp.uint32)
+    u_dir = rng.uniform_2d(idx, seed, 0)
+    d_env, le, pdf_dir = em.env_sample(env, u_dir)   # d_env points AT the env
+    d = -d_env                                       # photon travel direction
+    u_disk = rng.uniform_2d(idx, seed, 2)
+    from ..core import warps
+    disk = warps.square_to_uniform_disk_concentric(u_disk) * radius
+    from ..core.math import coordinate_system
+    s, t = coordinate_system(d)
+    origin = center - d * radius[..., None] * 1.5 \
+        + s * disk[..., 0:1] + t * disk[..., 1:2]
+    # power: Φ_j = L(ω_j) / pdf(ω_j) × (π R²) / N
+    area = jnp.pi * radius * radius
+    power = le / jnp.maximum(pdf_dir, 1e-12)[..., None] * area / n
+    return Ray(o=origin, d=d, mint=jnp.zeros(n), maxt=jnp.full(n, jnp.inf)), \
+        power
+
+
+def trace_photons(scene: Scene, n_photons: int, max_bounces: int = 4,
+                  seed: int = 0):
+    """Light-tracing pass. Returns per-deposit (pos, power, wi, valid) with
+    n_photons × max_bounces slots (reference: GatherPhotonProcess /
+    ParticleTracer::handleSurfaceInteraction)."""
+    cfg = scene.config
+    arr = scene.arrays
+    active_kinds = scene.active_kinds
+    idx = jnp.arange(n_photons, dtype=jnp.uint32)
+
+    ray, power = _env_emit(scene, n_photons, seed)
+
+    def body(carry, b):
+        o, d, pw, alive = carry
+        r = Ray(o=o, d=d, mint=jnp.zeros(n_photons),
+                maxt=jnp.where(alive, jnp.inf, 0.0))
+        hit = scene_intersect(arr, r, cfg.traversal, cfg.block,
+                              _swept_params(cfg))
+        landed = alive & hit.valid
+
+        wi_world = -d
+        two = arr.materials.twosided[jnp.maximum(hit.mat_id, 0)]
+        flip = two & (dot(hit.sh_n, wi_world) < 0)
+        sh_n = jnp.where(flip[..., None], -hit.sh_n, hit.sh_n)
+        sh_t = jnp.where(flip[..., None], -hit.sh_t, hit.sh_t)
+        geo_n = jnp.where(flip[..., None], -hit.geo_n, hit.geo_n)
+        fr = frame(hit)._replace(n=sh_n, t=sh_t)
+        wi = fr.to_local(wi_world)
+
+        deposit = (hit.p, jnp.where(landed[..., None], pw, 0.0), wi_world,
+                   landed)
+
+        gm = mat.gather(arr.materials, arr.checkers, hit.mat_id, hit.uv)
+        dims = DIM_BASE + b * DIM_STRIDE
+        u_l = rng.next_1d(cfg.sampler, idx, seed * 977 + 13, dims + 3)
+        u2 = rng.next_2d(cfg.sampler, idx, seed * 977 + 13, dims + 4)
+        u2b = rng.next_2d(cfg.sampler, idx, seed * 977 + 13, dims + 6)
+        wo, w, pdf, is_delta, _ = mat.sample(active_kinds, gm, wi, u_l, u2,
+                                             u2b, arr.hair_tables)
+        wo_world = fr.to_world(wo)
+        pw2 = pw * w
+        # RR on photon power
+        q = jnp.clip(jnp.max(w, axis=-1), 0.0, 0.95)
+        u_rr = rng.next_1d(cfg.sampler, idx, seed * 977 + 13, dims + 8)
+        keep = u_rr < q
+        pw2 = pw2 / jnp.maximum(q, 1e-6)[..., None]
+        alive2 = landed & keep & (jnp.max(pw2, axis=-1) > 0)
+        o2 = hit.p + geo_n * jnp.where(dot(wo_world, geo_n) > 0,
+                                       cfg.ray_eps, -cfg.ray_eps)[..., None]
+        return (o2, wo_world, pw2, alive2), deposit
+
+    carry = (ray.o, ray.d, power, jnp.ones(n_photons, bool))
+    _, deposits = jax.lax.scan(body, carry, jnp.arange(max_bounces))
+    pos = deposits[0].reshape(-1, 3)
+    pw = deposits[1].reshape(-1, 3)
+    wi = deposits[2].reshape(-1, 3)
+    valid = deposits[3].reshape(-1)
+    return pos, pw, wi, valid
+
+
+def build_photon_map(pos, power, wi, valid, radius: float,
+                     grid_res: int = 256) -> PhotonMap:
+    """Hash-grid over photons: one sort by cell key (replaces the
+    reference's balanced kd-tree photon map, photonmap.cpp)."""
+    lo = jnp.min(jnp.where(valid[:, None], pos, jnp.inf), axis=0) - radius
+    cell_size = radius
+    inv = 1.0 / cell_size
+    ijk = jnp.clip(((pos - lo) * inv).astype(jnp.int32), 0, grid_res - 1)
+    key = (ijk[:, 0] * grid_res + ijk[:, 1]) * grid_res + ijk[:, 2]
+    key = jnp.where(valid, key, jnp.int32(grid_res ** 3))
+    order = jnp.argsort(key)
+    return PhotonMap(pos=pos[order], power=power[order], wi=wi[order],
+                     cell=key[order], valid=valid[order],
+                     grid_min=lo, inv_cell=jnp.float32(inv),
+                     grid_res=grid_res)
+
+
+def gather_radiance(pm: PhotonMap, scene: Scene, hit, wi_local, fr,
+                    radius: float, max_per_cell: int = 32):
+    """Density estimate at the hit points: Σ f(wi→wo)·Φ / (π r²) over
+    photons within `radius`, scanning the 27 neighbouring grid cells."""
+    arr = scene.arrays
+    active_kinds = scene.active_kinds
+    gr = pm.grid_res
+    q_ijk = ((hit.p - pm.grid_min) * pm.inv_cell).astype(jnp.int32)
+    r2 = radius * radius
+    n = hit.p.shape[0]
+    acc = jnp.zeros((n, 3), jnp.float32)
+    gm = mat.gather(arr.materials, arr.checkers, hit.mat_id, hit.uv)
+
+    offs = jnp.arange(max_per_cell)
+    for dx in (-1, 0, 1):
+        for dy in (-1, 0, 1):
+            for dz in (-1, 0, 1):
+                c = q_ijk + jnp.asarray([dx, dy, dz])
+                okc = jnp.all((c >= 0) & (c < gr), axis=-1)
+                key = (c[:, 0] * gr + c[:, 1]) * gr + c[:, 2]
+                start = jnp.searchsorted(pm.cell, key)
+                idxs = jnp.minimum(start[:, None] + offs[None, :],
+                                   pm.cell.shape[0] - 1)
+                in_cell = pm.cell[idxs] == key[:, None]
+                p_ph = pm.pos[idxs]                     # [N, M, 3]
+                d2 = jnp.sum((p_ph - hit.p[:, None]) ** 2, -1)
+                near = in_cell & (d2 < r2) & okc[:, None] & pm.valid[idxs]
+                # BSDF towards the photon's incident direction
+                wo_l = jnp.einsum("nmi,ni->nm", pm.wi[idxs], fr.s), \
+                    jnp.einsum("nmi,ni->nm", pm.wi[idxs], fr.t), \
+                    jnp.einsum("nmi,ni->nm", pm.wi[idxs], fr.n)
+                wo_loc = jnp.stack(wo_l, axis=-1)        # [N, M, 3]
+                gm_b = jax.tree.map(
+                    lambda x: jnp.repeat(x[:, None], max_per_cell, axis=1)
+                    .reshape((n * max_per_cell,) + x.shape[1:]), gm)
+                f, _ = mat.eval_pdf(active_kinds, gm_b,
+                                    jnp.repeat(wi_local[:, None], max_per_cell,
+                                               1).reshape(-1, 3),
+                                    wo_loc.reshape(-1, 3),
+                                    arr.hair_tables)
+                f = f.reshape(n, max_per_cell, 3)
+                # photons carry flux; f includes |cos| via the local wo —
+                # divide it back out (flux estimate needs plain f)
+                cosw = jnp.maximum(jnp.abs(wo_loc[..., 2]), 1e-4)[..., None]
+                contrib = jnp.where(near[..., None],
+                                    f / cosw * pm.power[idxs], 0.0)
+                acc = acc + jnp.sum(contrib, axis=1)
+    return acc / (jnp.pi * r2)
+
+
+def render_photonmap(scene: Scene, n_photons: int = 1 << 16,
+                     radius: float = 0.1, max_bounces: int = 4,
+                     spp: int = 4, seed: int = 0):
+    """Visualize the global photon map at the first camera intersection."""
+    cfg = scene.config
+    arr = scene.arrays
+    fl = scene.film
+    n_pix = cfg.width * cfg.height
+
+    pos, pw, wi, valid = trace_photons(scene, n_photons, max_bounces, seed)
+    pm = build_photon_map(pos, pw, wi, valid, radius)
+
+    @jax.jit
+    def wave(arrs, pm_, sample_id, image, weight):
+        pixel_idx = jnp.arange(n_pix, dtype=jnp.uint32)
+        sample_idx = jnp.full((n_pix,), sample_id, jnp.uint32)
+        px = (pixel_idx % cfg.width).astype(jnp.float32)
+        py = (pixel_idx // cfg.width).astype(jnp.float32)
+        j2 = rng.next_2d(cfg.sampler, pixel_idx, sample_idx, 0)
+        p2 = jnp.stack([px + j2[..., 0], py + j2[..., 1]], -1)
+        ray = sensors.sample_ray(scene.camera, p2, None)
+        hit = scene_intersect(arrs, ray, cfg.traversal, cfg.block,
+                              _swept_params(cfg))
+        wi_world = -ray.d
+        two = arrs.materials.twosided[jnp.maximum(hit.mat_id, 0)]
+        flip = two & (dot(hit.sh_n, wi_world) < 0)
+        fr = frame(hit)._replace(
+            n=jnp.where(flip[..., None], -hit.sh_n, hit.sh_n),
+            t=jnp.where(flip[..., None], -hit.sh_t, hit.sh_t))
+        wi_l = fr.to_local(wi_world)
+        rad = gather_radiance(pm_, scene, hit, wi_l, fr, radius)
+        env_r = em.env_eval(arrs.env, ray.d) if arrs.env is not None else 0.0
+        rad = jnp.where(hit.valid[..., None], rad, env_r)
+        rad = jnp.nan_to_num(rad, nan=0.0, posinf=0.0, neginf=0.0)
+        return film_mod.splat_samples(fl, p2, rad, image, weight)
+
+    image, weight = film_mod.zeros(fl)
+    for s in range(spp):
+        image, weight = wave(arr, pm, jnp.uint32(s + seed * 65536), image,
+                             weight)
+    return film_mod.develop(image, weight)

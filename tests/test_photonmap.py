@@ -1,0 +1,58 @@
+import numpy as np
+import jax.numpy as jnp
+
+from hairpt.film.film import Film
+from hairpt.models import shapes as shp, emitters as em
+from hairpt.models.bsdf import registry as mat
+from hairpt.models.sensors import Camera
+from hairpt.core.math import matrix_lookat
+from hairpt.scene.scene import SceneBuilder
+from hairpt.integrators import path as path_int
+from hairpt.integrators import photonmap as pmap
+
+
+def _scene(w=24, h=24):
+    b = SceneBuilder()
+    m = b.add_material(kind=mat.DIFFUSE, diffuse=(0.6, 0.6, 0.6),
+                       twosided=True)
+    b.add_mesh(shp.sphere(1.0, 16, 32), m)
+    rot = np.array([[1, 0, 0], [0, 0, 1], [0, -1, 0]], float)
+    floor = np.eye(4)
+    floor[:3, :3] = rot @ np.diag([8.0, 8.0, 1.0])
+    floor[:3, 3] = [0, -1.0, 0]
+    b.add_mesh(shp.rectangle(), m, to_world=floor)
+    b.env = em.make_constant((1.0, 1.0, 1.0))
+    cam = Camera.perspective(matrix_lookat((0, 1.5, -5), (0, 0, 0),
+                                           (0, 1, 0)), 45.0, w, h)
+    return b.build(cam, Film.make(w, h, "box"), spp=1, max_depth=6,
+                   sampler=1, strict_normals=False)
+
+
+def test_photon_map_build_and_energy():
+    scene = _scene()
+    pos, pw, wi, valid = pmap.trace_photons(scene, 1 << 12, max_bounces=3,
+                                            seed=0)
+    v = np.asarray(valid)
+    assert v.sum() > 100  # photons land on geometry
+    assert np.isfinite(np.asarray(pw)).all()
+    pm = pmap.build_photon_map(pos, pw, wi, valid, radius=0.2)
+    c = np.asarray(pm.cell)
+    assert (np.diff(c) >= 0).all()  # sorted
+
+
+def test_photonmap_matches_path_tracer():
+    """Photon-map visualization vs path tracing on a diffuse scene:
+    the images must agree within estimator noise+bias bounds."""
+    scene = _scene(20, 20)
+    ref = np.asarray(path_int.render(scene, spp=48))
+    img = np.asarray(pmap.render_photonmap(scene, n_photons=1 << 15,
+                                           radius=0.35, max_bounces=4,
+                                           spp=4))
+    assert np.isfinite(img).all()
+    # compare mean brightness over geometry pixels (density estimation is
+    # biased at edges; means are stable)
+    geo = ref.mean(-1) < 0.999  # non-sky
+    assert geo.sum() > 50
+    r_mean = ref[geo].mean()
+    p_mean = img[geo].mean()
+    assert abs(p_mean - r_mean) / r_mean < 0.25, (p_mean, r_mean)
