@@ -249,3 +249,20 @@ def render_photonmap(scene: Scene, n_photons: int = 1 << 16,
         image, weight = wave(arr, pm, jnp.uint32(s + seed * 65536), image,
                              weight)
     return film_mod.develop(image, weight)
+
+
+def render_ppm(scene: Scene, n_photons: int = 1 << 14, passes: int = 4,
+               radius0: float = 0.3, alpha: float = 0.7, spp: int = 2,
+               seed: int = 0):
+    """Progressive photon mapping (reference: src/integrators/photonmapper/
+    ppm.cpp): repeated photon passes with the kernel radius shrinking as
+    r_{i+1}² = r_i² · (i+α)/(i+1), averaging the per-pass estimates —
+    consistent (bias → 0) as passes grow."""
+    acc = None
+    r = radius0
+    for i in range(passes):
+        img = render_photonmap(scene, n_photons=n_photons, radius=r,
+                               spp=spp, seed=seed * 131 + i)
+        acc = img if acc is None else acc + img
+        r = float(np.sqrt(r * r * (i + alpha) / (i + 1)))
+    return acc / passes

@@ -75,3 +75,23 @@ def test_volpath_absorbing_fog_darkens():
     img = np.asarray(render_volpath(scene, medium, spp=32))
     # pure absorption through a 2-unit slab: L = exp(-0.5*2) = 0.368
     np.testing.assert_allclose(img.mean(), np.exp(-1.0), rtol=0.06)
+
+
+def test_volpath_vacuum_limit_matches_path():
+    """σ→0 medium: volpath must reproduce the plain path tracer."""
+    from hairpt.models import shapes as shp
+    b = SceneBuilder()
+    m = b.add_material(kind=mat.DIFFUSE, diffuse=(0.6, 0.6, 0.6),
+                       twosided=True)
+    b.add_mesh(shp.sphere(1.0, 12, 24), m)
+    b.env = em.make_constant((1.0, 1.0, 1.0))
+    cam = Camera.perspective(matrix_lookat((0, 0, -4), (0, 0, 0), (0, 1, 0)),
+                             45.0, 16, 16)
+    scene = b.build(cam, Film.make(16, 16, "box"), spp=1, max_depth=4,
+                    sampler=1, strict_normals=False)
+    from hairpt.integrators import path as P
+    ref = np.asarray(P.render(scene, spp=24))
+    medium = med.make_medium(sigma_s=(1e-6,) * 3, sigma_a=(1e-6,) * 3,
+                             fog_depth=10.0)
+    img = np.asarray(render_volpath(scene, medium, spp=24))
+    np.testing.assert_allclose(img.mean(), ref.mean(), rtol=0.06)

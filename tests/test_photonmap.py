@@ -56,3 +56,13 @@ def test_photonmap_matches_path_tracer():
     r_mean = ref[geo].mean()
     p_mean = img[geo].mean()
     assert abs(p_mean - r_mean) / r_mean < 0.25, (p_mean, r_mean)
+
+
+def test_ppm_runs_and_converges_direction():
+    scene = _scene(16, 16)
+    img = np.asarray(pmap.render_ppm(scene, n_photons=1 << 13, passes=3,
+                                     radius0=0.4, spp=2))
+    assert np.isfinite(img).all()
+    ref = np.asarray(path_int.render(scene, spp=24))
+    geo = ref.mean(-1) < 0.999
+    assert abs(img[geo].mean() - ref[geo].mean()) / ref[geo].mean() < 0.3
