@@ -304,8 +304,9 @@ def make_li_fn(scene: Scene, differentiable: bool = False):
             d_nee, dist_nee, le_nee, pdf_nee, is_dl = \
                 _sample_emitter_direct(arr, cfg, hit.p, u_sel, u_nee)
             wo_nee = fr.to_local(d_nee)
-            f_nee, bsdf_pdf_nee = mat.eval_pdf(active_kinds, gm, wi, wo_nee,
-                                               arr.hair_tables)
+            f_nee, bsdf_pdf_nee = mat.eval_pdf_mix(
+                active_kinds, arr.materials, arr.checkers, hit.mat_id,
+                hit.uv, gm, wi, wo_nee, arr.hair_tables)
             nee_ok = active & (pdf_nee > 0) \
                 & (jnp.max(jnp.abs(f_nee), axis=-1) > 0)
             if cfg.strict_normals:
@@ -333,16 +334,18 @@ def make_li_fn(scene: Scene, differentiable: bool = False):
             u_lobe = s1(pix, smp, dims + D_BSDF_LOBE)
             u2 = s2(pix, smp, dims + D_BSDF_U2)
             u2b = s2(pix, smp, dims + D_BSDF_U2B)
-            wo, bsdf_weight, bsdf_pdf, is_delta, eta_s = mat.sample(
-                active_kinds, gm, wi, u_lobe, u2, u2b, arr.hair_tables)
+            wo, bsdf_weight, bsdf_pdf, is_delta, eta_s = mat.sample_mix(
+                active_kinds, arr.materials, arr.checkers, hit.mat_id,
+                hit.uv, gm, wi, u_lobe, u2, u2b, arr.hair_tables)
             if differentiable:
                 # detached-sampling estimator: the sampled direction and its
                 # pdf carry no gradient; parameter gradients flow through
                 # the BSDF value only
                 wo = jax.lax.stop_gradient(wo)
                 bsdf_pdf = jax.lax.stop_gradient(bsdf_pdf)
-                f2, p2 = mat.eval_pdf(active_kinds, gm, wi, wo,
-                                      arr.hair_tables)
+                f2, p2 = mat.eval_pdf_mix(active_kinds, arr.materials,
+                                          arr.checkers, hit.mat_id, hit.uv,
+                                          gm, wi, wo, arr.hair_tables)
                 w_smooth = f2 / jnp.maximum(jax.lax.stop_gradient(p2),
                                             1e-9)[..., None]
                 bsdf_weight = jnp.where(is_delta[..., None], bsdf_weight,

@@ -39,6 +39,7 @@ MARSCHNER = 13          # = the fork's MarschnerDiffuse ("marschner" plugin)
 MARSCHNERDIELECTRIC = 14
 MASK = 15
 DIFFTRANS = 16
+MIXTURE = 17
 
 N_COS = 64  # resolution of the per-material external-transmittance slice
 
@@ -64,6 +65,9 @@ class MaterialTable(NamedTuple):
     scale_tilt: jnp.ndarray  # [M] hair scale tilt (radians)
     aux_id: jnp.ndarray      # [M] index into hair azimuthal stacks (-1 none)
     tex_id: jnp.ndarray      # [M] index into checkerboard table (-1 none)
+    mix_a: jnp.ndarray       # [M] first sub-material row (MIXTURE only)
+    mix_b: jnp.ndarray       # [M] second sub-material row
+    mix_w: jnp.ndarray       # [M] weight of mix_a
 
 
 class CheckerboardTable(NamedTuple):
@@ -115,7 +119,7 @@ def default_material_row(**over):
                k=(1.0, 1.0, 1.0), nonlinear=False, spec_weight=0.5,
                ext_trans=np.ones(N_COS), int_fdr=0.0,
                sigma_a=(0.5, 0.5, 0.5), beta_r=0.1, scale_tilt=-0.1,
-               aux_id=-1, tex_id=-1)
+               aux_id=-1, tex_id=-1, mix_a=0, mix_b=0, mix_w=0.5)
     row.update(over)
     return row
 
@@ -133,7 +137,8 @@ def pack_materials(rows) -> MaterialTable:
         ext_trans=arr("ext_trans"), int_fdr=arr("int_fdr"),
         sigma_a=arr("sigma_a"), beta_r=arr("beta_r"),
         scale_tilt=arr("scale_tilt"), aux_id=arr("aux_id", np.int32),
-        tex_id=arr("tex_id", np.int32))
+        tex_id=arr("tex_id", np.int32), mix_a=arr("mix_a", np.int32),
+        mix_b=arr("mix_b", np.int32), mix_w=arr("mix_w"))
 
 
 def eval_checkerboard(tex: CheckerboardTable, tex_id, uv, base):
@@ -216,6 +221,8 @@ def eval_pdf(active_kinds, gm: GatheredMat, wi, wo, hair_tables=None):
     f = jnp.zeros(n + (3,), jnp.float32)
     pdf = jnp.zeros(n, jnp.float32)
     for kind in sorted(set(int(k) for k in active_kinds)):
+        if kind == MIXTURE:
+            continue  # handled by the caller via eval_pdf_mixture
         mod = FAMILIES[kind]
         fk, pk = mod.eval_pdf(gm, wi, wo, hair_tables)
         sel = gm.kind == kind
@@ -247,3 +254,67 @@ def sample(active_kinds, gm: GatheredMat, wi, u_lobe, u2, u2b,
         is_delta = jnp.where(sel, dk, is_delta)
         eta_s = jnp.where(sel, ek, eta_s)
     return wo, weight, pdf, is_delta, eta_s
+
+
+# ---------------------------------------------------------------------------
+# mixture/blend indirection (reference: src/bsdfs/{mixturebsdf,blendbsdf}.cpp)
+# A MIXTURE material points at two other material rows (mix_a, mix_b) with
+# weight mix_w. One level of nesting (like the reference's practical use).
+# ---------------------------------------------------------------------------
+
+def _sub_kinds(active_kinds):
+    return tuple(k for k in active_kinds if k != MIXTURE)
+
+
+def eval_pdf_mix(active_kinds, table, tex, mat_id, uv, gm, wi, wo,
+                 hair_tables=None):
+    """eval_pdf with one level of mixture indirection."""
+    f, pdf = eval_pdf(active_kinds, gm, wi, wo, hair_tables)
+    if MIXTURE not in set(int(k) for k in active_kinds):
+        return f, pdf
+    m = jnp.maximum(mat_id, 0)
+    is_mix = table.kind[m] == MIXTURE
+    w = table.mix_w[m]
+    sub = _sub_kinds(active_kinds)
+    gm_a = gather(table, tex, table.mix_a[m], uv)
+    gm_b = gather(table, tex, table.mix_b[m], uv)
+    f_a, p_a = eval_pdf(sub, gm_a, wi, wo, hair_tables)
+    f_b, p_b = eval_pdf(sub, gm_b, wi, wo, hair_tables)
+    f = jnp.where(is_mix[..., None],
+                  w[..., None] * f_a + (1 - w)[..., None] * f_b, f)
+    pdf = jnp.where(is_mix, w * p_a + (1 - w) * p_b, pdf)
+    return f, pdf
+
+
+def sample_mix(active_kinds, table, tex, mat_id, uv, gm, wi, u_lobe, u2,
+               u2b, hair_tables=None):
+    """sample with one level of mixture indirection: pick a sub-material
+    ∝ mix_w, sample it, and return the full mixture pdf/weight."""
+    if MIXTURE not in set(int(k) for k in active_kinds):
+        return sample(active_kinds, gm, wi, u_lobe, u2, u2b, hair_tables)
+    m = jnp.maximum(mat_id, 0)
+    is_mix = table.kind[m] == MIXTURE
+    w = table.mix_w[m]
+    pick_a = u_lobe < w
+    u_resc = jnp.where(pick_a, u_lobe / jnp.maximum(w, 1e-7),
+                       (u_lobe - w) / jnp.maximum(1 - w, 1e-7))
+    id_eff = jnp.where(is_mix,
+                       jnp.where(pick_a, table.mix_a[m], table.mix_b[m]),
+                       m)
+    u_eff = jnp.where(is_mix, u_resc, u_lobe)
+    gm_eff = gather(table, tex, id_eff, uv)
+    sub = _sub_kinds(active_kinds)
+    wo, wt, pdf, is_delta, eta_s = sample(sub, gm_eff, wi, u_eff, u2, u2b,
+                                          hair_tables)
+    # smooth mixture lanes: recompute the full blended f/pdf
+    f_mix, p_mix = eval_pdf_mix(active_kinds, table, tex, mat_id, uv, gm,
+                                wi, wo, hair_tables)
+    smooth_mix = is_mix & ~is_delta
+    wt = jnp.where(smooth_mix[..., None],
+                   f_mix / jnp.maximum(p_mix, 1e-9)[..., None], wt)
+    pdf = jnp.where(smooth_mix, p_mix, pdf)
+    # delta lanes inside a mixture: discrete pdf scales by the branch prob
+    delta_mix = is_mix & is_delta
+    pdf = jnp.where(delta_mix,
+                    pdf * jnp.where(pick_a, w, 1 - w), pdf)
+    return wo, wt, pdf, is_delta, eta_s

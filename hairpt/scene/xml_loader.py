@@ -38,6 +38,8 @@ BSDF_KINDS = {
     "roughplastic": mat.ROUGHPLASTIC,
     "roughdielectric": mat.ROUGHDIELECTRIC,
     "difftrans": mat.DIFFTRANS,
+    "mixturebsdf": mat.MIXTURE,
+    "blendbsdf": mat.MIXTURE,
     "phong": mat.PHONG,
     "ward": mat.WARD,
     "null": mat.NULL,
@@ -145,6 +147,19 @@ def _material_row_from_bsdf(node, defines, builder: SceneBuilder,
     if kind is None:
         kind = mat.DIFFUSE  # graceful fallback for exotic plugins
     p = _collect_props(node, defines)
+
+    if kind == mat.MIXTURE:
+        children = node.findall("bsdf")[:2]
+        sub_ids = [builder.add_material(
+            **_material_row_from_bsdf(c, defines, builder, scene_dir))
+            for c in children]
+        while len(sub_ids) < 2:
+            sub_ids.append(builder.add_material(kind=mat.DIFFUSE))
+        weights = [float(x) for x in str(p.get("weights", "0.5, 0.5"))
+                   .replace(",", " ").split()] if "weights" in p else None
+        w = weights[0] if weights else p.get("weight", 0.5)
+        return dict(kind=mat.MIXTURE, twosided=twosided,
+                    mix_a=sub_ids[0], mix_b=sub_ids[1], mix_w=w)
 
     row = dict(kind=kind, twosided=twosided)
     int_ior = p.get("intIOR", "bk7")

@@ -280,3 +280,36 @@ def test_kajiyakay_eval_matches_reference_formula():
                 spec = 0.15 * ks * (expo + 2) / (4 * _np.pi) * alpha ** expo
             ref = (spec + kd / _np.pi) * wo[i, 2]
         _np.testing.assert_allclose(f[i], ref, rtol=2e-3, atol=1e-6)
+
+
+def test_mixture_bsdf_blends():
+    """MIXTURE of red and green diffuse == analytic blend, and the sampler
+    is consistent with the blended pdf."""
+    rows = [R.default_material_row(kind=R.MIXTURE, mix_a=1, mix_b=2,
+                                   mix_w=0.3),
+            R.default_material_row(kind=R.DIFFUSE, diffuse=(1, 0, 0)),
+            R.default_material_row(kind=R.DIFFUSE, diffuse=(0, 1, 0))]
+    table = R.pack_materials(rows)
+    n = 1 << 13
+    mat_id = jnp.zeros(n, jnp.int32)
+    uv = jnp.zeros((n, 2))
+    gm = R.gather(table, None, mat_id, uv)
+    wi = fixed_wi(n)
+    kinds = (R.MIXTURE, R.DIFFUSE)
+    wo = fixed_wi(n, 25.0, -40.0)
+    f, pdf = R.eval_pdf_mix(kinds, table, None, mat_id, uv, gm, wi, wo)
+    expect = (0.3 * np.array([1, 0, 0]) + 0.7 * np.array([0, 1, 0])) \
+        / np.pi * float(wo[0, 2])
+    np.testing.assert_allclose(np.asarray(f)[0], expect, rtol=1e-4)
+    pix = jnp.arange(n, dtype=jnp.uint32)
+    wo_s, w_s, pdf_s, dl, _ = R.sample_mix(
+        kinds, table, None, mat_id, uv, gm, wi,
+        rng.uniform_1d(pix, 0, 1), rng.uniform_2d(pix, 0, 2),
+        rng.uniform_2d(pix, 0, 4))
+    f2, pdf2 = R.eval_pdf_mix(kinds, table, None, mat_id, uv, gm, wi, wo_s)
+    ok = np.asarray(pdf_s) > 1e-6
+    np.testing.assert_allclose(np.asarray(pdf_s)[ok], np.asarray(pdf2)[ok],
+                               rtol=1e-3)
+    resid = np.asarray(w_s)[ok] * np.asarray(pdf_s)[ok, None] \
+        - np.asarray(f2)[ok]
+    assert np.abs(resid).max() < 1e-3
