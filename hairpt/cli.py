@@ -81,10 +81,17 @@ def main(argv=None):
 
     out = args.output or "output.png"
     base = out.rsplit(".", 1)[0]
-    io_utils.write_png(out, io_utils.tonemap_srgb(img, scene.film.gamma))
+    from .utils import exr as exr_utils
+    if out.lower().endswith(".exr"):
+        exr_utils.write_exr(out, img)
+        io_utils.write_png(base + ".png",
+                           io_utils.tonemap_srgb(img, scene.film.gamma))
+    else:
+        io_utils.write_png(out, io_utils.tonemap_srgb(img, scene.film.gamma))
+        exr_utils.write_exr(base + ".exr", img)
     io_utils.write_npy(base + ".npy", img)
     io_utils.write_pfm(base + ".pfm", img)
-    print(f"[hairpt] wrote {out}, {base}.npy, {base}.pfm", file=sys.stderr)
+    print(f"[hairpt] wrote {base}.{{png,exr,npy,pfm}}", file=sys.stderr)
 
 
 if __name__ == "__main__":

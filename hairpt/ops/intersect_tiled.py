@@ -1,0 +1,139 @@
+"""Tile-routed cluster-sweep intersection — gather- and sort-free.
+
+Round-1 profiling showed the pair-sorted cluster sweep
+(ops/intersect_swept.py) spends 172 of 184 ms/query in routing: a
+1.5M-element argsort (78ms), the per-pair ray gather (33ms) and the
+result unsort (61ms); the actual Pallas segment tests cost 12ms. This
+module removes all three by routing at TILE granularity:
+
+  1. rays are grouped into tiles of TILE *consecutive* rays (camera rays
+     are pixel-coherent; bounce waves can be Morton-resorted upstream),
+  2. phase A computes each tile's candidate set = the UNION of its rays'
+     cluster AABB hits — extracted into fixed slots with one cumsum +
+     one scatter (no sort; and no per-ray p_max drop: the union keeps
+     every cluster any ray hit, up to q_max per tile),
+  3. the Pallas kernel (pallas_tiled.py) loops each tile over its slot
+     list with double-buffered segment DMA; rays arrive as contiguous
+     blocks (BlockSpec, not gather) and closest hits accumulate in the
+     output block (no unsort).
+
+Replaces the same reference machinery as intersect_swept: the per-hair
+kd-tree + Havran traversal (src/shapes/hair.cpp:133-141,
+include/mitsuba/render/sahkdtree3.h:178-306) and SSE packet tracing
+(include/mitsuba/render/triaccel_sse.h), restructured for a vector
+architecture where contiguous-block DMA is ~100x faster than gathers.
+"""
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..core.math import Ray
+from .intersect_swept import SweptHair  # same build artifact / layout
+
+
+def _tile_cluster_mask(sw: SweptHair, ray: Ray, tile: int,
+                       c_chunk: int = 2048):
+    """[T, C] bool: does any ray of tile t enter cluster c's AABB within
+    its [mint, maxt] range. Dense slab tests, chunked over clusters."""
+    N = ray.o.shape[0]
+    C = sw.cl_lo.shape[0]
+    T = N // tile
+    inv_d = 1.0 / jnp.where(jnp.abs(ray.d) < 1e-12,
+                            jnp.where(ray.d >= 0, 1e-12, -1e-12), ray.d)
+    o = ray.o
+    live = ray.maxt > ray.mint
+
+    masks = []
+    n_chunks = (C + c_chunk - 1) // c_chunk
+    for ci in range(n_chunks):
+        lo = sw.cl_lo[ci * c_chunk:(ci + 1) * c_chunk]     # [Cc, 3]
+        hi = sw.cl_hi[ci * c_chunk:(ci + 1) * c_chunk]
+        tn = None
+        tf = None
+        for ax in range(3):
+            a0 = (lo[None, :, ax] - o[:, None, ax]) * inv_d[:, None, ax]
+            a1 = (hi[None, :, ax] - o[:, None, ax]) * inv_d[:, None, ax]
+            lo_ax = jnp.minimum(a0, a1)
+            hi_ax = jnp.maximum(a0, a1)
+            tn = lo_ax if tn is None else jnp.maximum(tn, lo_ax)
+            tf = hi_ax if tf is None else jnp.minimum(tf, hi_ax)
+        tf = tf * 1.00000024 + 1e-7
+        hit = (tn <= tf) & (tf >= ray.mint[:, None]) \
+            & (tn <= ray.maxt[:, None]) & live[:, None]
+        masks.append(hit.reshape(T, tile, -1).any(axis=1))
+    return jnp.concatenate(masks, axis=1) if n_chunks > 1 else masks[0]
+
+
+def _tile_slots(mask, q_max: int):
+    """Extract each tile's hit-cluster ids into [T, q_max] slots (cluster-id
+    order) + live count [T]. One cumsum + one scatter — no sort."""
+    T, C = mask.shape
+    rank = jnp.cumsum(mask.astype(jnp.int32), axis=1)      # [T, C]
+    cnt = jnp.minimum(rank[:, -1], q_max)
+    rows = jax.lax.broadcasted_iota(jnp.int32, (T, C), 0)
+    # overflowing clusters (rank > q_max) land in the trash column q_max
+    cols = jnp.where(mask, jnp.minimum(rank - 1, q_max), q_max)
+    cids = jax.lax.broadcasted_iota(jnp.int32, (T, C), 1)
+    slots = jnp.zeros((T, q_max + 1), jnp.int32)
+    slots = slots.at[rows, cols].set(jnp.where(mask, cids, 0))
+    overflow = jnp.sum((rank[:, -1] > q_max).astype(jnp.int32))
+    return slots[:, :q_max], cnt, overflow
+
+
+def _pad_rays(ray: Ray, tile: int):
+    N = ray.o.shape[0]
+    pad = (-N) % tile
+    if pad == 0:
+        return ray, N
+    z3 = jnp.zeros((pad, 3), jnp.float32)
+    return Ray(o=jnp.concatenate([ray.o, z3]),
+               d=jnp.concatenate([ray.d, z3.at[:, 2].set(1.0)]),
+               mint=jnp.concatenate([ray.mint, jnp.zeros(pad)]),
+               maxt=jnp.concatenate([ray.maxt, jnp.full(pad, -1.0)])), N
+
+
+def tiled_closest_hit(sw: SweptHair, ray: Ray, n_clusters: int, K: int,
+                      tile: int = 64, q_max: int = 128, impl: str = "auto",
+                      return_overflow: bool = False):
+    """Closest hit over the cluster layout. Returns (t [N], prim_id [N]).
+
+    n_clusters, K are the static cluster-layout ints; tile and q_max are
+    routing knobs (q_max caps candidate clusters per tile — overflow drops
+    the highest cluster ids and is reported via return_overflow).
+    """
+    if impl == "auto":
+        impl = "pallas" if jax.default_backend() in ("tpu", "axon") \
+            else "interpret"
+    ray_p, N = _pad_rays(ray, tile)
+    Np = ray_p.o.shape[0]
+    T = Np // tile
+
+    mask = _tile_cluster_mask(sw, ray_p, tile)
+    slots, cnt, overflow = _tile_slots(mask, q_max)
+
+    rays8 = jnp.stack([
+        ray_p.o[:, 0].reshape(T, tile), ray_p.o[:, 1].reshape(T, tile),
+        ray_p.o[:, 2].reshape(T, tile),
+        ray_p.d[:, 0].reshape(T, tile), ray_p.d[:, 1].reshape(T, tile),
+        ray_p.d[:, 2].reshape(T, tile),
+        ray_p.mint.reshape(T, tile), ray_p.maxt.reshape(T, tile),
+    ], axis=1)                                             # [T, 8, tile]
+
+    from .pallas_tiled import tiled_phase_b
+    t_tiles, p_tiles = tiled_phase_b(
+        slots, cnt, rays8, sw.seg_rows_t, K, q_max,
+        interpret=(impl == "interpret"))
+    t = t_tiles.reshape(Np)[:N]
+    p = p_tiles.reshape(Np)[:N]
+    if return_overflow:
+        return t, p, overflow
+    return t, p
+
+
+def tiled_any_hit(sw: SweptHair, ray: Ray, n_clusters: int, K: int,
+                  tile: int = 64, q_max: int = 128, impl: str = "auto"):
+    degenerate = ray.maxt <= ray.mint
+    t, p = tiled_closest_hit(sw, ray, n_clusters, K, tile, q_max, impl)
+    return (p >= 0) & ~degenerate

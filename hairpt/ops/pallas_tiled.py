@@ -1,0 +1,192 @@
+"""Pallas TPU kernel for tile-routed hair intersection (phase B').
+
+Unlike pallas_phaseb (which consumes a cluster-sorted pair list built by a
+1.5M-element argsort + gathers — 170ms of host-side routing per query),
+this kernel keeps rays in their natural tile order: each grid program owns
+GROUP_T tiles of TILE contiguous rays, reads each tile's candidate-cluster
+list (scalar-prefetched), and loops over the list with double-buffered
+HBM→VMEM segment DMA, accumulating per-ray closest hits in the output
+block. No sort, no ray gather, no result unsort.
+
+Layout contract (from intersect_tiled.tiled_closest_hit):
+  slots    : [T * q_max] int32 cluster ids per tile (scalar prefetch)
+  cnt      : [T] int32 live clusters per tile (scalar prefetch)
+  rays8    : [T, 8, TILE] float32 (o.xyz, d.xyz, mint, maxt rows;
+             dead lanes carry maxt < 0)
+  seg_rows : [C, PRIM_F, K] float32 in HBM (cluster-major segment tiles)
+Output:
+  t_out    : [T, TILE] float32 (inf = miss)
+  pid_out  : [T, TILE] int32   (-1 = miss)
+"""
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from .intersect_packed import PRIM_F
+
+GROUP_T = 8  # tiles per pallas program ((8, 128) output tiling)
+
+
+def _cyl_test(rows, rays):
+    """Dense miter-cylinder test: rows [PRIM_F, K] (one cluster's segments),
+    rays [8, CH] → (t_best [CH], pid_best [CH]) for this cluster only.
+
+    Math identical to the reference HairShape::rayIntersect
+    (src/shapes/hair.cpp:485-542): project the ray into the plane ⊥ segment
+    axis, solve the recentered quadratic, accept roots between the miter
+    planes — vectorized as [CH, K] component-wise VPU ops.
+    """
+    def seg(j):
+        return rows[j][None, :]           # [1, K]
+
+    def rayc(j):
+        return rays[j][:, None]           # [CH, 1]
+
+    p0x, p0y, p0z = seg(0), seg(1), seg(2)
+    p1x, p1y, p1z = seg(3), seg(4), seg(5)
+    n0x, n0y, n0z = seg(6), seg(7), seg(8)
+    n1x, n1y, n1z = seg(9), seg(10), seg(11)
+    rr = seg(12)
+    pid_row = pltpu.bitcast(rows[PRIM_F - 1][None, :], jnp.int32)
+
+    ox, oy, oz = rayc(0), rayc(1), rayc(2)
+    dx, dy, dz = rayc(3), rayc(4), rayc(5)
+    mint2 = rayc(6)
+    maxt2 = rayc(7)
+
+    sx, sy, sz = p1x - p0x, p1y - p0y, p1z - p0z
+    inv_len = jax.lax.rsqrt(jnp.maximum(sx * sx + sy * sy + sz * sz, 1e-30))
+    ax_, ay_, az_ = sx * inv_len, sy * inv_len, sz * inv_len
+
+    rx, ry, rz = ox - p0x, oy - p0y, oz - p0z
+    ar = ax_ * rx + ay_ * ry + az_ * rz
+    pox, poy, poz = rx - ar * ax_, ry - ar * ay_, rz - ar * az_
+    ad = ax_ * dx + ay_ * dy + az_ * dz
+    pdx, pdy, pdz = dx - ad * ax_, dy - ad * ay_, dz - ad * az_
+
+    a = pdx * pdx + pdy * pdy + pdz * pdz
+    b = pox * pdx + poy * pdy + poz * pdz
+    ok = a > 1e-18
+    a_safe = jnp.where(ok, a, 1.0)
+    t_mid = -b / a_safe
+    qx, qy, qz = pox + pdx * t_mid, poy + pdy * t_mid, poz + pdz * t_mid
+    c_mid = qx * qx + qy * qy + qz * qz - rr * rr
+    disc = -c_mid / a_safe
+    ok = ok & (disc >= 0.0)
+    dt = jnp.sqrt(jnp.maximum(disc, 0.0))
+    t_near = t_mid - dt
+    t_far = t_mid + dt
+
+    def miter_ok(t):
+        px, py, pz = ox + dx * t, oy + dy * t, oz + dz * t
+        h0 = (px - p0x) * n0x + (py - p0y) * n0y + (pz - p0z) * n0z
+        h1 = (px - p1x) * n1x + (py - p1y) * n1y + (pz - p1z) * n1z
+        return (h0 >= 0.0) & (h1 <= 0.0)
+
+    near_ok = ok & (t_near >= mint2) & (t_near <= maxt2) & miter_ok(t_near)
+    far_ok = ok & (t_far >= mint2) & (t_far <= maxt2) & miter_ok(t_far)
+    t = jnp.where(near_ok, t_near, t_far)
+    hit = (pid_row >= 0) & (near_ok | far_ok)
+
+    t_m = jnp.where(hit, t, jnp.inf)
+    t_best = jnp.min(t_m, axis=-1)                          # [CH]
+    is_best = t_m <= t_best[:, None]
+    pid_best = jnp.max(jnp.where(is_best & hit, pid_row, -1), axis=-1)
+    return t_best, pid_best
+
+
+def _tiled_kernel(slots_ref,            # scalar prefetch [T * q_max]
+                  cnt_ref,              # scalar prefetch [T]
+                  rays_ref,             # VMEM [GROUP_T, 8, TILE]
+                  seg_rows_hbm,         # HBM  [C, PRIM_F, K]
+                  t_out_ref,            # VMEM [GROUP_T, TILE]
+                  pid_out_ref,          # VMEM [GROUP_T, TILE]
+                  seg_vmem,             # scratch VMEM [2, PRIM_F, K]
+                  sems,                 # DMA semaphores [2]
+                  *, q_max: int):
+    i = pl.program_id(0)
+
+    t_out_ref[...] = jnp.full(t_out_ref.shape, jnp.inf, jnp.float32)
+    pid_out_ref[...] = jnp.full(pid_out_ref.shape, -1, jnp.int32)
+
+    for g in range(GROUP_T):
+        t_glob = i * GROUP_T + g
+        n_q = cnt_ref[t_glob]
+
+        def dma(buf_slot, q):
+            cluster = slots_ref[t_glob * q_max + q]
+            return pltpu.make_async_copy(
+                seg_rows_hbm.at[cluster], seg_vmem.at[buf_slot],
+                sems.at[buf_slot])
+
+        @pl.when(n_q > 0)
+        def _():
+            dma(0, 0).start()
+            rays = rays_ref[g]                       # [8, TILE]
+
+            def body(q, _):
+                @pl.when(q + 1 < n_q)
+                def _():
+                    dma((q + 1) % 2, q + 1).start()
+                pltpu.make_async_copy(
+                    seg_vmem.at[q % 2], seg_vmem.at[q % 2],
+                    sems.at[q % 2]).wait()
+                tq, pq = _cyl_test(seg_vmem[q % 2], rays)
+                prev_t = t_out_ref[g]
+                better = tq < prev_t
+                t_out_ref[g] = jnp.where(better, tq, prev_t)
+                pid_out_ref[g] = jnp.where(better, pq, pid_out_ref[g])
+                return 0
+
+            jax.lax.fori_loop(0, n_q, body, 0)
+
+
+@functools.partial(jax.jit, static_argnames=("K", "q_max", "interpret"))
+def tiled_phase_b(slots, cnt, rays8, seg_rows, K: int, q_max: int,
+                  interpret: bool = False):
+    """Run the tiled kernel. slots [T, q_max], cnt [T], rays8 [T, 8, TILE],
+    seg_rows [C, PRIM_F, K] → (t [T, TILE], pid [T, TILE])."""
+    T, _, TILE = rays8.shape
+
+    pad = (-T) % GROUP_T
+    if pad:
+        slots = jnp.concatenate(
+            [slots, jnp.zeros((pad, q_max), jnp.int32)])
+        cnt = jnp.concatenate([cnt, jnp.zeros((pad,), jnp.int32)])
+        rays8 = jnp.concatenate(
+            [rays8, jnp.zeros((pad, 8, TILE), jnp.float32)])
+    T_pad = T + pad
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(T_pad // GROUP_T,),
+        in_specs=[
+            pl.BlockSpec((GROUP_T, 8, TILE), lambda i, *_: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.ANY),
+        ],
+        out_specs=[
+            pl.BlockSpec((GROUP_T, TILE), lambda i, *_: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((GROUP_T, TILE), lambda i, *_: (i, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((2, PRIM_F, K), jnp.float32),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+    )
+    t, pid = pl.pallas_call(
+        functools.partial(_tiled_kernel, q_max=q_max),
+        out_shape=(jax.ShapeDtypeStruct((T_pad, TILE), jnp.float32),
+                   jax.ShapeDtypeStruct((T_pad, TILE), jnp.int32)),
+        grid_spec=grid_spec,
+        interpret=interpret,
+    )(slots.reshape(-1), cnt, rays8, seg_rows)
+    return t[:T], pid[:T]

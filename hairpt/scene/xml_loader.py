@@ -237,6 +237,9 @@ def _material_row_from_bsdf(node, defines, builder: SceneBuilder,
                 img = io_utils.read_hdr(fname)
             elif fname.lower().endswith(".pfm"):
                 img = io_utils.read_pfm(fname)
+            elif fname.lower().endswith(".exr"):
+                from ..utils import exr as exr_utils
+                img = exr_utils.read_exr(fname)[..., :3]
             else:
                 try:
                     from PIL import Image
@@ -478,6 +481,9 @@ def load_scene(path: str, defines: dict | None = None,
                     img = io_utils.read_hdr(fname)
                 elif fname.lower().endswith(".pfm"):
                     img = io_utils.read_pfm(fname)
+                elif fname.lower().endswith(".exr"):
+                    from ..utils import exr as exr_utils
+                    img = exr_utils.read_exr(fname)[..., :3]
                 else:
                     from PIL import Image
                     arr = np.asarray(Image.open(fname).convert("RGB"),
