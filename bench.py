@@ -49,7 +49,7 @@ def build_scene(quality: float, res: int, spp: int, depth: int):
     cam = Camera.perspective(cam_to_world, 35.0, res, res)
     return b.build(cam, Film.make(res, res, "tent"), spp=spp,
                    max_depth=depth, sampler=1,
-                   traversal=os.environ.get("BENCH_TRAVERSAL", "swept"),
+                   traversal=os.environ.get("BENCH_TRAVERSAL", "tiled"),
                    swept_k=128, swept_pmax=24, swept_chunk=64)
 
 
@@ -58,7 +58,7 @@ def main():
     res = int(os.environ.get("BENCH_RES", "256"))
     spp = int(os.environ.get("BENCH_SPP", "4"))
     depth = int(os.environ.get("BENCH_DEPTH", "8"))
-    traversal = os.environ.get("BENCH_TRAVERSAL", "swept")
+    traversal = os.environ.get("BENCH_TRAVERSAL", "tiled")
 
     import jax
     jax.config.update("jax_compilation_cache_dir",
@@ -131,15 +131,14 @@ def main():
     # like-for-like closest-hit query (the same workload the measured CPU
     # baseline runs: camera rays, full furball) for the vs_baseline ratio
     from hairpt.models import sensors as sens_mod
-    from hairpt.ops import intersect_swept as sw_mod
+    from hairpt.ops import intersect_tiled as tl_mod
     pix = jnp.arange(n_pix, dtype=jnp.uint32)
     cpos = jnp.stack([(pix % res).astype(jnp.float32) + 0.5,
                       (pix // res).astype(jnp.float32) + 0.5], -1)
     cray = sens_mod.sample_ray(scene.camera, cpos, None)
     ccfg = scene.config
-    f_ch = jax.jit(lambda s, r: sw_mod.swept_closest_hit(
-        s, r, ccfg.swept_c, ccfg.swept_k, p_max=ccfg.swept_pmax,
-        chunk=ccfg.swept_chunk))
+    f_ch = jax.jit(lambda s, r: tl_mod.tiled_closest_hit(
+        s, r, ccfg.swept_c, ccfg.swept_k, q_max=ccfg.tiled_q))
     sw = scene.arrays.hair_swept
     t, _ = f_ch(sw, cray)
     jax.block_until_ready(t)

@@ -18,6 +18,7 @@ from ..models import sensors
 from ..scene.scene import Scene
 from . import path as path_int
 from .common import scene_intersect, scene_occluded, frame
+from .path import _swept_params
 
 
 def render_direct(scene: Scene, seed: int = 0, spp=None):
@@ -46,7 +47,8 @@ def render_ao(scene: Scene, spp: int = 16, ray_length: float = -1.0,
         jit2 = rng.next_2d(cfg.sampler, pixel_idx, sample_idx, 0)
         pos = jnp.stack([px + jit2[..., 0], py + jit2[..., 1]], -1)
         ray = sensors.sample_ray(cam, pos, None)
-        hit = scene_intersect(arrs, ray, cfg.traversal, cfg.block)
+        hit = scene_intersect(arrs, ray, cfg.traversal, cfg.block,
+                              _swept_params(cfg))
 
         fr = frame(hit)
         u2 = rng.next_2d(cfg.sampler, pixel_idx, sample_idx, 4)
@@ -57,7 +59,8 @@ def render_ao(scene: Scene, spp: int = 16, ray_length: float = -1.0,
                      d=wo,
                      mint=jnp.zeros(n_pix),
                      maxt=jnp.where(hit.valid, max_len, 0.0))
-        occ = scene_occluded(arrs, shadow, cfg.traversal, cfg.block)
+        occ = scene_occluded(arrs, shadow, cfg.traversal, cfg.block,
+                             _swept_params(cfg))
         vis = jnp.where(hit.valid, (~occ).astype(jnp.float32), 1.0)
         radiance = jnp.broadcast_to(vis[..., None], (n_pix, 3))
         return film_mod.splat_samples(fl, pos, radiance, image, weight)
@@ -91,7 +94,8 @@ def render_field(scene: Scene, field: str = "shNormal", spp: int = 1):
         jit2 = rng.next_2d(cfg.sampler, pixel_idx, sample_idx, 0)
         pos = jnp.stack([px + jit2[..., 0], py + jit2[..., 1]], -1)
         ray = sensors.sample_ray(cam, pos, None)
-        hit = scene_intersect(arrs, ray, cfg.traversal, cfg.block)
+        hit = scene_intersect(arrs, ray, cfg.traversal, cfg.block,
+                              _swept_params(cfg))
         if field == "distance":
             v = jnp.broadcast_to(jnp.where(hit.valid, hit.t, 0.0)[..., None],
                                  (n_pix, 3))

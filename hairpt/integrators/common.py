@@ -15,6 +15,7 @@ from ..ops import intersect as isec
 from ..ops import intersect_blocked as isec_blk
 from ..ops import intersect_packed as ipk
 from ..ops import intersect_swept as iswept
+from ..ops import intersect_tiled as itiled
 from ..scene.scene import SceneArrays
 
 
@@ -84,8 +85,12 @@ def scene_intersect(arr: SceneArrays, ray: Ray, traversal: str = "packed",
     t_hair, prim_hair = (inf, jnp.full((n,), -1, jnp.int32))
     if arr.hair is not None:
         hair_ray = ray._replace(maxt=jnp.minimum(ray.maxt, t_tri))
-        if traversal == "swept" and arr.hair_swept is not None:
-            c, k, pmax, chunk = swept
+        if traversal == "tiled" and arr.hair_swept is not None:
+            c, k, _, _, q_max = swept
+            t_hair, prim_hair = itiled.tiled_closest_hit(
+                arr.hair_swept, hair_ray, c, k, q_max=q_max)
+        elif traversal == "swept" and arr.hair_swept is not None:
+            c, k, pmax, chunk = swept[:4]
             t_hair, prim_hair = iswept.swept_closest_hit(
                 arr.hair_swept, hair_ray, c, k, p_max=pmax, chunk=chunk)
         else:
@@ -93,7 +98,8 @@ def scene_intersect(arr: SceneArrays, ray: Ray, traversal: str = "packed",
                 arr.hair_bvh, arr.hair, arr.hair_packed,
                 isec.hair_intersect_block, isec_blk.hair_leaf_block,
                 ipk.hair_leaf_eval, hair_ray,
-                "packed" if traversal == "swept" else traversal, block)
+                "packed" if traversal in ("swept", "tiled") else traversal,
+                block)
 
     use_hair = t_hair < t_tri
     t = jnp.where(use_hair, t_hair, t_tri)
@@ -183,12 +189,16 @@ def scene_occluded(arr: SceneArrays, ray: Ray, traversal: str = "packed",
         occ = occ | _any(arr.tri_bvh, arr.tri, arr.tri_packed,
                          isec.tri_intersect_block, isec_blk.tri_leaf_block,
                          ipk.tri_leaf_eval, ray,
-                         "packed" if traversal == "swept" else traversal,
-                         block)
+                         "packed" if traversal in ("swept", "tiled")
+                         else traversal, block)
     if arr.hair is not None:
         ray2 = ray._replace(maxt=jnp.where(occ, 0.0, ray.maxt))
-        if traversal == "swept" and arr.hair_swept is not None:
-            c, k, pmax, chunk = swept
+        if traversal == "tiled" and arr.hair_swept is not None:
+            c, k, _, _, q_max = swept
+            occ = occ | itiled.tiled_any_hit(arr.hair_swept, ray2, c, k,
+                                             q_max=q_max)
+        elif traversal == "swept" and arr.hair_swept is not None:
+            c, k, pmax, chunk = swept[:4]
             occ = occ | iswept.swept_any_hit(arr.hair_swept, ray2, c, k,
                                              p_max=pmax, chunk=chunk)
         else:

@@ -46,7 +46,8 @@ D_RR = 8
 
 
 def _swept_params(cfg):
-    return (cfg.swept_c, cfg.swept_k, cfg.swept_pmax, cfg.swept_chunk)
+    return (cfg.swept_c, cfg.swept_k, cfg.swept_pmax, cfg.swept_chunk,
+            cfg.tiled_q)
 
 
 def _mi_weight(pdf_a, pdf_b):

@@ -74,12 +74,13 @@ class RenderConfig:
     gamma: float = 2.2
     ray_eps: float = 1e-3      # self-intersection offset (scene scale units)
     env_prob: float = 1.0      # NEE probability of picking the environment
-    traversal: str = "packed"  # 'packed' | 'swept' | 'perray' | 'blocked'
+    traversal: str = "packed"  # 'packed'|'swept'|'tiled'|'perray'|'blocked'
     block: int = 256           # rays per block ('blocked' mode only)
     swept_k: int = 128         # segments per cluster ('swept' hair mode)
     swept_c: int = 0           # cluster count (filled at build)
     swept_pmax: int = 24       # phase-A candidate clusters per ray
     swept_chunk: int = 64      # pairs per phase-B chunk
+    tiled_q: int = 128         # candidate clusters per 64-ray tile ('tiled')
     nee_probs: tuple = (1.0, 0.0, 0.0)  # (env, area, delta) selection probs
 
 
@@ -113,7 +114,7 @@ class SceneBuilder:
     def add_material(self, **row) -> int:
         kind = row.get("kind", mat.DIFFUSE)
         # per-material precomputed transmittance slices
-        if kind in (mat.ROUGHPLASTIC, mat.MARSCHNER):
+        if kind in (mat.ROUGHPLASTIC, mat.MARSCHNER, mat.ROUGHCOATING):
             dist = row.get("dist", 0)
             eta = row.get("eta", 1.5)
             alpha = row.get("alpha", 0.1)
@@ -122,6 +123,12 @@ class SceneBuilder:
             row["ext_trans"] = rt.eval_np(cosg, np.full(mat.N_COS, alpha))
             row["int_fdr"] = 1.0 - rt_tables.get(dist, 1.0 / eta) \
                 .eval_diffuse_np(alpha)
+        if kind in (mat.COATING, mat.ROUGHCOATING):
+            # specularSamplingWeight from the layer's average absorption
+            # (reference: coating.cpp configure(): 1/(avgAbsorption+1))
+            sa = np.asarray(row.get("sigma_a", (0.0,) * 3), np.float64)
+            avg_absorb = float(np.mean(np.exp(-2.0 * sa)))
+            row.setdefault("spec_weight", 1.0 / (avg_absorb + 1.0))
         if kind == mat.PLASTIC:
             from ..models.bsdf.fresnel import fresnel_diffuse_reflectance
             row["int_fdr"] = fresnel_diffuse_reflectance(
