@@ -40,6 +40,13 @@ MARSCHNERDIELECTRIC = 14
 MASK = 15
 DIFFTRANS = 16
 MIXTURE = 17
+COATING = 18
+ROUGHCOATING = 19
+
+# wrapper kinds modify/combine a nested material row (mix_a, mix_b)
+WRAPPER_KINDS = (MIXTURE, MASK, COATING, ROUGHCOATING)
+
+_LUM = np.array([0.212671, 0.715160, 0.072169], np.float32)
 
 N_COS = 64  # resolution of the per-material external-transmittance slice
 
@@ -221,8 +228,8 @@ def eval_pdf(active_kinds, gm: GatheredMat, wi, wo, hair_tables=None):
     f = jnp.zeros(n + (3,), jnp.float32)
     pdf = jnp.zeros(n, jnp.float32)
     for kind in sorted(set(int(k) for k in active_kinds)):
-        if kind == MIXTURE:
-            continue  # handled by the caller via eval_pdf_mixture
+        if kind in WRAPPER_KINDS:
+            continue  # handled by the caller via eval_pdf_mix
         mod = FAMILIES[kind]
         fk, pk = mod.eval_pdf(gm, wi, wo, hair_tables)
         sel = gm.kind == kind
@@ -245,6 +252,8 @@ def sample(active_kinds, gm: GatheredMat, wi, u_lobe, u2, u2b,
     is_delta = jnp.zeros(n, bool)
     eta_s = jnp.ones(n, jnp.float32)
     for kind in sorted(set(int(k) for k in active_kinds)):
+        if kind in WRAPPER_KINDS:
+            continue  # handled by the caller via sample_mix
         mod = FAMILIES[kind]
         wk, wtk, pk, dk, ek = mod.sample(gm, wi, u_lobe, u2, u2b, hair_tables)
         sel = gm.kind == kind
@@ -257,64 +266,288 @@ def sample(active_kinds, gm: GatheredMat, wi, u_lobe, u2, u2b,
 
 
 # ---------------------------------------------------------------------------
-# mixture/blend indirection (reference: src/bsdfs/{mixturebsdf,blendbsdf}.cpp)
-# A MIXTURE material points at two other material rows (mix_a, mix_b) with
-# weight mix_w. One level of nesting (like the reference's practical use).
+# Wrapper materials — one level of nested-material indirection.
+#   MIXTURE      (src/bsdfs/{mixturebsdf,blendbsdf}.cpp): blend of rows
+#                mix_a/mix_b with weight mix_w.
+#   MASK         (src/bsdfs/mask.cpp): opacity (stored in `diffuse`, may be
+#                textured) × nested row mix_a + (1-opacity) delta
+#                pass-through.
+#   COATING      (src/bsdfs/coating.cpp): smooth dielectric layer (ior
+#                `eta`, absorption·thickness in `sigma_a`) over nested row
+#                mix_a; nested directions are refraction-unfolded.
+#   ROUGHCOATING (src/bsdfs/roughcoating.cpp): microfacet layer; specular
+#                lobe D·G·F/(4cosθi), nested transmittance from the
+#                material's precomputed rough-transmittance slice.
+# Nested rows must be plain (non-wrapper) families, as in the reference's
+# practical scenes.
 # ---------------------------------------------------------------------------
 
 def _sub_kinds(active_kinds):
-    return tuple(k for k in active_kinds if k != MIXTURE)
+    return tuple(k for k in active_kinds if k not in WRAPPER_KINDS)
+
+
+def _luminance(c):
+    return c @ jnp.asarray(_LUM)
+
+
+def _refract_in(w, eta):
+    """Refraction-unfolded entry into the coating layer: the transmitted
+    direction expressed in the SAME hemisphere as w (reference:
+    coating.cpp refractIn). Returns (w', R12, tir)."""
+    from .fresnel import fresnel_dielectric
+    cos_i = w[..., 2]
+    R, _ = fresnel_dielectric(jnp.abs(cos_i), eta)
+    inv_eta = 1.0 / eta
+    sin2_t = (1.0 - cos_i * cos_i) * inv_eta * inv_eta
+    tir = sin2_t >= 1.0
+    cos_t = jnp.sqrt(jnp.maximum(1.0 - sin2_t, 0.0))
+    wp = jnp.stack([w[..., 0] * inv_eta, w[..., 1] * inv_eta,
+                    jnp.sign(cos_i) * cos_t], axis=-1)
+    return wp, jnp.where(tir, 1.0, R), tir
+
+
+def _refract_out(wp, eta):
+    """Exit from the layer (reference: coating.cpp refractOut).
+    Returns (w, R21, tir)."""
+    from .fresnel import fresnel_dielectric
+    cos_i = wp[..., 2]
+    R, _ = fresnel_dielectric(jnp.abs(cos_i), 1.0 / eta)
+    sin2_t = (1.0 - cos_i * cos_i) * eta * eta
+    tir = sin2_t >= 1.0
+    cos_t = jnp.sqrt(jnp.maximum(1.0 - sin2_t, 0.0))
+    w = jnp.stack([wp[..., 0] * eta, wp[..., 1] * eta,
+                   jnp.sign(cos_i) * cos_t], axis=-1)
+    return w, jnp.where(tir, 1.0, R), tir
+
+
+def _coat_absorb(gm, wi_p, wo_p):
+    """exp(-σa·d·(1/|cosθi'| + 1/|cosθo'|)); σa·thickness is in sigma_a."""
+    path = 1.0 / jnp.maximum(jnp.abs(wi_p[..., 2]), 1e-6) \
+        + 1.0 / jnp.maximum(jnp.abs(wo_p[..., 2]), 1e-6)
+    return jnp.exp(-gm.sigma_a * path[..., None])
+
+
+def _coat_prob_spec(gm, wi, rough: bool):
+    from .fresnel import fresnel_dielectric
+    if rough:
+        r = 1.0 - ext_trans_lookup(gm, jnp.abs(wi[..., 2]))
+    else:
+        r, _ = fresnel_dielectric(jnp.abs(wi[..., 2]), gm.eta)
+    sw = gm.spec_weight
+    return (r * sw) / jnp.maximum(r * sw + (1 - r) * (1 - sw), 1e-7)
+
+
+def _coat_eval_pdf(sub, gm, gm_n, wi, wo, hair_tables, rough: bool):
+    """(f, pdf) of a coated lane; both lobes, solid-angle measure."""
+    wi_p, R12, tir_i = _refract_in(wi, gm.eta)
+    wo_p, R21, tir_o = _refract_in(wo, gm.eta)
+    f_n, p_n = eval_pdf(sub, gm_n, wi_p, wo_p, hair_tables)
+    inv_eta2 = 1.0 / (gm.eta * gm.eta)
+    jac = inv_eta2 * wo[..., 2] / jnp.where(jnp.abs(wo_p[..., 2]) < 1e-7,
+                                            1e-7, wo_p[..., 2])
+    if rough:
+        T_i = ext_trans_lookup(gm, jnp.abs(wi[..., 2]))
+        T_o = ext_trans_lookup(gm, jnp.abs(wo[..., 2]))
+        through = (T_i * T_o)[..., None]
+    else:
+        through = ((1.0 - R12) * (1.0 - R21))[..., None]
+    f = f_n * through * _coat_absorb(gm, wi_p, wo_p) * jac[..., None]
+    dead = tir_i | tir_o
+    f = jnp.where(dead[..., None], 0.0, f)
+    p_spec = _coat_prob_spec(gm, wi, rough)
+    pdf = jnp.where(dead, 0.0, p_n * jac * (1.0 - p_spec))
+    if rough:
+        # glossy reflection lobe (reference: roughcoating.cpp:273-291)
+        from . import microfacet as mf
+        from .fresnel import fresnel_dielectric
+        from .plastic import _dyn_ndf, _dyn_g, _dyn_pdf_m, _half
+        both_up = wi[..., 2] * wo[..., 2] > 0
+        h = _half(wi, wo) * jnp.sign(wo[..., 2])[..., None]
+        D = _dyn_ndf(gm.dist, gm.alpha, h)
+        G = _dyn_g(gm.dist, gm.alpha, wi, wo, h)
+        F, _ = fresnel_dielectric(jnp.abs(jnp.sum(wi * h, -1)), gm.eta)
+        spec = gm.specular * (F * D * G / jnp.maximum(
+            4.0 * jnp.abs(wi[..., 2]), 1e-7))[..., None]
+        pdf_m = _dyn_pdf_m(gm.dist, gm.alpha, wi, h)
+        pdf_spec = mf.half_vector_to_wo_pdf(pdf_m, wo, h)
+        f = f + jnp.where(both_up[..., None], spec, 0.0)
+        pdf = pdf + jnp.where(both_up, pdf_spec * p_spec, 0.0)
+    return f, pdf
 
 
 def eval_pdf_mix(active_kinds, table, tex, mat_id, uv, gm, wi, wo,
                  hair_tables=None):
-    """eval_pdf with one level of mixture indirection."""
+    """eval_pdf with one level of wrapper-material indirection."""
+    akt = set(int(k) for k in active_kinds)
     f, pdf = eval_pdf(active_kinds, gm, wi, wo, hair_tables)
-    if MIXTURE not in set(int(k) for k in active_kinds):
+    if not (akt & set(WRAPPER_KINDS)):
         return f, pdf
     m = jnp.maximum(mat_id, 0)
-    is_mix = table.kind[m] == MIXTURE
-    w = table.mix_w[m]
+    kind_m = table.kind[m]
     sub = _sub_kinds(active_kinds)
     gm_a = gather(table, tex, table.mix_a[m], uv)
-    gm_b = gather(table, tex, table.mix_b[m], uv)
-    f_a, p_a = eval_pdf(sub, gm_a, wi, wo, hair_tables)
-    f_b, p_b = eval_pdf(sub, gm_b, wi, wo, hair_tables)
-    f = jnp.where(is_mix[..., None],
-                  w[..., None] * f_a + (1 - w)[..., None] * f_b, f)
-    pdf = jnp.where(is_mix, w * p_a + (1 - w) * p_b, pdf)
+
+    if MIXTURE in akt or MASK in akt:
+        f_a, p_a = eval_pdf(sub, gm_a, wi, wo, hair_tables)
+    if MIXTURE in akt:
+        is_mix = kind_m == MIXTURE
+        w = table.mix_w[m]
+        gm_b = gather(table, tex, table.mix_b[m], uv)
+        f_b, p_b = eval_pdf(sub, gm_b, wi, wo, hair_tables)
+        f = jnp.where(is_mix[..., None],
+                      w[..., None] * f_a + (1 - w)[..., None] * f_b, f)
+        pdf = jnp.where(is_mix, w * p_a + (1 - w) * p_b, pdf)
+    if MASK in akt:
+        is_mask = kind_m == MASK
+        op = gm.diffuse  # opacity (texture-resolved)
+        f = jnp.where(is_mask[..., None], f_a * op, f)
+        pdf = jnp.where(is_mask, p_a * _luminance(op), pdf)
+    for rough, kind in ((False, COATING), (True, ROUGHCOATING)):
+        if kind in akt:
+            is_c = kind_m == kind
+            f_c, p_c = _coat_eval_pdf(sub, gm, gm_a, wi, wo, hair_tables,
+                                      rough)
+            f = jnp.where(is_c[..., None], f_c, f)
+            pdf = jnp.where(is_c, p_c, pdf)
     return f, pdf
 
 
 def sample_mix(active_kinds, table, tex, mat_id, uv, gm, wi, u_lobe, u2,
                u2b, hair_tables=None):
-    """sample with one level of mixture indirection: pick a sub-material
-    ∝ mix_w, sample it, and return the full mixture pdf/weight."""
-    if MIXTURE not in set(int(k) for k in active_kinds):
+    """sample with one level of wrapper-material indirection."""
+    akt = set(int(k) for k in active_kinds)
+    if not (akt & set(WRAPPER_KINDS)):
         return sample(active_kinds, gm, wi, u_lobe, u2, u2b, hair_tables)
     m = jnp.maximum(mat_id, 0)
-    is_mix = table.kind[m] == MIXTURE
-    w = table.mix_w[m]
-    pick_a = u_lobe < w
-    u_resc = jnp.where(pick_a, u_lobe / jnp.maximum(w, 1e-7),
-                       (u_lobe - w) / jnp.maximum(1 - w, 1e-7))
-    id_eff = jnp.where(is_mix,
-                       jnp.where(pick_a, table.mix_a[m], table.mix_b[m]),
-                       m)
-    u_eff = jnp.where(is_mix, u_resc, u_lobe)
-    gm_eff = gather(table, tex, id_eff, uv)
+    kind_m = table.kind[m]
     sub = _sub_kinds(active_kinds)
-    wo, wt, pdf, is_delta, eta_s = sample(sub, gm_eff, wi, u_eff, u2, u2b,
-                                          hair_tables)
-    # smooth mixture lanes: recompute the full blended f/pdf
-    f_mix, p_mix = eval_pdf_mix(active_kinds, table, tex, mat_id, uv, gm,
-                                wi, wo, hair_tables)
-    smooth_mix = is_mix & ~is_delta
-    wt = jnp.where(smooth_mix[..., None],
-                   f_mix / jnp.maximum(p_mix, 1e-9)[..., None], wt)
-    pdf = jnp.where(smooth_mix, p_mix, pdf)
-    # delta lanes inside a mixture: discrete pdf scales by the branch prob
-    delta_mix = is_mix & is_delta
-    pdf = jnp.where(delta_mix,
-                    pdf * jnp.where(pick_a, w, 1 - w), pdf)
+    n = wi.shape[:-1]
+
+    # ---- route each lane to an effective sub-material + rescaled sample --
+    id_eff = m
+    u_eff = u_lobe
+    if MIXTURE in akt:
+        is_mix = kind_m == MIXTURE
+        w = table.mix_w[m]
+        pick_a = u_lobe < w
+        u_resc = jnp.where(pick_a, u_lobe / jnp.maximum(w, 1e-7),
+                           (u_lobe - w) / jnp.maximum(1 - w, 1e-7))
+        id_eff = jnp.where(is_mix,
+                           jnp.where(pick_a, table.mix_a[m],
+                                     table.mix_b[m]), id_eff)
+        u_eff = jnp.where(is_mix, u_resc, u_eff)
+    if MASK in akt:
+        is_mask = kind_m == MASK
+        op_lum = _luminance(gm.diffuse)
+        mask_nested = u_lobe < op_lum
+        id_eff = jnp.where(is_mask & mask_nested, table.mix_a[m], id_eff)
+        u_eff = jnp.where(is_mask,
+                          u_lobe / jnp.maximum(op_lum, 1e-7), u_eff)
+    is_coat = jnp.zeros(n, bool)
+    coat_rough = jnp.zeros(n, bool)
+    if COATING in akt:
+        is_coat = is_coat | (kind_m == COATING)
+    if ROUGHCOATING in akt:
+        sel = kind_m == ROUGHCOATING
+        is_coat = is_coat | sel
+        coat_rough = coat_rough | sel
+    if COATING in akt or ROUGHCOATING in akt:
+        rough_flag = ROUGHCOATING in akt and COATING not in akt
+        p_spec = _coat_prob_spec(gm, wi, rough_flag) if \
+            (COATING in akt) != (ROUGHCOATING in akt) else \
+            jnp.where(coat_rough, _coat_prob_spec(gm, wi, True),
+                      _coat_prob_spec(gm, wi, False))
+        coat_nested = u_lobe >= p_spec
+        id_eff = jnp.where(is_coat & coat_nested, table.mix_a[m], id_eff)
+        u_eff = jnp.where(is_coat & coat_nested,
+                          (u_lobe - p_spec) / jnp.maximum(1 - p_spec, 1e-7),
+                          u_eff)
+
+    # coated lanes sample the nested BSDF with the refracted wi
+    wi_p, R12, tir_i = _refract_in(wi, gm.eta)
+    wi_eff = jnp.where(is_coat[..., None], wi_p, wi)
+
+    gm_eff = gather(table, tex, id_eff, uv)
+    wo, wt, pdf, is_delta, eta_s = sample(sub, gm_eff, wi_eff, u_eff, u2,
+                                          u2b, hair_tables)
+
+    # ---- MIXTURE smooth lanes: full blended f/pdf -------------------------
+    if MIXTURE in akt:
+        f_mix, p_mix = eval_pdf_mix(active_kinds, table, tex, mat_id, uv,
+                                    gm, wi, wo, hair_tables)
+        smooth_mix = is_mix & ~is_delta
+        wt = jnp.where(smooth_mix[..., None],
+                       f_mix / jnp.maximum(p_mix, 1e-9)[..., None], wt)
+        pdf = jnp.where(smooth_mix, p_mix, pdf)
+        delta_mix = is_mix & is_delta
+        pdf = jnp.where(delta_mix, pdf * jnp.where(pick_a, w, 1 - w), pdf)
+
+    # ---- MASK --------------------------------------------------------------
+    if MASK in akt:
+        # nested branch: weight × opacity/op_lum, pdf × op_lum
+        sel_n = is_mask & mask_nested
+        wt = jnp.where(sel_n[..., None],
+                       wt * gm.diffuse / jnp.maximum(op_lum, 1e-7)[..., None],
+                       wt)
+        pdf = jnp.where(sel_n, pdf * op_lum, pdf)
+        # pass-through branch: delta transmission straight through
+        sel_t = is_mask & ~mask_nested
+        wo = jnp.where(sel_t[..., None], -wi, wo)
+        wt = jnp.where(sel_t[..., None],
+                       (1.0 - gm.diffuse)
+                       / jnp.maximum(1.0 - op_lum, 1e-7)[..., None], wt)
+        pdf = jnp.where(sel_t, 1.0 - op_lum, pdf)
+        is_delta = jnp.where(sel_t, True, is_delta)
+        eta_s = jnp.where(sel_t, 1.0, eta_s)
+
+    # ---- COATING / ROUGHCOATING -------------------------------------------
+    if COATING in akt or ROUGHCOATING in akt:
+        from ...core.math import reflect_z
+        # nested branch: refract the sampled wo out of the layer
+        wo_out, R21, tir_o = _refract_out(wo, gm.eta)
+        sel_n = is_coat & coat_nested
+        # recompute the full coated f/pdf at the outgoing direction
+        # (mirrors eval; keeps MIS-consistent pdfs for smooth nested lobes)
+        gm_a = gather(table, tex, table.mix_a[m], uv)
+        wo_eval = jnp.where(sel_n[..., None], wo_out, wo)
+        if COATING in akt:
+            f_c0, p_c0 = _coat_eval_pdf(sub, gm, gm_a, wi, wo_eval,
+                                        hair_tables, False)
+        if ROUGHCOATING in akt:
+            f_c1, p_c1 = _coat_eval_pdf(sub, gm, gm_a, wi, wo_eval,
+                                        hair_tables, True)
+        if COATING in akt and ROUGHCOATING in akt:
+            f_c = jnp.where(coat_rough[..., None], f_c1, f_c0)
+            p_c = jnp.where(coat_rough, p_c1, p_c0)
+        elif COATING in akt:
+            f_c, p_c = f_c0, p_c0
+        else:
+            f_c, p_c = f_c1, p_c1
+        smooth_n = sel_n & ~is_delta & ~tir_i & ~tir_o
+        wo = jnp.where(sel_n[..., None], wo_out, wo)
+        wt = jnp.where(smooth_n[..., None],
+                       f_c / jnp.maximum(p_c, 1e-9)[..., None], wt)
+        wt = jnp.where((sel_n & (is_delta | tir_i | tir_o))[..., None],
+                       jnp.where(sel_n[..., None] & is_delta[..., None]
+                                 & ~(tir_i | tir_o)[..., None],
+                                 wt * ((1.0 - R12) * (1.0 - R21)
+                                       / jnp.maximum(1 - p_spec, 1e-7)
+                                       )[..., None]
+                                 * _coat_absorb(gm, wi_p, wo),
+                                 0.0), wt)
+        pdf = jnp.where(smooth_n, p_c, pdf)
+        pdf = jnp.where(sel_n & is_delta, pdf * (1 - p_spec), pdf)
+        pdf = jnp.where(sel_n & (tir_i | tir_o), 0.0, pdf)
+        # specular branch: mirror reflection off the coat
+        sel_s = is_coat & ~coat_nested
+        wo_s = reflect_z(wi)
+        wo = jnp.where(sel_s[..., None], wo_s, wo)
+        wt = jnp.where(sel_s[..., None],
+                       gm.specular * (R12 / jnp.maximum(p_spec,
+                                                        1e-7))[..., None],
+                       wt)
+        pdf = jnp.where(sel_s, p_spec, pdf)
+        is_delta = jnp.where(sel_s, True, is_delta)
+        is_delta = jnp.where(sel_n, is_delta, is_delta)
+        eta_s = jnp.where(is_coat, 1.0, eta_s)
     return wo, wt, pdf, is_delta, eta_s

@@ -190,6 +190,21 @@ class SceneBuilder:
         cfg = RenderConfig(width=film.width, height=film.height,
                            **config_kwargs)
 
+        # wrapper materials (mixture/mask/coating) support ONE level of
+        # nesting — a nested wrapper would silently shade black, so fail
+        # loudly here instead
+        for i, r in enumerate(self.materials):
+            if r["kind"] in mat.WRAPPER_KINDS:
+                refs = (r["mix_a"], r["mix_b"]) if r["kind"] == mat.MIXTURE \
+                    else (r["mix_a"],)
+                for ref in refs:
+                    if self.materials[ref]["kind"] in mat.WRAPPER_KINDS \
+                            and ref != i:
+                        raise ValueError(
+                            f"material {i}: wrapper materials (mixture/"
+                            f"mask/coating) cannot nest another wrapper "
+                            f"(row {ref}); flatten the hierarchy")
+
         # triangles
         tri = tri_shading = tri_bvh = tri_packed = None
         if self.tri_meshes:

@@ -46,6 +46,9 @@ BSDF_KINDS = {
     "kajiyakay": mat.KAJIYAKAY,
     "marschner": mat.MARSCHNER,  # = the fork's MarschnerDiffuse build
     "marschnerdielectric": mat.MARSCHNERDIELECTRIC,
+    "mask": mat.MASK,
+    "coating": mat.COATING,
+    "roughcoating": mat.ROUGHCOATING,
 }
 
 # named IOR lookups used by the reference (src/bsdfs/ior.h data subset)
@@ -160,6 +163,30 @@ def _material_row_from_bsdf(node, defines, builder: SceneBuilder,
         w = weights[0] if weights else p.get("weight", 0.5)
         return dict(kind=mat.MIXTURE, twosided=twosided,
                     mix_a=sub_ids[0], mix_b=sub_ids[1], mix_w=w)
+
+    if kind in (mat.MASK, mat.COATING, mat.ROUGHCOATING):
+        inner = node.find("bsdf")
+        nested_id = builder.add_material(
+            **_material_row_from_bsdf(inner, defines, builder, scene_dir)) \
+            if inner is not None else builder.add_material(kind=mat.DIFFUSE)
+        if kind == mat.MASK:
+            return dict(kind=mat.MASK, twosided=twosided, mix_a=nested_id,
+                        diffuse=p.get("opacity", (0.5, 0.5, 0.5)))
+        int_ior = p.get("intIOR", "bk7")
+        ext_ior = p.get("extIOR", "air")
+        if isinstance(int_ior, str):
+            int_ior = IOR_NAMES.get(int_ior, 1.5046)
+        if isinstance(ext_ior, str):
+            ext_ior = IOR_NAMES.get(ext_ior, 1.000277)
+        thickness = float(p.get("thickness", 1.0))
+        sa = np.asarray(p.get("sigmaA", (0.0, 0.0, 0.0)), np.float32)
+        return dict(kind=kind, twosided=twosided, mix_a=nested_id,
+                    eta=float(int_ior) / float(ext_ior),
+                    sigma_a=tuple(sa * thickness),
+                    alpha=float(p.get("alpha", 0.1)),
+                    dist=0 if p.get("distribution", "ggx") != "beckmann"
+                    else 1,
+                    specular=p.get("specularReflectance", (1.0, 1.0, 1.0)))
 
     row = dict(kind=kind, twosided=twosided)
     int_ior = p.get("intIOR", "bk7")

@@ -1,0 +1,191 @@
+"""Wrapper materials: MASK (src/bsdfs/mask.cpp), COATING (coating.cpp),
+ROUGHCOATING (roughcoating.cpp). Identity limits, analytic factors, and
+sample/eval/pdf consistency."""
+import jax.numpy as jnp
+import numpy as np
+
+from hairpt.core import rng
+from hairpt.models.bsdf import registry as R
+from hairpt.models.bsdf import simple, plastic, hair, tables  # noqa: F401
+from hairpt.scene.scene import SceneBuilder
+
+from test_bsdf import fixed_wi
+
+
+def _table(rows):
+    return R.pack_materials(rows)
+
+
+def _mats(n, table):
+    mat_id = jnp.zeros(n, jnp.int32)
+    uv = jnp.zeros((n, 2), jnp.float32)
+    gm = R.gather(table, None, mat_id, uv)
+    return mat_id, uv, gm
+
+
+def _samples(n):
+    pix = jnp.arange(n, dtype=jnp.uint32)
+    return (rng.uniform_1d(pix, 0, 1), rng.uniform_2d(pix, 0, 2),
+            rng.uniform_2d(pix, 0, 4))
+
+
+def test_mask_eval_scales_nested():
+    op = (0.7, 0.4, 0.2)
+    rows = [R.default_material_row(kind=R.MASK, diffuse=op, mix_a=1),
+            R.default_material_row(kind=R.DIFFUSE, diffuse=(0.8, 0.6, 0.4))]
+    table = _table(rows)
+    n = 8
+    mat_id, uv, gm = _mats(n, table)
+    wi = fixed_wi(n)
+    wo = fixed_wi(n, 25.0, -40.0)
+    kinds = (R.MASK, R.DIFFUSE)
+    f, pdf = R.eval_pdf_mix(kinds, table, None, mat_id, uv, gm, wi, wo)
+    expect = np.array(op) * np.array([0.8, 0.6, 0.4]) / np.pi \
+        * float(wo[0, 2])
+    np.testing.assert_allclose(np.asarray(f)[0], expect, rtol=1e-5)
+    lum = float(np.dot(op, [0.212671, 0.715160, 0.072169]))
+    np.testing.assert_allclose(float(pdf[0]),
+                               lum * float(wo[0, 2]) / np.pi, rtol=1e-5)
+
+
+def test_mask_sampling_passthrough_and_consistency():
+    op = (0.5, 0.5, 0.5)
+    rows = [R.default_material_row(kind=R.MASK, diffuse=op, mix_a=1),
+            R.default_material_row(kind=R.DIFFUSE, diffuse=(0.9, 0.9, 0.9))]
+    table = _table(rows)
+    n = 1 << 13
+    mat_id, uv, gm = _mats(n, table)
+    wi = fixed_wi(n)
+    kinds = (R.MASK, R.DIFFUSE)
+    ul, u2, u2b = _samples(n)
+    wo, wt, pdf, is_delta, _ = R.sample_mix(kinds, table, None, mat_id, uv,
+                                            gm, wi, ul, u2, u2b)
+    d = np.asarray(is_delta)
+    # delta pass-through lanes continue straight: wo == -wi
+    np.testing.assert_allclose(np.asarray(wo)[d], -np.asarray(wi)[d],
+                               atol=1e-6)
+    assert 0.4 < d.mean() < 0.6  # ≈ 1 - luminance(opacity)
+    # smooth lanes: weight * pdf == masked eval
+    f, pdf2 = R.eval_pdf_mix(kinds, table, None, mat_id, uv, gm, wi, wo)
+    ok = ~d & (np.asarray(pdf) > 1e-6)
+    np.testing.assert_allclose(np.asarray(pdf)[ok], np.asarray(pdf2)[ok],
+                               rtol=1e-4)
+    resid = np.asarray(wt)[ok] * np.asarray(pdf)[ok, None] \
+        - np.asarray(f)[ok]
+    assert np.abs(resid).max() < 1e-3
+    # energy: pass-through weight (1-op)/(1-lum) == 1 for gray opacity
+    np.testing.assert_allclose(np.asarray(wt)[d], 1.0, rtol=1e-5)
+
+
+def _coating_rows(kind, eta=1.5, sigma=0.0, alpha=0.1,
+                  nested=(0.6, 0.45, 0.3)):
+    b = SceneBuilder()
+    i_nested = b.add_material(kind=R.DIFFUSE, diffuse=nested)
+    b.add_material(kind=kind, eta=eta, alpha=alpha,
+                   sigma_a=(sigma, sigma, sigma), mix_a=i_nested,
+                   specular=(1.0, 1.0, 1.0))
+    return b.materials
+
+
+def test_coating_eta1_reduces_to_nested():
+    """eta→1, σ=0: the layer vanishes; coated diffuse == plain diffuse."""
+    rows = _coating_rows(R.COATING, eta=1.0001)
+    table = _table(rows)
+    n = 8
+    mat_id = jnp.ones(n, jnp.int32)
+    uv = jnp.zeros((n, 2), jnp.float32)
+    gm = R.gather(table, None, mat_id, uv)
+    wi = fixed_wi(n)
+    wo = fixed_wi(n, 55.0, 110.0)
+    kinds = (R.COATING, R.DIFFUSE)
+    f, pdf = R.eval_pdf_mix(kinds, table, None, mat_id, uv, gm, wi, wo)
+    expect = np.array([0.6, 0.45, 0.3]) / np.pi * float(wo[0, 2])
+    np.testing.assert_allclose(np.asarray(f)[0], expect, rtol=2e-3)
+
+
+def test_coating_absorption_darkens():
+    f_vals = []
+    for sigma in (0.0, 0.5, 2.0):
+        rows = _coating_rows(R.COATING, sigma=sigma)
+        table = _table(rows)
+        n = 4
+        mat_id = jnp.ones(n, jnp.int32)
+        uv = jnp.zeros((n, 2), jnp.float32)
+        gm = R.gather(table, None, mat_id, uv)
+        f, _ = R.eval_pdf_mix((R.COATING, R.DIFFUSE), table, None, mat_id,
+                              uv, gm, fixed_wi(n), fixed_wi(n, 30, 0))
+        f_vals.append(float(np.asarray(f)[0].mean()))
+    assert f_vals[0] > f_vals[1] > f_vals[2] > 0
+
+
+def test_coating_sample_consistency():
+    for kind in (R.COATING, R.ROUGHCOATING):
+        rows = _coating_rows(kind, eta=1.5, sigma=0.2, alpha=0.15)
+        table = _table(rows)
+        n = 1 << 13
+        mat_id = jnp.ones(n, jnp.int32)
+        uv = jnp.zeros((n, 2), jnp.float32)
+        gm = R.gather(table, None, mat_id, uv)
+        wi = fixed_wi(n)
+        kinds = (kind, R.DIFFUSE)
+        ul, u2, u2b = _samples(n)
+        wo, wt, pdf, is_delta, _ = R.sample_mix(
+            kinds, table, None, mat_id, uv, gm, wi, ul, u2, u2b)
+        f, pdf2 = R.eval_pdf_mix(kinds, table, None, mat_id, uv, gm, wi, wo)
+        ok = ~np.asarray(is_delta) & (np.asarray(pdf) > 1e-5)
+        assert ok.sum() > n // 4
+        np.testing.assert_allclose(np.asarray(pdf)[ok], np.asarray(pdf2)[ok],
+                                   rtol=2e-3, atol=1e-6)
+        resid = np.asarray(wt)[ok] * np.asarray(pdf)[ok, None] \
+            - np.asarray(f)[ok]
+        assert np.abs(resid).max() < 2e-3, (kind, np.abs(resid).max())
+        # smooth-coating lanes that chose specular are delta reflections
+        d = np.asarray(is_delta)
+        if kind == R.COATING and d.sum():
+            wo_d = np.asarray(wo)[d]
+            wi_d = np.asarray(wi)[d]
+            np.testing.assert_allclose(wo_d[:, 2], wi_d[:, 2], atol=1e-6)
+            np.testing.assert_allclose(wo_d[:, :2], -wi_d[:, :2], atol=1e-6)
+
+
+def test_coating_albedo_matches_analytic_model():
+    """Sampled albedo of a clear coat over white diffuse == the analytic
+    single-scattering coating model: R12 + (1-R12)·E_cos[(1-R21)·1{¬TIR}].
+    (The reference discards TIR'd nested samples — coating.cpp returns 0
+    when R21 == 1 — so a clear coat over white diffuse loses exactly the
+    TIR fraction; this checks we reproduce that, no more and no less.)"""
+    eta = 1.5
+    theta_i = 35.0
+    rows = _coating_rows(R.COATING, eta=eta, sigma=0.0,
+                         nested=(1.0, 1.0, 1.0))
+    table = _table(rows)
+    n = 1 << 16
+    mat_id = jnp.ones(n, jnp.int32)
+    uv = jnp.zeros((n, 2), jnp.float32)
+    gm = R.gather(table, None, mat_id, uv)
+    wi = fixed_wi(n, theta_i)
+    kinds = (R.COATING, R.DIFFUSE)
+    ul, u2, u2b = _samples(n)
+    wo, wt, pdf, is_delta, _ = R.sample_mix(
+        kinds, table, None, mat_id, uv, gm, wi, ul, u2, u2b)
+    albedo = float(np.asarray(wt).mean(0).mean())
+
+    # independent numpy oracle
+    def fresnel(c, e):
+        s2t = (1 - c * c) / (e * e)
+        if s2t >= 1:
+            return 1.0
+        ct = np.sqrt(1 - s2t)
+        rs = (c - e * ct) / (c + e * ct)
+        rp = (e * c - ct) / (e * c + ct)
+        return 0.5 * (rs * rs + rp * rp)
+
+    r12 = fresnel(np.cos(np.radians(theta_i)), eta)
+    m = 1 << 16
+    u = (np.arange(m) + 0.5) / m
+    cos_p = np.sqrt(1 - u)           # cosine-distributed θ' in the layer
+    sin_p = np.sqrt(u)
+    r21 = np.array([fresnel(c, 1 / eta) for c in cos_p])
+    expect = r12 + (1 - r12) * np.mean(np.where(sin_p * eta < 1,
+                                                1 - r21, 0.0))
+    np.testing.assert_allclose(albedo, expect, rtol=0.02)
