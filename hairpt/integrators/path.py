@@ -281,7 +281,11 @@ def make_li_fn(scene: Scene, differentiable: bool = False):
                                             st.throughput * le
                                             * w_sel[..., None], 0.0)
 
-            # ---- shading frame (twosided flip) ----
+            # ---- shading frame (normal/bump maps, then twosided flip) ----
+            p_n, p_s, p_t = mat.perturb_shading_frame(
+                arr.materials, arr.checkers, hit.mat_id, hit.uv,
+                hit.sh_n, hit.sh_s, hit.sh_t)
+            hit = hit._replace(sh_n=p_n, sh_s=p_s, sh_t=p_t)
             two = arr.materials.twosided[jnp.maximum(hit.mat_id, 0)]
             flip = two & (dot(hit.sh_n, wi_world) < 0)
             sh_n = jnp.where(flip[..., None], -hit.sh_n, hit.sh_n)

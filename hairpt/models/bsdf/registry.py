@@ -75,6 +75,9 @@ class MaterialTable(NamedTuple):
     mix_a: jnp.ndarray       # [M] first sub-material row (MIXTURE only)
     mix_b: jnp.ndarray       # [M] second sub-material row
     mix_w: jnp.ndarray       # [M] weight of mix_a
+    nrm_tex_id: jnp.ndarray  # [M] normal/bump texture (-1 none)
+    nrm_kind: jnp.ndarray    # [M] 0 = normalmap (rgb), 1 = bumpmap (height)
+    nrm_scale: jnp.ndarray   # [M] bump height scale
 
 
 class CheckerboardTable(NamedTuple):
@@ -126,7 +129,8 @@ def default_material_row(**over):
                k=(1.0, 1.0, 1.0), nonlinear=False, spec_weight=0.5,
                ext_trans=np.ones(N_COS), int_fdr=0.0,
                sigma_a=(0.5, 0.5, 0.5), beta_r=0.1, scale_tilt=-0.1,
-               aux_id=-1, tex_id=-1, mix_a=0, mix_b=0, mix_w=0.5)
+               aux_id=-1, tex_id=-1, mix_a=0, mix_b=0, mix_w=0.5,
+               nrm_tex_id=-1, nrm_kind=0, nrm_scale=1.0)
     row.update(over)
     return row
 
@@ -145,7 +149,9 @@ def pack_materials(rows) -> MaterialTable:
         sigma_a=arr("sigma_a"), beta_r=arr("beta_r"),
         scale_tilt=arr("scale_tilt"), aux_id=arr("aux_id", np.int32),
         tex_id=arr("tex_id", np.int32), mix_a=arr("mix_a", np.int32),
-        mix_b=arr("mix_b", np.int32), mix_w=arr("mix_w"))
+        mix_b=arr("mix_b", np.int32), mix_w=arr("mix_w"),
+        nrm_tex_id=arr("nrm_tex_id", np.int32),
+        nrm_kind=arr("nrm_kind", np.int32), nrm_scale=arr("nrm_scale"))
 
 
 def eval_checkerboard(tex: CheckerboardTable, tex_id, uv, base):
@@ -551,3 +557,59 @@ def sample_mix(active_kinds, table, tex, mat_id, uv, gm, wi, u_lobe, u2,
         is_delta = jnp.where(sel_n, is_delta, is_delta)
         eta_s = jnp.where(is_coat, 1.0, eta_s)
     return wo, wt, pdf, is_delta, eta_s
+
+
+# ---------------------------------------------------------------------------
+# normal/bump mapping (reference: src/bsdfs/{normalmap,bumpmap}.cpp) —
+# perturbs the shading frame before BSDF dispatch rather than wrapping the
+# BSDF itself (same visible behavior, no extra indirection level).
+# ---------------------------------------------------------------------------
+
+def perturb_shading_frame(table: MaterialTable,
+                          tex: Optional[CheckerboardTable], mat_id, uv,
+                          sh_n, sh_s, sh_t):
+    """Returns (sh_n, sh_s, sh_t) with normal/bump maps applied for lanes
+    whose material carries one. Normal maps read a tangent-space rgb
+    normal (2c-1); bump maps take central differences of the height
+    texture's luminance in uv."""
+    if tex is None:
+        return sh_n, sh_s, sh_t
+    m = jnp.maximum(mat_id, 0)
+    tid = table.nrm_tex_id[m]
+    active = tid >= 0
+    if tex.bitmaps.shape[0] == 0:
+        return sh_n, sh_s, sh_t
+
+    kind = table.nrm_kind[m]
+    scale = table.nrm_scale[m]
+    base = jnp.zeros(uv.shape[:-1] + (3,), jnp.float32)
+
+    # normal map: rgb → tangent-space normal
+    rgb = eval_checkerboard(tex, tid, uv, base)
+    n_ts = rgb * 2.0 - 1.0
+
+    # bump map: central differences of height (luminance)
+    res = tex.bitmaps.shape[1]
+    d = 1.0 / res
+    h0 = _luminance(rgb)
+    hu = _luminance(eval_checkerboard(
+        tex, tid, uv + jnp.asarray([d, 0.0], jnp.float32), base))
+    hv = _luminance(eval_checkerboard(
+        tex, tid, uv + jnp.asarray([0.0, d], jnp.float32), base))
+    dhdu = (hu - h0) / d * scale
+    dhdv = (hv - h0) / d * scale
+    n_bump = jnp.stack([-dhdu, -dhdv, jnp.ones_like(dhdu)], axis=-1)
+
+    n_local = jnp.where((kind == 0)[..., None], n_ts, n_bump)
+    n_local = n_local / jnp.sqrt(jnp.maximum(
+        jnp.sum(n_local * n_local, -1, keepdims=True), 1e-12))
+    # to world via the current frame, then re-orthogonalize s, t
+    n_w = (sh_s * n_local[..., 0:1] + sh_t * n_local[..., 1:2]
+           + sh_n * n_local[..., 2:3])
+    s_w = sh_s - n_w * jnp.sum(n_w * sh_s, -1, keepdims=True)
+    s_w = s_w / jnp.sqrt(jnp.maximum(jnp.sum(s_w * s_w, -1, keepdims=True),
+                                     1e-12))
+    t_w = jnp.cross(n_w, s_w)
+    a = active[..., None]
+    return (jnp.where(a, n_w, sh_n), jnp.where(a, s_w, sh_s),
+            jnp.where(a, t_w, sh_t))

@@ -35,8 +35,12 @@ from .intersect_swept import SweptHair  # same build artifact / layout
 
 def _tile_cluster_mask(sw: SweptHair, ray: Ray, tile: int,
                        c_chunk: int = 2048):
-    """[T, C] bool: does any ray of tile t enter cluster c's AABB within
-    its [mint, maxt] range. Dense slab tests, chunked over clusters."""
+    """Per-tile cluster culling. Returns
+      mask   [T, C]  — does any ray of tile t enter cluster c's AABB
+      te     [T, C]  — min over the tile's rays of the entry t (inf = miss)
+      t_pmax [N]     — per ray, max entry t over ITS candidate clusters
+                       (-1 if it has none); bounds when a ray is exhausted.
+    Dense slab tests, chunked over clusters."""
     N = ray.o.shape[0]
     C = sw.cl_lo.shape[0]
     T = N // tile
@@ -46,6 +50,8 @@ def _tile_cluster_mask(sw: SweptHair, ray: Ray, tile: int,
     live = ray.maxt > ray.mint
 
     masks = []
+    tes = []
+    t_pmax = jnp.full((N,), -1.0, jnp.float32)
     n_chunks = (C + c_chunk - 1) // c_chunk
     for ci in range(n_chunks):
         lo = sw.cl_lo[ci * c_chunk:(ci + 1) * c_chunk]     # [Cc, 3]
@@ -62,24 +68,59 @@ def _tile_cluster_mask(sw: SweptHair, ray: Ray, tile: int,
         tf = tf * 1.00000024 + 1e-7
         hit = (tn <= tf) & (tf >= ray.mint[:, None]) \
             & (tn <= ray.maxt[:, None]) & live[:, None]
+        t_in = jnp.where(hit, jnp.maximum(tn, 0.0), jnp.inf)   # [N, Cc]
         masks.append(hit.reshape(T, tile, -1).any(axis=1))
-    return jnp.concatenate(masks, axis=1) if n_chunks > 1 else masks[0]
+        tes.append(jnp.where(jnp.isfinite(t_in), t_in,
+                             jnp.inf).reshape(T, tile, -1).min(axis=1))
+        t_pmax = jnp.maximum(
+            t_pmax, jnp.max(jnp.where(hit, jnp.maximum(tn, 0.0), -1.0),
+                            axis=1))
+    if n_chunks > 1:
+        return (jnp.concatenate(masks, axis=1),
+                jnp.concatenate(tes, axis=1), t_pmax)
+    return masks[0], tes[0], t_pmax
 
 
-def _tile_slots(mask, q_max: int):
-    """Extract each tile's hit-cluster ids into [T, q_max] slots (cluster-id
-    order) + live count [T]. One cumsum + one scatter — no sort."""
+N_BINS = 16  # entry-t counting-sort bins per tile
+
+
+def _tile_slots(mask, te, q_max: int):
+    """Extract each tile's hit clusters into [T, q_max] slots ordered
+    (approximately) by entry t via an N_BINS counting sort — cumsums +
+    one scatter, no argsort. Also returns the per-slot suffix-min entry
+    bound te_bound [T, q_max + 1] (te_bound[q] ≤ entry t of every slot
+    ≥ q — exact regardless of the approximate ordering), the live count
+    [T], and the overflow counter."""
     T, C = mask.shape
-    rank = jnp.cumsum(mask.astype(jnp.int32), axis=1)      # [T, C]
-    cnt = jnp.minimum(rank[:, -1], q_max)
+    # per-tile bin edges over the finite te range
+    te_f = jnp.where(mask, te, jnp.inf)
+    tmin = jnp.min(jnp.where(mask, te, jnp.inf), axis=1, keepdims=True)
+    tmax = jnp.max(jnp.where(mask, te, -jnp.inf), axis=1, keepdims=True)
+    span = jnp.maximum(tmax - tmin, 1e-6)
+    binid = jnp.clip(((te_f - tmin) / span * N_BINS).astype(jnp.int32),
+                     0, N_BINS - 1)
+
+    rank = jnp.zeros((T, C), jnp.int32)
+    offset = jnp.zeros((T,), jnp.int32)
+    for b in range(N_BINS):
+        sel = mask & (binid == b)
+        r = jnp.cumsum(sel.astype(jnp.int32), axis=1)
+        rank = jnp.where(sel, offset[:, None] + r - 1, rank)
+        offset = offset + r[:, -1]
+    cnt = jnp.minimum(offset, q_max)
+    overflow = jnp.sum((offset > q_max).astype(jnp.int32))
+
     rows = jax.lax.broadcasted_iota(jnp.int32, (T, C), 0)
-    # overflowing clusters (rank > q_max) land in the trash column q_max
-    cols = jnp.where(mask, jnp.minimum(rank - 1, q_max), q_max)
+    cols = jnp.where(mask, jnp.minimum(rank, q_max), q_max)  # q_max = trash
     cids = jax.lax.broadcasted_iota(jnp.int32, (T, C), 1)
     slots = jnp.zeros((T, q_max + 1), jnp.int32)
     slots = slots.at[rows, cols].set(jnp.where(mask, cids, 0))
-    overflow = jnp.sum((rank[:, -1] > q_max).astype(jnp.int32))
-    return slots[:, :q_max], cnt, overflow
+    te_slot = jnp.full((T, q_max + 1), jnp.inf, jnp.float32)
+    te_slot = te_slot.at[rows, cols].set(jnp.where(mask, te_f, jnp.inf))
+    # suffix min over slots (+inf tail) → valid lower bound for remaining
+    te_ext = te_slot.at[:, q_max].set(jnp.inf)
+    te_bound = jnp.flip(jax.lax.cummin(jnp.flip(te_ext, 1), axis=1), 1)
+    return slots[:, :q_max], cnt, te_bound, overflow
 
 
 def _pad_rays(ray: Ray, tile: int):
@@ -96,12 +137,14 @@ def _pad_rays(ray: Ray, tile: int):
 
 def tiled_closest_hit(sw: SweptHair, ray: Ray, n_clusters: int, K: int,
                       tile: int = 64, q_max: int = 128, impl: str = "auto",
-                      return_overflow: bool = False):
+                      return_overflow: bool = False, mode: str = "closest"):
     """Closest hit over the cluster layout. Returns (t [N], prim_id [N]).
 
     n_clusters, K are the static cluster-layout ints; tile and q_max are
     routing knobs (q_max caps candidate clusters per tile — overflow drops
-    the highest cluster ids and is reported via return_overflow).
+    the farthest entry-t clusters and is reported via return_overflow).
+    mode='any' lets the kernel stop a tile as soon as every ray has found
+    some hit (shadow queries).
     """
     if impl == "auto":
         impl = "pallas" if jax.default_backend() in ("tpu", "axon") \
@@ -110,8 +153,8 @@ def tiled_closest_hit(sw: SweptHair, ray: Ray, n_clusters: int, K: int,
     Np = ray_p.o.shape[0]
     T = Np // tile
 
-    mask = _tile_cluster_mask(sw, ray_p, tile)
-    slots, cnt, overflow = _tile_slots(mask, q_max)
+    mask, te, t_pmax = _tile_cluster_mask(sw, ray_p, tile)
+    slots, cnt, te_bound, overflow = _tile_slots(mask, te, q_max)
 
     rays8 = jnp.stack([
         ray_p.o[:, 0].reshape(T, tile), ray_p.o[:, 1].reshape(T, tile),
@@ -120,11 +163,12 @@ def tiled_closest_hit(sw: SweptHair, ray: Ray, n_clusters: int, K: int,
         ray_p.d[:, 2].reshape(T, tile),
         ray_p.mint.reshape(T, tile), ray_p.maxt.reshape(T, tile),
     ], axis=1)                                             # [T, 8, tile]
+    t_pmax_t = t_pmax.reshape(T, tile)
 
     from .pallas_tiled import tiled_phase_b
     t_tiles, p_tiles = tiled_phase_b(
-        slots, cnt, rays8, sw.seg_rows_t, K, q_max,
-        interpret=(impl == "interpret"))
+        slots, cnt, te_bound, rays8, t_pmax_t, sw.seg_rows_t, K, q_max,
+        any_hit=(mode == "any"), interpret=(impl == "interpret"))
     t = t_tiles.reshape(Np)[:N]
     p = p_tiles.reshape(Np)[:N]
     if return_overflow:
@@ -135,5 +179,6 @@ def tiled_closest_hit(sw: SweptHair, ray: Ray, n_clusters: int, K: int,
 def tiled_any_hit(sw: SweptHair, ray: Ray, n_clusters: int, K: int,
                   tile: int = 64, q_max: int = 128, impl: str = "auto"):
     degenerate = ray.maxt <= ray.mint
-    t, p = tiled_closest_hit(sw, ray, n_clusters, K, tile, q_max, impl)
+    t, p = tiled_closest_hit(sw, ray, n_clusters, K, tile, q_max, impl,
+                             mode="any")
     return (p >= 0) & ~degenerate

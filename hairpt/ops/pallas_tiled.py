@@ -103,13 +103,15 @@ def _cyl_test(rows, rays):
 
 def _tiled_kernel(slots_ref,            # scalar prefetch [T * q_max]
                   cnt_ref,              # scalar prefetch [T]
+                  te_ref,               # scalar prefetch [T * (q_max+1)]
                   rays_ref,             # VMEM [GROUP_T, 8, TILE]
+                  tpmax_ref,            # VMEM [GROUP_T, TILE]
                   seg_rows_hbm,         # HBM  [C, PRIM_F, K]
                   t_out_ref,            # VMEM [GROUP_T, TILE]
                   pid_out_ref,          # VMEM [GROUP_T, TILE]
                   seg_vmem,             # scratch VMEM [2, PRIM_F, K]
                   sems,                 # DMA semaphores [2]
-                  *, q_max: int):
+                  *, q_max: int, any_hit: bool):
     i = pl.program_id(0)
 
     t_out_ref[...] = jnp.full(t_out_ref.shape, jnp.inf, jnp.float32)
@@ -129,8 +131,26 @@ def _tiled_kernel(slots_ref,            # scalar prefetch [T * q_max]
         def _():
             dma(0, 0).start()
             rays = rays_ref[g]                       # [8, TILE]
+            t_pmax = tpmax_ref[g]                    # [TILE]
 
-            def body(q, _):
+            # tile-resolved check: every ray either found a hit that no
+            # remaining cluster can beat (best_t <= suffix-min entry t) or
+            # has no remaining candidates (bound > its own last entry t)
+            def resolved(q_next):
+                te_next = te_ref[t_glob * (q_max + 1) + q_next]
+                best = t_out_ref[g]
+                if any_hit:
+                    done_ray = jnp.isfinite(best) | (te_next > t_pmax)
+                else:
+                    done_ray = (best <= te_next) | (te_next > t_pmax)
+                return jnp.all(done_ray)
+
+            def cond(carry):
+                q, done = carry
+                return jnp.logical_not(done) & (q < n_q)
+
+            def body(carry):
+                q, _ = carry
                 @pl.when(q + 1 < n_q)
                 def _():
                     dma((q + 1) % 2, q + 1).start()
@@ -142,15 +162,26 @@ def _tiled_kernel(slots_ref,            # scalar prefetch [T * q_max]
                 better = tq < prev_t
                 t_out_ref[g] = jnp.where(better, tq, prev_t)
                 pid_out_ref[g] = jnp.where(better, pq, pid_out_ref[g])
-                return 0
+                return q + 1, resolved(q + 1)
 
-            jax.lax.fori_loop(0, n_q, body, 0)
+            q_end, _ = jax.lax.while_loop(cond, body,
+                                          (jnp.int32(0), jnp.bool_(False)))
+            # a prefetched-but-unconsumed DMA (early exit) must be drained
+            # so the next tile's reuse of the buffer slot doesn't mismatch
+            @pl.when(q_end < n_q)
+            def _():
+                pltpu.make_async_copy(
+                    seg_vmem.at[q_end % 2], seg_vmem.at[q_end % 2],
+                    sems.at[q_end % 2]).wait()
 
 
-@functools.partial(jax.jit, static_argnames=("K", "q_max", "interpret"))
-def tiled_phase_b(slots, cnt, rays8, seg_rows, K: int, q_max: int,
+@functools.partial(jax.jit,
+                   static_argnames=("K", "q_max", "any_hit", "interpret"))
+def tiled_phase_b(slots, cnt, te_bound, rays8, t_pmax, seg_rows, K: int,
+                  q_max: int, any_hit: bool = False,
                   interpret: bool = False):
-    """Run the tiled kernel. slots [T, q_max], cnt [T], rays8 [T, 8, TILE],
+    """Run the tiled kernel. slots [T, q_max], cnt [T],
+    te_bound [T, q_max+1], rays8 [T, 8, TILE], t_pmax [T, TILE],
     seg_rows [C, PRIM_F, K] → (t [T, TILE], pid [T, TILE])."""
     T, _, TILE = rays8.shape
 
@@ -159,15 +190,21 @@ def tiled_phase_b(slots, cnt, rays8, seg_rows, K: int, q_max: int,
         slots = jnp.concatenate(
             [slots, jnp.zeros((pad, q_max), jnp.int32)])
         cnt = jnp.concatenate([cnt, jnp.zeros((pad,), jnp.int32)])
+        te_bound = jnp.concatenate(
+            [te_bound, jnp.full((pad, q_max + 1), jnp.inf, jnp.float32)])
         rays8 = jnp.concatenate(
             [rays8, jnp.zeros((pad, 8, TILE), jnp.float32)])
+        t_pmax = jnp.concatenate(
+            [t_pmax, jnp.full((pad, TILE), -1.0, jnp.float32)])
     T_pad = T + pad
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=2,
+        num_scalar_prefetch=3,
         grid=(T_pad // GROUP_T,),
         in_specs=[
             pl.BlockSpec((GROUP_T, 8, TILE), lambda i, *_: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((GROUP_T, TILE), lambda i, *_: (i, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.ANY),
         ],
@@ -183,10 +220,11 @@ def tiled_phase_b(slots, cnt, rays8, seg_rows, K: int, q_max: int,
         ],
     )
     t, pid = pl.pallas_call(
-        functools.partial(_tiled_kernel, q_max=q_max),
+        functools.partial(_tiled_kernel, q_max=q_max, any_hit=any_hit),
         out_shape=(jax.ShapeDtypeStruct((T_pad, TILE), jnp.float32),
                    jax.ShapeDtypeStruct((T_pad, TILE), jnp.int32)),
         grid_spec=grid_spec,
         interpret=interpret,
-    )(slots.reshape(-1), cnt, rays8, seg_rows)
+    )(slots.reshape(-1), cnt, te_bound.reshape(-1), rays8, t_pmax,
+      seg_rows)
     return t[:T], pid[:T]

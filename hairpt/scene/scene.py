@@ -91,6 +91,7 @@ class Scene(NamedTuple):
     config: RenderConfig
     active_kinds: tuple        # static: BSDF families present
     marschner_rows: tuple = ()  # material-row index per hair-table aux_id
+    has_normal_maps: bool = False  # static: any normal/bump-mapped material
 
 
 class SceneBuilder:
@@ -379,4 +380,7 @@ class SceneBuilder:
             i for i, r in enumerate(self.materials)
             if r["kind"] == mat.MARSCHNER)
         return Scene(arrays=arrays, camera=camera, film=film, config=cfg,
-                     active_kinds=active, marschner_rows=marschner_rows)
+                     active_kinds=active, marschner_rows=marschner_rows,
+                     has_normal_maps=any(
+                         int(r.get("nrm_tex_id", -1)) >= 0
+                         for r in self.materials))

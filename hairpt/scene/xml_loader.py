@@ -139,8 +139,15 @@ def _material_row_from_bsdf(node, defines, builder: SceneBuilder,
     """Translate a <bsdf> element (possibly twosided-wrapped) into a
     material row + optional checkerboard texture."""
     twosided = False
-    while node.get("type") == "twosided":
-        twosided = True
+    nrm = None  # (kind 0=normalmap 1=bumpmap, texture element, scale)
+    while node.get("type") in ("twosided", "normalmap", "bumpmap"):
+        ntype = node.get("type")
+        if ntype == "twosided":
+            twosided = True
+        else:
+            p_w = _collect_props(node, defines)
+            nrm = (0 if ntype == "normalmap" else 1, node.find("texture"),
+                   float(p_w.get("scale", 1.0)))
         inner = node.find("bsdf")
         if inner is None:
             break
@@ -281,7 +288,46 @@ def _material_row_from_bsdf(node, defines, builder: SceneBuilder,
                 vscale=tp.get("vscale", 1.0),
                 uoffset=tp.get("uoffset", 0.0),
                 voffset=tp.get("voffset", 0.0))
+
+    if nrm is not None and nrm[1] is not None:
+        # normal/bump texture: loaded WITHOUT sRGB de-gamma (vector data)
+        ntp = _collect_props(nrm[1], defines)
+        nimg = _read_texture_image(ntp.get("filename", ""), scene_dir,
+                                   gamma=1.0)
+        if nimg is not None:
+            row["nrm_tex_id"] = builder.add_bitmap_texture(
+                nimg, uscale=ntp.get("uscale", 1.0),
+                vscale=ntp.get("vscale", 1.0),
+                uoffset=ntp.get("uoffset", 0.0),
+                voffset=ntp.get("voffset", 0.0))
+            row["nrm_kind"] = nrm[0]
+            row["nrm_scale"] = nrm[2]
     return row
+
+
+def _read_texture_image(fname: str, scene_dir: str, gamma: float = 2.2):
+    """Load a texture image (hdr/pfm/exr linear; ldr with the given
+    de-gamma). Returns None when missing."""
+    if fname and not os.path.isabs(fname):
+        cand = os.path.join(scene_dir, fname)
+        if os.path.exists(cand):
+            fname = cand
+    if not fname or not os.path.exists(fname):
+        return None
+    if fname.lower().endswith(".hdr"):
+        return io_utils.read_hdr(fname)
+    if fname.lower().endswith(".pfm"):
+        return io_utils.read_pfm(fname)
+    if fname.lower().endswith(".exr"):
+        from ..utils import exr as exr_utils
+        return exr_utils.read_exr(fname)[..., :3]
+    try:
+        from PIL import Image
+        arr = np.asarray(Image.open(fname).convert("RGB"),
+                         np.float32) / 255.0
+        return arr ** gamma if gamma != 1.0 else arr
+    except Exception:
+        return None
 
 
 def _standin_fibers(scene_dir: str, filename: str, radius: float,

@@ -189,3 +189,52 @@ def test_coating_albedo_matches_analytic_model():
     expect = r12 + (1 - r12) * np.mean(np.where(sin_p * eta < 1,
                                                 1 - r21, 0.0))
     np.testing.assert_allclose(albedo, expect, rtol=0.02)
+
+
+def test_normalmap_tilts_frame():
+    """A constant normal map tilting +x must rotate the shading frame; an
+    identity map (0.5,0.5,1) must leave it unchanged."""
+    from hairpt.models.bsdf.registry import perturb_shading_frame
+    b = SceneBuilder()
+    flat = np.zeros((8, 8, 3), np.float32)
+    flat[..., 0] = 0.5
+    flat[..., 1] = 0.5
+    flat[..., 2] = 1.0
+    tilt = flat.copy()
+    tilt[..., 0] = 0.5 + 0.25  # n_ts = (0.5, 0, sqrt-ish) after 2c-1
+    t_flat = b.add_bitmap_texture(flat, res=8)
+    t_tilt = b.add_bitmap_texture(tilt, res=8)
+    b.add_material(kind=R.DIFFUSE, nrm_tex_id=t_flat, nrm_kind=0)
+    b.add_material(kind=R.DIFFUSE, nrm_tex_id=t_tilt, nrm_kind=0)
+    b.add_material(kind=R.DIFFUSE)  # no map
+    from hairpt.film.film import Film
+    from hairpt.models.sensors import Camera
+    from hairpt.core.math import matrix_lookat
+    from hairpt.models import shapes as shp
+    b.add_mesh(shp.rectangle(), 0)
+    cam = Camera.perspective(matrix_lookat((0, 0, -3), (0, 0, 0), (0, 1, 0)),
+                             45.0, 8, 8)
+    sc = b.build(cam, Film.make(8, 8, "box"), spp=1, max_depth=2)
+    assert sc.has_normal_maps
+
+    table = sc.arrays.materials
+    tex = sc.arrays.checkers
+    n = 3
+    mat_id = jnp.asarray([0, 1, 2], jnp.int32)
+    uv = jnp.full((n, 2), 0.5, jnp.float32)
+    sh_n = jnp.broadcast_to(jnp.asarray([0., 0., 1.], jnp.float32), (n, 3))
+    sh_s = jnp.broadcast_to(jnp.asarray([1., 0., 0.], jnp.float32), (n, 3))
+    sh_t = jnp.broadcast_to(jnp.asarray([0., 1., 0.], jnp.float32), (n, 3))
+    pn, ps, pt = perturb_shading_frame(table, tex, mat_id, uv,
+                                       sh_n, sh_s, sh_t)
+    pn, ps, pt = map(np.asarray, (pn, ps, pt))
+    # identity map: unchanged (within bilinear noise)
+    np.testing.assert_allclose(pn[0], [0, 0, 1], atol=1e-3)
+    # tilted map: normal leans +x
+    assert pn[1][0] > 0.3, pn[1]
+    np.testing.assert_allclose(np.linalg.norm(pn[1]), 1.0, atol=1e-5)
+    # orthonormal frame
+    assert abs(np.dot(pn[1], ps[1])) < 1e-5
+    assert abs(np.dot(pn[1], pt[1])) < 1e-5
+    # unmapped lane untouched
+    np.testing.assert_array_equal(pn[2], [0, 0, 1])
