@@ -25,13 +25,16 @@ from .path import (_mi_weight, _sample_emitter_direct, _pdf_emitter_hit,
                    DIM_STRIDE)
 
 
-def make_volpath_li(scene: Scene, medium: med.Medium):
+def make_volpath_li(scene: Scene, medium):
+    """medium: med.Medium (homogeneous fog) or med.HeteroMedium (grid
+    volume, Woodcock tracking)."""
     cfg = scene.config
     cam = scene.camera
     active_kinds = scene.active_kinds
     smode = cfg.sampler
     ray_eps = cfg.ray_eps
     pk = medium.phase_kind
+    hetero = isinstance(medium, med.HeteroMedium)
 
     def s1(pix, smp, dim):
         return rng.next_1d(smode, pix, smp, dim)
@@ -60,12 +63,19 @@ def make_volpath_li(scene: Scene, medium: med.Medium):
                     maxt=jnp.where(active, jnp.inf, 0.0))
             hit = scene_intersect(arr, r, cfg.traversal, cfg.block,
                                   _swept_params(cfg))
-            t_surf = jnp.where(hit.valid, hit.t, medium.fog_depth)
-
-            u_ch = s1(pixel_idx, sample_idx, dims + 9)
-            u_dd = s1(pixel_idx, sample_idx, dims + 10)
-            dist, is_med, w_flight = med.sample_distance(medium, u_ch, u_dd,
-                                                         t_surf)
+            if hetero:
+                t_surf = jnp.where(hit.valid, hit.t, 1e30)
+                dist, is_med = med.woodcock_sample(
+                    medium, o, d, t_surf, pixel_idx, sample_idx, dims + 9)
+                # delta tracking is analog: medium events weight by albedo
+                w_flight = jnp.where(is_med[..., None],
+                                     medium.albedo[None, :], 1.0)
+            else:
+                t_surf = jnp.where(hit.valid, hit.t, medium.fog_depth)
+                u_ch = s1(pixel_idx, sample_idx, dims + 9)
+                u_dd = s1(pixel_idx, sample_idx, dims + 10)
+                dist, is_med, w_flight = med.sample_distance(
+                    medium, u_ch, u_dd, t_surf)
             throughput = throughput * jnp.where(active[..., None],
                                                 w_flight, 1.0)
 
@@ -115,8 +125,14 @@ def make_volpath_li(scene: Scene, medium: med.Medium):
                          maxt=jnp.where(ok, dist_nee - 2 * ray_eps, 0.0))
             occl = scene_occluded(arr, shadow, cfg.traversal, cfg.block,
                                   _swept_params(cfg))
-            tr_shadow = med.transmittance(
-                medium, jnp.minimum(dist_nee, medium.fog_depth))
+            if hetero:
+                tr_shadow = med.woodcock_transmittance(
+                    medium, p_evt + off, d_nee,
+                    jnp.minimum(dist_nee, 1e6), pixel_idx, sample_idx,
+                    dims + 11)
+            else:
+                tr_shadow = med.transmittance(
+                    medium, jnp.minimum(dist_nee, medium.fog_depth))
             ph_pdf_nee = ph  # HG/iso pdf == eval
             scatter_pdf_nee = jnp.where(is_med, ph_pdf_nee, pdf_bs)
             w_mis = jnp.where(is_dl, 1.0,
@@ -172,8 +188,11 @@ def make_volpath_li(scene: Scene, medium: med.Medium):
     return li
 
 
-def render_volpath(scene: Scene, medium: med.Medium, spp: int = 8,
+def render_volpath(scene: Scene, medium=None, spp: int = 8,
                    seed: int = 0):
+    if medium is None:
+        medium = scene.medium if scene.medium is not None \
+            else med.make_medium((0.05,) * 3, (0.01,) * 3)
     cfg = scene.config
     fl = scene.film
     n_pix = cfg.width * cfg.height

@@ -10,6 +10,8 @@ from __future__ import annotations
 
 from typing import NamedTuple
 
+import jax
+
 import jax.numpy as jnp
 
 from ..core.math import frame_from_normal, normalize, safe_sqrt
@@ -114,3 +116,192 @@ def sample_distance(medium: Medium, u_channel, u_dist, t_max):
     w_surf = tr / jnp.maximum(pdf_surf, 1e-20)[..., None]
     weight = jnp.where(is_medium[..., None], w_med, w_surf)
     return d, is_medium, weight
+
+
+# ---------------------------------------------------------------------------
+# heterogeneous media: grid volumes + Woodcock (delta) tracking
+# (reference: src/volume/gridvolume.cpp, src/medium/heterogeneous.cpp)
+# ---------------------------------------------------------------------------
+
+class GridVolume(NamedTuple):
+    data: jnp.ndarray        # [D, H, W] density (z, y, x)
+    world_min: jnp.ndarray   # [3]
+    inv_extent: jnp.ndarray  # [3] 1 / (world_max - world_min)
+
+
+class HeteroMedium(NamedTuple):
+    vol: GridVolume
+    sigma_t: jnp.ndarray     # [3] extinction at density 1
+    albedo: jnp.ndarray      # [3]
+    g: jnp.ndarray           # []
+    majorant: jnp.ndarray    # [] max over grid of density * max(sigma_t)
+    phase_kind: int          # static
+    max_steps: int = 512     # static Woodcock iteration cap
+
+
+def load_vol(path: str) -> GridVolume:
+    """Read the reference's .vol grid format (src/volume/gridvolume.cpp):
+    'VOL' magic, version 3, int32 encoding (1 = float32), xres/yres/zres,
+    channels, bbox (2x3 float32), then x-fastest data."""
+    import numpy as np
+    with open(path, "rb") as f:
+        magic = f.read(3)
+        if magic != b"VOL":
+            raise ValueError("not a .vol file")
+        version = f.read(1)[0]
+        if version != 3:
+            raise ValueError(f"unsupported .vol version {version}")
+        enc, xres, yres, zres, channels = np.frombuffer(f.read(20),
+                                                        np.int32)
+        if enc != 1:
+            raise ValueError(f"unsupported .vol encoding {enc}")
+        bbox = np.frombuffer(f.read(24), np.float32)
+        data = np.frombuffer(f.read(4 * xres * yres * zres * channels),
+                             np.float32)
+    data = data.reshape(zres, yres, xres, channels)[..., 0]
+    wmin = bbox[:3]
+    wmax = bbox[3:]
+    return GridVolume(data=jnp.asarray(data, jnp.float32),
+                      world_min=jnp.asarray(wmin, jnp.float32),
+                      inv_extent=jnp.asarray(
+                          1.0 / np.maximum(wmax - wmin, 1e-12), jnp.float32))
+
+
+def make_grid_volume(data, world_min, world_max) -> GridVolume:
+    import numpy as np
+    wmin = np.asarray(world_min, np.float32)
+    wmax = np.asarray(world_max, np.float32)
+    return GridVolume(data=jnp.asarray(data, jnp.float32),
+                      world_min=jnp.asarray(wmin),
+                      inv_extent=jnp.asarray(1.0 / np.maximum(wmax - wmin,
+                                                              1e-12)))
+
+
+def grid_density(vol: GridVolume, p):
+    """Trilinear density lookup; zero outside the grid bbox
+    (reference: gridvolume.cpp lookupFloat)."""
+    g = (p - vol.world_min) * vol.inv_extent  # [..., 3] in [0, 1]
+    inside = jnp.all((g >= 0.0) & (g <= 1.0), axis=-1)
+    D, H, W = vol.data.shape
+    fx = g[..., 0] * (W - 1)
+    fy = g[..., 1] * (H - 1)
+    fz = g[..., 2] * (D - 1)
+    x0 = jnp.clip(jnp.floor(fx).astype(jnp.int32), 0, W - 2)
+    y0 = jnp.clip(jnp.floor(fy).astype(jnp.int32), 0, H - 2)
+    z0 = jnp.clip(jnp.floor(fz).astype(jnp.int32), 0, D - 2)
+    wx = jnp.clip(fx - x0, 0.0, 1.0)
+    wy = jnp.clip(fy - y0, 0.0, 1.0)
+    wz = jnp.clip(fz - z0, 0.0, 1.0)
+    d = vol.data
+
+    def at(dz, dy, dx):
+        return d[z0 + dz, y0 + dy, x0 + dx]
+
+    c00 = at(0, 0, 0) * (1 - wx) + at(0, 0, 1) * wx
+    c01 = at(0, 1, 0) * (1 - wx) + at(0, 1, 1) * wx
+    c10 = at(1, 0, 0) * (1 - wx) + at(1, 0, 1) * wx
+    c11 = at(1, 1, 0) * (1 - wx) + at(1, 1, 1) * wx
+    c0 = c00 * (1 - wy) + c01 * wy
+    c1 = c10 * (1 - wy) + c11 * wy
+    return jnp.where(inside, c0 * (1 - wz) + c1 * wz, 0.0)
+
+
+def make_hetero_medium(vol: GridVolume, sigma_s, sigma_a, g=0.0,
+                       phase_kind=HG, density_scale=1.0) -> HeteroMedium:
+    import numpy as np
+    sigma_s = jnp.asarray(sigma_s, jnp.float32) * density_scale
+    sigma_a = jnp.asarray(sigma_a, jnp.float32) * density_scale
+    sigma_t = sigma_s + sigma_a
+    albedo = sigma_s / jnp.maximum(sigma_t, 1e-8)
+    majorant = jnp.max(vol.data) * jnp.max(sigma_t)
+    return HeteroMedium(vol=vol, sigma_t=sigma_t, albedo=albedo,
+                        g=jnp.asarray(g, jnp.float32),
+                        majorant=jnp.maximum(majorant, 1e-8),
+                        phase_kind=phase_kind)
+
+
+def _woodcock_uniform(pixel, sample, dim_base, it, salt):
+    from ..core import rng
+    return rng.uniform_1d(pixel, sample,
+                          dim_base + 0x9E37 * it + salt)
+
+
+def _bbox_overlap(vol: GridVolume, o, d, t_max):
+    """[t0, t1] of the ray's overlap with the grid bbox (t1 < t0 = none)."""
+    wmax = vol.world_min + 1.0 / vol.inv_extent
+    inv_d = 1.0 / jnp.where(jnp.abs(d) < 1e-12,
+                            jnp.where(d >= 0, 1e-12, -1e-12), d)
+    a0 = (vol.world_min - o) * inv_d
+    a1 = (wmax - o) * inv_d
+    t0 = jnp.max(jnp.minimum(a0, a1), axis=-1)
+    t1 = jnp.min(jnp.maximum(a0, a1), axis=-1)
+    return jnp.maximum(t0, 0.0), jnp.minimum(t1, t_max)
+
+
+def woodcock_sample(med: HeteroMedium, o, d, t_max, pixel, sample,
+                    dim_base: int):
+    """Delta-tracking free-flight sampling, clipped to the grid bbox
+    (reference: heterogeneous.cpp sampleDistance, Woodcock tracking).
+    Returns (t [N], is_medium_event [N]). The estimator weight of a
+    medium event is albedo (throughput *= albedo), of escape 1 — delta
+    tracking is analog, so transmittance/pdf cancels exactly."""
+    n = o.shape[0]
+    inv_mj = 1.0 / med.majorant
+    t0, t1 = _bbox_overlap(med.vol, o, d, t_max)
+
+    def cond(st):
+        it, t, done = st
+        return jnp.any(~done) & (it < med.max_steps)
+
+    def body(st):
+        it, t, done = st
+        u1 = _woodcock_uniform(pixel, sample, dim_base, it, 0)
+        u2 = _woodcock_uniform(pixel, sample, dim_base, it, 0x5bd1)
+        t_new = t - jnp.log(jnp.maximum(1.0 - u1, 1e-20)) * inv_mj
+        escaped = t_new >= t1        # left the medium bbox → vacuum
+        p_evt = o + d * t_new[..., None]
+        dens = grid_density(med.vol, p_evt)
+        sig = dens * jnp.max(med.sigma_t)
+        real = u2 < sig * inv_mj
+        newly_done = ~done & (escaped | real)
+        t = jnp.where(done, t, t_new)
+        done = done | newly_done
+        return it + 1, t, done
+
+    init = (jnp.int32(0), jnp.maximum(t0, 0.0), t0 >= t1)
+    _, t, _ = jax.lax.while_loop(cond, body, init)
+    is_med = (t < t1) & (t0 < t1)
+    return jnp.where(is_med, t, t_max), is_med
+
+
+def woodcock_transmittance(med: HeteroMedium, o, d, dist, pixel, sample,
+                           dim_base: int):
+    """Ratio-tracking transmittance estimate along [0, dist], clipped to
+    the grid bbox (unbiased; reference: heterogeneous.cpp
+    evalTransmittance)."""
+    n = o.shape[0]
+    inv_mj = 1.0 / med.majorant
+    t0, t1 = _bbox_overlap(med.vol, o, d, dist)
+
+    def cond(st):
+        it, t, tr, done = st
+        return jnp.any(~done) & (it < med.max_steps)
+
+    def body(st):
+        it, t, tr, done = st
+        u1 = _woodcock_uniform(pixel, sample, dim_base, it, 0x1234)
+        t_new = t - jnp.log(jnp.maximum(1.0 - u1, 1e-20)) * inv_mj
+        escaped = t_new >= t1
+        p = o + d * t_new[..., None]
+        dens = grid_density(med.vol, p)
+        ratio = 1.0 - dens * jnp.max(med.sigma_t) * inv_mj
+        tr = jnp.where((done | escaped)[..., None], tr,
+                       tr * jnp.maximum(ratio, 0.0)[..., None])
+        done = done | escaped | (jnp.max(tr, axis=-1) <= 0.0)
+        t = jnp.where(done, t, t_new)
+        return it + 1, t, tr, done
+
+    init = (jnp.int32(0), jnp.maximum(t0, 0.0),
+            jnp.ones((n, 3), jnp.float32), t0 >= t1)
+    _, _, tr, _ = jax.lax.while_loop(cond, body, init)
+    return tr

@@ -84,18 +84,30 @@ def _tile_cluster_mask(sw: SweptHair, ray: Ray, tile: int,
 N_BINS = 16  # entry-t counting-sort bins per tile
 
 
+TE_BITS = 12            # quantized next-slot entry-t bound (high bits)
+TE_INF = (1 << TE_BITS) - 1   # 4095 = +inf sentinel
+CID_MASK = (1 << 20) - 1      # cluster id in the low 20 bits (C < 1M)
+
+
 def _tile_slots(mask, te, q_max: int):
-    """Extract each tile's hit clusters into [T, q_max] slots ordered
-    (approximately) by entry t via an N_BINS counting sort — cumsums +
-    one scatter, no argsort. Also returns the per-slot suffix-min entry
-    bound te_bound [T, q_max + 1] (te_bound[q] ≤ entry t of every slot
-    ≥ q — exact regardless of the approximate ordering), the live count
-    [T], and the overflow counter."""
+    """Extract each tile's hit clusters into [T, q_max] packed slots
+    ordered (approximately) by entry t via an N_BINS counting sort —
+    cumsums + one scatter, no argsort.
+
+    Each packed slot int32 carries `cluster_id | (bq << 20)` where bq is
+    the 12-bit floor-quantized suffix-min entry-t bound of all slots AFTER
+    this one (floor ⇒ the dequantized value stays a valid lower bound, so
+    the kernel's early exit is conservative regardless of the approximate
+    ordering; 4095 = +inf). Packing both into one scalar-prefetch array
+    keeps SMEM ≈ 0.5 MB — slots + a separate f32 bound array exceeded the
+    1 MB SMEM budget. Returns (packed [T, q_max], cnt [T], tmin [T],
+    tscale [T], overflow)."""
     T, C = mask.shape
-    # per-tile bin edges over the finite te range
     te_f = jnp.where(mask, te, jnp.inf)
     tmin = jnp.min(jnp.where(mask, te, jnp.inf), axis=1, keepdims=True)
+    tmin = jnp.where(jnp.isfinite(tmin), tmin, 0.0)
     tmax = jnp.max(jnp.where(mask, te, -jnp.inf), axis=1, keepdims=True)
+    tmax = jnp.where(jnp.isfinite(tmax), tmax, 1.0)
     span = jnp.maximum(tmax - tmin, 1e-6)
     binid = jnp.clip(((te_f - tmin) / span * N_BINS).astype(jnp.int32),
                      0, N_BINS - 1)
@@ -117,10 +129,17 @@ def _tile_slots(mask, te, q_max: int):
     slots = slots.at[rows, cols].set(jnp.where(mask, cids, 0))
     te_slot = jnp.full((T, q_max + 1), jnp.inf, jnp.float32)
     te_slot = te_slot.at[rows, cols].set(jnp.where(mask, te_f, jnp.inf))
-    # suffix min over slots (+inf tail) → valid lower bound for remaining
+    # suffix-min bound of slots AFTER q (q+1..): shift left by one
     te_ext = te_slot.at[:, q_max].set(jnp.inf)
-    te_bound = jnp.flip(jax.lax.cummin(jnp.flip(te_ext, 1), axis=1), 1)
-    return slots[:, :q_max], cnt, te_bound, overflow
+    te_suf = jnp.flip(jax.lax.cummin(jnp.flip(te_ext, 1), axis=1), 1)
+    te_next = te_suf[:, 1:]                                  # [T, q_max]
+    # floor-quantize to TE_BITS (round down preserves the lower bound)
+    scale = (span / (TE_INF - 1))[:, 0]                      # [T]
+    bq = jnp.floor((te_next - tmin) / span * (TE_INF - 1))
+    bq = jnp.clip(bq, 0, TE_INF - 1).astype(jnp.int32)
+    bq = jnp.where(jnp.isfinite(te_next), bq, TE_INF)
+    packed = slots[:, :q_max] | (bq << 20)
+    return packed, cnt, tmin[:, 0], scale, overflow
 
 
 def _pad_rays(ray: Ray, tile: int):
@@ -154,7 +173,7 @@ def tiled_closest_hit(sw: SweptHair, ray: Ray, n_clusters: int, K: int,
     T = Np // tile
 
     mask, te, t_pmax = _tile_cluster_mask(sw, ray_p, tile)
-    slots, cnt, te_bound, overflow = _tile_slots(mask, te, q_max)
+    slots, cnt, tmin, tscale, overflow = _tile_slots(mask, te, q_max)
 
     rays8 = jnp.stack([
         ray_p.o[:, 0].reshape(T, tile), ray_p.o[:, 1].reshape(T, tile),
@@ -167,7 +186,7 @@ def tiled_closest_hit(sw: SweptHair, ray: Ray, n_clusters: int, K: int,
 
     from .pallas_tiled import tiled_phase_b
     t_tiles, p_tiles = tiled_phase_b(
-        slots, cnt, te_bound, rays8, t_pmax_t, sw.seg_rows_t, K, q_max,
+        slots, cnt, tmin, tscale, rays8, t_pmax_t, sw.seg_rows_t, K, q_max,
         any_hit=(mode == "any"), interpret=(impl == "interpret"))
     t = t_tiles.reshape(Np)[:N]
     p = p_tiles.reshape(Np)[:N]

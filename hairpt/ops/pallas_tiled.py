@@ -101,9 +101,15 @@ def _cyl_test(rows, rays):
     return t_best, pid_best
 
 
-def _tiled_kernel(slots_ref,            # scalar prefetch [T * q_max]
+TE_BITS = 12
+TE_INF = (1 << TE_BITS) - 1
+CID_MASK = (1 << 20) - 1
+
+
+def _tiled_kernel(slots_ref,            # scalar prefetch [T * q_max] packed
                   cnt_ref,              # scalar prefetch [T]
-                  te_ref,               # scalar prefetch [T * (q_max+1)]
+                  tmin_ref,             # scalar prefetch [T]
+                  tscale_ref,           # scalar prefetch [T]
                   rays_ref,             # VMEM [GROUP_T, 8, TILE]
                   tpmax_ref,            # VMEM [GROUP_T, TILE]
                   seg_rows_hbm,         # HBM  [C, PRIM_F, K]
@@ -122,7 +128,7 @@ def _tiled_kernel(slots_ref,            # scalar prefetch [T * q_max]
         n_q = cnt_ref[t_glob]
 
         def dma(buf_slot, q):
-            cluster = slots_ref[t_glob * q_max + q]
+            cluster = slots_ref[t_glob * q_max + q] & CID_MASK
             return pltpu.make_async_copy(
                 seg_rows_hbm.at[cluster], seg_vmem.at[buf_slot],
                 sems.at[buf_slot])
@@ -132,12 +138,18 @@ def _tiled_kernel(slots_ref,            # scalar prefetch [T * q_max]
             dma(0, 0).start()
             rays = rays_ref[g]                       # [8, TILE]
             t_pmax = tpmax_ref[g]                    # [TILE]
+            tmin = tmin_ref[t_glob]
+            tscale = tscale_ref[t_glob]
 
-            # tile-resolved check: every ray either found a hit that no
-            # remaining cluster can beat (best_t <= suffix-min entry t) or
-            # has no remaining candidates (bound > its own last entry t)
-            def resolved(q_next):
-                te_next = te_ref[t_glob * (q_max + 1) + q_next]
+            # tile-resolved check after processing slot q: every ray either
+            # found a hit no remaining cluster can beat (best_t <= the
+            # suffix-min entry bound packed in slot q's high bits) or has
+            # no remaining candidates (bound > its own last entry t)
+            def resolved(q):
+                packed = slots_ref[t_glob * q_max + q]
+                bq = (packed >> 20) & TE_INF
+                te_next = jnp.where(bq == TE_INF, jnp.inf,
+                                    tmin + bq.astype(jnp.float32) * tscale)
                 best = t_out_ref[g]
                 if any_hit:
                     done_ray = jnp.isfinite(best) | (te_next > t_pmax)
@@ -162,7 +174,7 @@ def _tiled_kernel(slots_ref,            # scalar prefetch [T * q_max]
                 better = tq < prev_t
                 t_out_ref[g] = jnp.where(better, tq, prev_t)
                 pid_out_ref[g] = jnp.where(better, pq, pid_out_ref[g])
-                return q + 1, resolved(q + 1)
+                return q + 1, resolved(q)
 
             q_end, _ = jax.lax.while_loop(cond, body,
                                           (jnp.int32(0), jnp.bool_(False)))
@@ -177,11 +189,11 @@ def _tiled_kernel(slots_ref,            # scalar prefetch [T * q_max]
 
 @functools.partial(jax.jit,
                    static_argnames=("K", "q_max", "any_hit", "interpret"))
-def tiled_phase_b(slots, cnt, te_bound, rays8, t_pmax, seg_rows, K: int,
-                  q_max: int, any_hit: bool = False,
+def tiled_phase_b(slots, cnt, tmin, tscale, rays8, t_pmax, seg_rows,
+                  K: int, q_max: int, any_hit: bool = False,
                   interpret: bool = False):
-    """Run the tiled kernel. slots [T, q_max], cnt [T],
-    te_bound [T, q_max+1], rays8 [T, 8, TILE], t_pmax [T, TILE],
+    """Run the tiled kernel. slots [T, q_max] (packed cluster|bound),
+    cnt/tmin/tscale [T], rays8 [T, 8, TILE], t_pmax [T, TILE],
     seg_rows [C, PRIM_F, K] → (t [T, TILE], pid [T, TILE])."""
     T, _, TILE = rays8.shape
 
@@ -190,8 +202,8 @@ def tiled_phase_b(slots, cnt, te_bound, rays8, t_pmax, seg_rows, K: int,
         slots = jnp.concatenate(
             [slots, jnp.zeros((pad, q_max), jnp.int32)])
         cnt = jnp.concatenate([cnt, jnp.zeros((pad,), jnp.int32)])
-        te_bound = jnp.concatenate(
-            [te_bound, jnp.full((pad, q_max + 1), jnp.inf, jnp.float32)])
+        tmin = jnp.concatenate([tmin, jnp.zeros((pad,), jnp.float32)])
+        tscale = jnp.concatenate([tscale, jnp.ones((pad,), jnp.float32)])
         rays8 = jnp.concatenate(
             [rays8, jnp.zeros((pad, 8, TILE), jnp.float32)])
         t_pmax = jnp.concatenate(
@@ -199,7 +211,7 @@ def tiled_phase_b(slots, cnt, te_bound, rays8, t_pmax, seg_rows, K: int,
     T_pad = T + pad
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=3,
+        num_scalar_prefetch=4,
         grid=(T_pad // GROUP_T,),
         in_specs=[
             pl.BlockSpec((GROUP_T, 8, TILE), lambda i, *_: (i, 0, 0),
@@ -225,6 +237,5 @@ def tiled_phase_b(slots, cnt, te_bound, rays8, t_pmax, seg_rows, K: int,
                    jax.ShapeDtypeStruct((T_pad, TILE), jnp.int32)),
         grid_spec=grid_spec,
         interpret=interpret,
-    )(slots.reshape(-1), cnt, te_bound.reshape(-1), rays8, t_pmax,
-      seg_rows)
+    )(slots.reshape(-1), cnt, tmin, tscale, rays8, t_pmax, seg_rows)
     return t[:T], pid[:T]

@@ -92,6 +92,7 @@ class Scene(NamedTuple):
     active_kinds: tuple        # static: BSDF families present
     marschner_rows: tuple = ()  # material-row index per hair-table aux_id
     has_normal_maps: bool = False  # static: any normal/bump-mapped material
+    medium: object = None      # Medium/HeteroMedium for volpath (optional)
 
 
 class SceneBuilder:
@@ -108,6 +109,7 @@ class SceneBuilder:
         self.area_lights = []      # (mesh index ...) resolved at finalize
         self.camera: Optional[Camera] = None
         self.film: Optional[Film] = None
+        self.medium = None         # optional Medium/HeteroMedium (volpath)
         self.config_kwargs = {}
 
     # -- materials ---------------------------------------------------------
@@ -383,4 +385,5 @@ class SceneBuilder:
                      active_kinds=active, marschner_rows=marschner_rows,
                      has_normal_maps=any(
                          int(r.get("nrm_tex_id", -1)) >= 0
-                         for r in self.materials))
+                         for r in self.materials),
+                     medium=getattr(self, "medium", None))

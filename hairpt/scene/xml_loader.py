@@ -583,5 +583,45 @@ def load_scene(path: str, defines: dict | None = None,
                 beam_deg=p.get("beamWidth", p.get("cutoffAngle", 20.0)
                                * 0.75)))
 
+    # scene-level participating media (reference: src/medium/*.cpp) —
+    # <medium type="homogeneous|heterogeneous"> at scene scope; rendered
+    # by the volpath integrator (--integrator volpath)
+    for md in root.findall("medium"):
+        from ..models import media as med_mod
+        mp = _collect_props(md, defines)
+        ph_el = md.find("phase")
+        pk = med_mod.HG
+        g_val = float(mp.get("g", 0.0))
+        if ph_el is not None:
+            pp = _collect_props(ph_el, defines)
+            pk = {"isotropic": med_mod.ISOTROPIC, "hg": med_mod.HG,
+                  "rayleigh": med_mod.RAYLEIGH}.get(
+                      ph_el.get("type", "isotropic"), med_mod.HG)
+            g_val = float(pp.get("g", g_val))
+        sig_s = mp.get("sigmaS", (0.5, 0.5, 0.5))
+        sig_a = mp.get("sigmaA", (0.1, 0.1, 0.1))
+        if md.get("type") == "heterogeneous":
+            vol = None
+            for ve in md.findall("volume"):
+                vp = _collect_props(ve, defines)
+                if ve.get("type") == "gridvolume" and "filename" in vp:
+                    fname = vp["filename"]
+                    if not os.path.isabs(fname):
+                        fname = os.path.join(scene_dir, fname)
+                    vol = med_mod.load_vol(fname)
+                elif ve.get("type") == "constvolume":
+                    val = float(np.mean(vp.get("value", 1.0)))
+                    vol = med_mod.make_grid_volume(
+                        np.full((2, 2, 2), val, np.float32),
+                        (-1e3, -1e3, -1e3), (1e3, 1e3, 1e3))
+            if vol is None:
+                raise ValueError("heterogeneous medium needs a gridvolume")
+            b.medium = med_mod.make_hetero_medium(
+                vol, sig_s, sig_a, g=g_val, phase_kind=pk,
+                density_scale=float(mp.get("scale", 1.0)))
+        else:
+            b.medium = med_mod.make_medium(sig_s, sig_a, g=g_val,
+                                           phase_kind=pk)
+
     return b.build(cam, film, spp=int(spp), max_depth=int(max_depth),
                    sampler=sampler_kind, gamma=film.gamma)

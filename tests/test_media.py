@@ -95,3 +95,90 @@ def test_volpath_vacuum_limit_matches_path():
                              fog_depth=10.0)
     img = np.asarray(render_volpath(scene, medium, spp=24))
     np.testing.assert_allclose(img.mean(), ref.mean(), rtol=0.06)
+
+
+# ---------------------------------------------------------------------------
+# heterogeneous media (grid volumes + Woodcock/delta tracking)
+# ---------------------------------------------------------------------------
+
+def test_grid_density_trilinear():
+    import numpy as np
+    from hairpt.models import media as med
+    # linear ramp along x: density(x) = x over [0, 1]^3
+    n = 9
+    data = np.broadcast_to(np.linspace(0, 1, n)[None, None, :],
+                           (n, n, n)).astype(np.float32)
+    vol = med.make_grid_volume(data, (0, 0, 0), (1, 1, 1))
+    p = jnp.asarray([[0.25, 0.5, 0.5], [0.75, 0.5, 0.5],
+                     [2.0, 0.5, 0.5]], jnp.float32)
+    d = np.asarray(med.grid_density(vol, p))
+    np.testing.assert_allclose(d[:2], [0.25, 0.75], atol=1e-5)
+    assert d[2] == 0.0  # outside → vacuum
+
+
+def test_woodcock_matches_homogeneous_limit():
+    """Constant-density grid: delta-tracked free flights must reproduce
+    the analytic exponential distribution, and ratio-tracked
+    transmittance the analytic exp(-σt d)."""
+    import numpy as np
+    from hairpt.models import media as med
+    sigma_s = (0.6, 0.6, 0.6)
+    sigma_a = (0.4, 0.4, 0.4)
+    vol = med.make_grid_volume(np.ones((4, 4, 4), np.float32),
+                               (-50, -50, -50), (50, 50, 50))
+    hm = med.make_hetero_medium(vol, sigma_s, sigma_a)
+    n = 1 << 15
+    o = jnp.zeros((n, 3), jnp.float32)
+    d = jnp.zeros((n, 3), jnp.float32).at[:, 2].set(1.0)
+    pix = jnp.arange(n, dtype=jnp.uint32)
+    smp = jnp.zeros((n,), jnp.uint32)
+    t_max = jnp.full((n,), 3.0, jnp.float32)
+    t, is_med = med.woodcock_sample(hm, o, d, t_max, pix, smp, 100)
+    t = np.asarray(t); is_med = np.asarray(is_med)
+    # escape probability exp(-1*3.0)
+    np.testing.assert_allclose((~is_med).mean(), np.exp(-3.0), atol=0.01)
+    # mean collision t for events: analytic conditional mean
+    # E[t | t<3] = (1 - (1+3σ)e^{-3σ})/(σ(1-e^{-3σ})), σ=1
+    sig = 1.0
+    expect = (1 - (1 + 3 * sig) * np.exp(-3 * sig)) \
+        / (sig * (1 - np.exp(-3 * sig)))
+    np.testing.assert_allclose(t[is_med].mean(), expect, rtol=0.02)
+
+    tr = np.asarray(med.woodcock_transmittance(
+        hm, o, d, jnp.full((n,), 2.0), pix, smp, 500))
+    np.testing.assert_allclose(tr.mean(0), np.exp(-2.0), rtol=0.05)
+
+
+def test_hetero_volpath_runs_and_darkens():
+    """Gaussian density blob in front of a constant env: the blob region
+    must be dimmer than the clear region (absorbing medium)."""
+    import numpy as np
+    from hairpt.models import media as med
+    from hairpt.film.film import Film
+    from hairpt.models import emitters as em
+    from hairpt.models.bsdf import registry as mat
+    from hairpt.models.sensors import Camera
+    from hairpt.core.math import matrix_lookat
+    from hairpt.scene.scene import SceneBuilder
+    from hairpt.integrators.volpath import render_volpath
+
+    g = 17
+    zz, yy, xx = np.meshgrid(*([np.linspace(-1, 1, g)] * 3), indexing="ij")
+    blob = np.exp(-8 * (xx ** 2 + yy ** 2 + zz ** 2)).astype(np.float32)
+    vol = med.make_grid_volume(blob, (-1, -1, -1), (1, 1, 1))
+    hm = med.make_hetero_medium(vol, sigma_s=(0.5,) * 3,
+                                sigma_a=(4.0,) * 3, density_scale=4.0)
+
+    b = SceneBuilder()
+    b.add_material(kind=mat.DIFFUSE)
+    b.env = em.make_constant((1.0, 1.0, 1.0))
+    cam = Camera.perspective(matrix_lookat((0, 0, -4), (0, 0, 0),
+                                           (0, 1, 0)), 35.0, 32, 32)
+    scene = b.build(cam, Film.make(32, 32, "box"), spp=1, max_depth=6,
+                    sampler=0)
+    img = np.asarray(render_volpath(scene, hm, spp=8))
+    assert np.isfinite(img).all()
+    center = img[14:18, 14:18].mean()
+    corner = img[:4, :4].mean()
+    assert center < corner * 0.7, (center, corner)
+    assert corner > 0.9  # clear paths see the env

@@ -42,9 +42,11 @@ def main():
 
     # stage timings for tiled
     f_mask = jax.jit(lambda s, r: tl_mod._tile_cluster_mask(s, r, 64))
-    mask, _ = timeit(f_mask, sw, ray, label="tile mask (phase A + OR)")
-    f_slots = jax.jit(lambda m: tl_mod._tile_slots(m, 128))
-    (slots, cnt, ovf), _ = timeit(f_slots, mask, label="slot extraction")
+    (mask, te, t_pmax), _ = timeit(f_mask, sw, ray,
+                                   label="tile mask (phase A + OR)")
+    f_slots = jax.jit(lambda m, t: tl_mod._tile_slots(m, t, 128))
+    (slots, cnt, tmin, tscale, ovf), _ = timeit(f_slots, mask, te,
+                                                label="slot extraction")
     print(f"    live pairs {int(np.asarray(cnt).sum())} overflow {int(ovf)}")
 
     for qm in (128,):
