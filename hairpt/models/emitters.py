@@ -251,11 +251,15 @@ def _sun_transmittance_rgb(theta_s, T):
 def bake_sunsky(sun_dir, turbidity: float = 3.0, sky_scale: float = 1.0,
                 sun_scale: float = 1.0, sun_radius_scale: float = 1.0,
                 res: int = 512, with_sun: bool = True,
-                with_sky: bool = True) -> EnvMap:
+                with_sky: bool = True, model: str = "hosek",
+                albedo=0.15) -> EnvMap:
     """Rasterize the sun+sky model into a lat-long table.
 
     World convention matches the reference sky plugins: y is up.
-    """
+    model: 'hosek' (Hosek-Wilkie 2012 — what the reference sky/sunsky
+    plugins evaluate, src/emitters/sky.cpp:246) or 'preetham'
+    (round-1 stand-in fit, kept for comparison); albedo = ground albedo
+    (reference default 0.15)."""
     h, w = res, 2 * res
     sun_dir = np.asarray(sun_dir, np.float64)
     sun_dir = sun_dir / np.linalg.norm(sun_dir)
@@ -276,11 +280,23 @@ def bake_sunsky(sun_dir, turbidity: float = 3.0, sky_scale: float = 1.0,
 
     if with_sky and theta_s < np.pi / 2:
         zen = np.broadcast_to(theta[:, None], (h, w))
-        Y, x, y = _preetham_sky_xyY(np.minimum(zen, np.pi / 2 - 0.001),
-                                    gamma, theta_s, turbidity)
-        rgb = _xyY_to_rgb(Y, x, y)
-        # kcd/m^2-ish → scale to roughly unit-luminance sky, then skyScale
-        rgb = rgb * 0.02
+        if model == "hosek":
+            from . import hosek
+            cfg, rad = hosek.cook_configuration(
+                turbidity, albedo, np.pi / 2 - theta_s)
+            rgb = hosek.sky_radiance(cfg, rad,
+                                     np.cos(np.minimum(zen,
+                                                       np.pi / 2 - 1e-3)),
+                                     cos_gamma)
+            # the RGB datasets are in absolute-ish units ~(0..100); bring
+            # to the same working range as the rest of the pipeline
+            rgb = rgb * 0.02
+        else:
+            Y, x, y = _preetham_sky_xyY(np.minimum(zen, np.pi / 2 - 0.001),
+                                        gamma, theta_s, turbidity)
+            rgb = _xyY_to_rgb(Y, x, y)
+            # kcd/m^2-ish → roughly unit-luminance sky, then skyScale
+            rgb = rgb * 0.02
         rgb[zen > np.pi / 2] = 0.0  # below horizon
         img += (sky_scale * rgb).astype(np.float32)
 

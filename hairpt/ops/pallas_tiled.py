@@ -117,7 +117,8 @@ def _tiled_kernel(slots_ref,            # scalar prefetch [T * q_max] packed
                   pid_out_ref,          # VMEM [GROUP_T, TILE]
                   seg_vmem,             # scratch VMEM [2, PRIM_F, K]
                   sems,                 # DMA semaphores [2]
-                  *, q_max: int, any_hit: bool):
+                  *, q_max: int, any_hit: bool, exit_every: int = 1,
+                  nop: bool = False):
     i = pl.program_id(0)
 
     t_out_ref[...] = jnp.full(t_out_ref.shape, jnp.inf, jnp.float32)
@@ -136,6 +137,7 @@ def _tiled_kernel(slots_ref,            # scalar prefetch [T * q_max] packed
         @pl.when(n_q > 0)
         def _():
             dma(0, 0).start()
+            TILE_R = rays_ref.shape[2]
             rays = rays_ref[g]                       # [8, TILE]
             t_pmax = tpmax_ref[g]                    # [TILE]
             tmin = tmin_ref[t_glob]
@@ -169,12 +171,22 @@ def _tiled_kernel(slots_ref,            # scalar prefetch [T * q_max] packed
                 pltpu.make_async_copy(
                     seg_vmem.at[q % 2], seg_vmem.at[q % 2],
                     sems.at[q % 2]).wait()
-                tq, pq = _cyl_test(seg_vmem[q % 2], rays)
-                prev_t = t_out_ref[g]
-                better = tq < prev_t
-                t_out_ref[g] = jnp.where(better, tq, prev_t)
-                pid_out_ref[g] = jnp.where(better, pq, pid_out_ref[g])
-                return q + 1, resolved(q)
+                if nop:
+                    # DMA/loop-overhead probe: touch the data, skip math
+                    t_out_ref[g] = jnp.minimum(t_out_ref[g],
+                                               seg_vmem[q % 2][0, :TILE_R])
+                else:
+                    tq, pq = _cyl_test(seg_vmem[q % 2], rays)
+                    prev_t = t_out_ref[g]
+                    better = tq < prev_t
+                    t_out_ref[g] = jnp.where(better, tq, prev_t)
+                    pid_out_ref[g] = jnp.where(better, pq, pid_out_ref[g])
+                done = jax.lax.cond(
+                    (q + 1) % exit_every == 0,
+                    lambda: resolved(q),
+                    lambda: jnp.bool_(False)) if exit_every > 1 \
+                    else resolved(q)
+                return q + 1, done
 
             q_end, _ = jax.lax.while_loop(cond, body,
                                           (jnp.int32(0), jnp.bool_(False)))
@@ -188,10 +200,12 @@ def _tiled_kernel(slots_ref,            # scalar prefetch [T * q_max] packed
 
 
 @functools.partial(jax.jit,
-                   static_argnames=("K", "q_max", "any_hit", "interpret"))
+                   static_argnames=("K", "q_max", "any_hit", "interpret",
+                                    "exit_every", "nop"))
 def tiled_phase_b(slots, cnt, tmin, tscale, rays8, t_pmax, seg_rows,
                   K: int, q_max: int, any_hit: bool = False,
-                  interpret: bool = False):
+                  interpret: bool = False, exit_every: int = 1,
+                  nop: bool = False):
     """Run the tiled kernel. slots [T, q_max] (packed cluster|bound),
     cnt/tmin/tscale [T], rays8 [T, 8, TILE], t_pmax [T, TILE],
     seg_rows [C, PRIM_F, K] → (t [T, TILE], pid [T, TILE])."""
@@ -232,7 +246,8 @@ def tiled_phase_b(slots, cnt, tmin, tscale, rays8, t_pmax, seg_rows,
         ],
     )
     t, pid = pl.pallas_call(
-        functools.partial(_tiled_kernel, q_max=q_max, any_hit=any_hit),
+        functools.partial(_tiled_kernel, q_max=q_max, any_hit=any_hit,
+                          exit_every=exit_every, nop=nop),
         out_shape=(jax.ShapeDtypeStruct((T_pad, TILE), jnp.float32),
                    jax.ShapeDtypeStruct((T_pad, TILE), jnp.int32)),
         grid_spec=grid_spec,

@@ -78,3 +78,56 @@ def test_envmap_sample_pdf_consistency():
     d_omega = (np.pi / h) * (2 * np.pi / w) * np.sin(theta)
     ref = (img * d_omega[:, None, None]).sum(axis=(0, 1))
     np.testing.assert_allclose(est, ref, rtol=0.02)
+
+
+# ---------------------------------------------------------------------------
+# Hosek-Wilkie sky model (reference: src/emitters/sunsky/skymodel.cpp)
+# ---------------------------------------------------------------------------
+
+def test_hosek_physical_properties():
+    import numpy as np
+    from hairpt.models import hosek
+    cfg, rad = hosek.cook_configuration(3.0, 0.15, np.radians(30))
+    ct = np.cos(np.radians(60))
+    near_sun = hosek.sky_radiance(cfg, rad, ct, 1.0)
+    away = hosek.sky_radiance(cfg, rad, ct, np.cos(np.radians(90)))
+    assert (near_sun > away).all()          # circumsolar brightening
+    assert away[2] > away[1] > away[0]      # blue sky away from the sun
+    cfg8, rad8 = hosek.cook_configuration(8.0, 0.15, np.radians(30))
+    away8 = hosek.sky_radiance(cfg8, rad8, ct, np.cos(np.radians(90)))
+    assert away8[2] / away8[0] < away[2] / away[0]   # haze desaturates
+    # continuity across integer turbidity boundaries
+    a = hosek.sky_radiance(*hosek.cook_configuration(
+        3.999, 0.15, np.radians(30)), ct, 0.5)
+    b = hosek.sky_radiance(*hosek.cook_configuration(
+        4.001, 0.15, np.radians(30)), ct, 0.5)
+    np.testing.assert_allclose(a, b, rtol=0.01)
+    # elevation continuity
+    a = hosek.sky_radiance(*hosek.cook_configuration(
+        3.0, 0.15, np.radians(29.9)), ct, 0.5)
+    b = hosek.sky_radiance(*hosek.cook_configuration(
+        3.0, 0.15, np.radians(30.1)), ct, 0.5)
+    np.testing.assert_allclose(a, b, rtol=0.02)
+
+
+def test_sunsky_hosek_bake():
+    import numpy as np
+    from hairpt.models import emitters as em
+    sun_dir = np.array([0.3, 0.8, 0.5])
+    env = em.bake_sunsky(sun_dir / np.linalg.norm(sun_dir), turbidity=3.0,
+                         res=64, model="hosek", sun_radius_scale=12.0)
+    img = np.asarray(env.image)
+    assert np.isfinite(img).all() and (img >= 0).all()
+    # upper hemisphere lit, below horizon dark (sky term)
+    upper = img[:28].mean()
+    lower = img[40:].mean()
+    assert upper > 10 * max(lower, 1e-9)
+    # sun disc is the brightest spot and sits in the sun direction
+    y, x = np.unravel_index(img.sum(-1).argmax(), img.shape[:2])
+    h, w = img.shape[:2]
+    theta = (y + 0.5) / h * np.pi
+    phi = (x + 0.5) / w * 2 * np.pi
+    d = np.array([np.sin(theta) * np.sin(phi), np.cos(theta),
+                  -np.sin(theta) * np.cos(phi)])
+    sd = sun_dir / np.linalg.norm(sun_dir)
+    assert d @ sd > 0.99, (d, sd)
