@@ -20,6 +20,11 @@ PERSPECTIVE = 0
 THINLENS = 1
 ORTHOGRAPHIC = 2
 SPHERICAL = 3
+TELECENTRIC = 4       # src/sensors/telecentric.cpp
+RADIANCEMETER = 5     # src/sensors/radiancemeter.cpp
+FLUENCEMETER = 6      # src/sensors/fluencemeter.cpp
+IRRADIANCEMETER = 7   # src/sensors/irradiancemeter.cpp
+PERSPECTIVE_RDIST = 8  # src/sensors/perspective_rdist.cpp
 
 
 class Camera(NamedTuple):
@@ -33,6 +38,8 @@ class Camera(NamedTuple):
     far: float = 1e4
     aperture_radius: float = 0.0
     focus_distance: float = 1.0
+    kc0: float = 0.0           # radial distortion r² coefficient
+    kc1: float = 0.0           # radial distortion r⁴ coefficient
 
     @staticmethod
     def perspective(to_world, fov_deg: float, width: int, height: int,
@@ -101,6 +108,67 @@ def sample_ray(cam: Camera, pos, aperture_sample=None) -> Ray:
         return Ray(o=o, d=d,
                    mint=jnp.full(u.shape, cam.near, jnp.float32),
                    maxt=jnp.full(u.shape, cam.far, jnp.float32))
+
+    if cam.kind == RADIANCEMETER:
+        # single-direction probe: every sample measures along +z
+        # (reference: src/sensors/radiancemeter.cpp sampleRay)
+        d_cam = jnp.broadcast_to(jnp.asarray([0.0, 0.0, 1.0], jnp.float32),
+                                 near_p.shape)
+        o = jnp.broadcast_to(o_world, d_cam.shape)
+        return Ray(o=o, d=d_cam @ R.T,
+                   mint=jnp.full(u.shape, cam.near, jnp.float32),
+                   maxt=jnp.full(u.shape, cam.far, jnp.float32))
+
+    if cam.kind == FLUENCEMETER:
+        # point fluence probe: uniform-sphere directions from the film
+        # coordinates (reference: src/sensors/fluencemeter.cpp; develop
+        # averages over the sphere → fluence / 4π)
+        z = 1.0 - 2.0 * v
+        r_ = jnp.sqrt(jnp.maximum(1.0 - z * z, 0.0))
+        phi = 2.0 * jnp.pi * u
+        d_cam = jnp.stack([r_ * jnp.cos(phi), r_ * jnp.sin(phi), z],
+                          axis=-1)
+        o = jnp.broadcast_to(o_world, d_cam.shape)
+        return Ray(o=o, d=d_cam @ R.T,
+                   mint=jnp.full(u.shape, cam.near, jnp.float32),
+                   maxt=jnp.full(u.shape, cam.far, jnp.float32))
+
+    if cam.kind == IRRADIANCEMETER:
+        # cosine-weighted hemisphere around +z; the film average is then
+        # E/π (reference: src/sensors/irradiancemeter.cpp attaches to a
+        # shape; this headless variant probes at the sensor origin)
+        r_ = jnp.sqrt(jnp.clip(v, 0.0, 1.0))
+        phi = 2.0 * jnp.pi * u
+        z = jnp.sqrt(jnp.maximum(1.0 - r_ * r_, 0.0))
+        d_cam = jnp.stack([r_ * jnp.cos(phi), r_ * jnp.sin(phi), z],
+                          axis=-1)
+        o = jnp.broadcast_to(o_world, d_cam.shape)
+        return Ray(o=o, d=d_cam @ R.T,
+                   mint=jnp.full(u.shape, cam.near, jnp.float32),
+                   maxt=jnp.full(u.shape, cam.far, jnp.float32))
+
+    if cam.kind == TELECENTRIC:
+        # orthographic with a finite aperture focused at focus_distance
+        # (reference: src/sensors/telecentric.cpp)
+        ap = warps.square_to_uniform_disk_concentric(
+            aperture_sample if aperture_sample is not None
+            else jnp.zeros_like(pos)) * cam.aperture_radius
+        base = near_p.at[..., 2].set(0.0)
+        p_focus = base.at[..., 2].set(cam.focus_distance)
+        o_cam = base + jnp.stack([ap[..., 0], ap[..., 1],
+                                  jnp.zeros_like(u)], axis=-1)
+        d_cam = normalize(p_focus - o_cam)
+        return Ray(o=o_cam @ R.T + o_world, d=d_cam @ R.T,
+                   mint=jnp.full(u.shape, cam.near, jnp.float32),
+                   maxt=jnp.full(u.shape, cam.far, jnp.float32))
+
+    if cam.kind == PERSPECTIVE_RDIST and (cam.kc0 != 0.0 or cam.kc1 != 0.0):
+        # polynomial radial lens distortion on the image plane
+        # (reference: src/sensors/perspective_rdist.cpp, kc coefficients)
+        r2 = near_p[..., 0] ** 2 + near_p[..., 1] ** 2
+        f = 1.0 + cam.kc0 * r2 + cam.kc1 * r2 * r2
+        near_p = jnp.stack([near_p[..., 0] * f, near_p[..., 1] * f,
+                            near_p[..., 2]], axis=-1)
 
     d_cam = normalize(near_p)
 

@@ -101,6 +101,96 @@ def _cyl_test(rows, rays):
     return t_best, pid_best
 
 
+def _cyl_test_mxu(rows, rays):
+    """MXU-accelerated miter-cylinder test — same geometry as _cyl_test,
+    restructured so all eight ray·segment dot-product families come from
+    ONE [2·CH, 3] × [3, 4·K] matmul (the MXU does them nearly for free;
+    the VPU residue drops from ~100 to ~45 ops per [CH, K] pair block).
+
+    f32 robustness (the reference needed f64, hair.cpp:488): rays are
+    advanced to their closest approach to the cluster centroid and the
+    quadratic solved in recentered coordinates, so all quantities are
+    O(cluster size) rather than O(scene size).
+    """
+    K = rows.shape[1]
+    p0 = rows[0:3]                         # [3, K]
+    p1 = rows[3:6]
+    n0 = rows[6:9]
+    n1 = rows[9:12]
+    rr = rows[12][None, :]                 # [1, K]
+    pid_row = pltpu.bitcast(rows[PRIM_F - 1][None, :], jnp.int32)
+
+    seg = p1 - p0
+    inv_len = jax.lax.rsqrt(jnp.maximum(jnp.sum(seg * seg, 0), 1e-30))
+    a = seg * inv_len[None, :]             # [3, K] unit axis
+
+    # cluster centroid (mean of segment midpoints) for recentering
+    centroid = jnp.mean(0.5 * (p0 + p1), axis=1)            # [3]
+    p0c = p0 - centroid[:, None]
+    o_raw = rays[0:3]                      # [3, CH]
+    d3 = rays[3:6]                         # [3, CH]
+    mint2 = rays[6][:, None]               # [CH, 1]
+    maxt2 = rays[7][:, None]
+    oc = o_raw - centroid[:, None]         # [3, CH] origin rel. centroid
+    # advance each ray to its closest approach to the centroid
+    t_c = -jnp.sum(oc * d3, axis=0)        # [CH]
+    o3 = oc + d3 * t_c[None, :]            # [3, CH], |o3| ~ cluster size
+
+    # one MXU pass: [(o;d) 2CH, 3] x [3, (a p0c n0 n1) 4K] → [2CH, 4K]
+    lhs = jnp.concatenate([o3, d3], axis=1)          # [3, 2CH]
+    rhs = jnp.concatenate([a, p0c, n0, n1], axis=1)  # [3, 4K]
+    dots = jax.lax.dot_general(
+        lhs, rhs, dimension_numbers=(((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST)         # [2CH, 4K]
+    CH = rays.shape[1]
+    o_a, o_p0, o_n0, o_n1 = (dots[:CH, i * K:(i + 1) * K]
+                             for i in range(4))
+    d_a, d_p0, d_n0, d_n1 = (dots[CH:, i * K:(i + 1) * K]
+                             for i in range(4))
+
+    # per-segment constants ([1, K] cheap VPU rows)
+    pa = jnp.sum(p0c * a, 0)[None, :]
+    pn0 = jnp.sum(p0c * n0, 0)[None, :]
+    p1c = p1 - centroid[:, None]
+    p1n1 = jnp.sum(p1c * n1, 0)[None, :]
+    p0sq = jnp.sum(p0c * p0c, 0)[None, :]
+    # per-ray constants ([CH, 1])
+    o_d = jnp.sum(o3 * d3, 0)[:, None]
+    o_sq = jnp.sum(o3 * o3, 0)[:, None]
+    d_sq = jnp.sum(d3 * d3, 0)[:, None]
+
+    ar = o_a - pa
+    ad = d_a
+    A = d_sq - ad * ad
+    B = (o_d - d_p0) - ad * ar
+    Cc = (o_sq - 2.0 * o_p0 + p0sq) - ar * ar - rr * rr
+    disc = B * B - A * Cc
+    ok = (A > 1e-18) & (disc >= 0.0)
+    inv_a = 1.0 / jnp.where(A > 1e-18, A, 1.0)
+    sq = jnp.sqrt(jnp.maximum(disc, 0.0))
+    tc2 = t_c[:, None]
+    t_near = (-B - sq) * inv_a + tc2       # back to full ray parameter
+    t_far = (-B + sq) * inv_a + tc2
+
+    on0 = o_n0 - pn0 - tc2 * d_n0          # h0 at t: on0 + t*d_n0
+    on1 = o_n1 - p1n1 - tc2 * d_n1
+
+    def miter_ok(t):
+        return (on0 + t * d_n0 >= 0.0) & (on1 + t * d_n1 <= 0.0)
+
+    near_ok = ok & (t_near >= mint2) & (t_near <= maxt2) & miter_ok(t_near)
+    far_ok = ok & (t_far >= mint2) & (t_far <= maxt2) & miter_ok(t_far)
+    t = jnp.where(near_ok, t_near, t_far)
+    hit = (pid_row >= 0) & (near_ok | far_ok)
+
+    t_m = jnp.where(hit, t, jnp.inf)
+    t_best = jnp.min(t_m, axis=-1)
+    is_best = t_m <= t_best[:, None]
+    pid_best = jnp.max(jnp.where(is_best & hit, pid_row, -1), axis=-1)
+    return t_best, pid_best
+
+
 TE_BITS = 12
 TE_INF = (1 << TE_BITS) - 1
 CID_MASK = (1 << 20) - 1
@@ -118,7 +208,7 @@ def _tiled_kernel(slots_ref,            # scalar prefetch [T * q_max] packed
                   seg_vmem,             # scratch VMEM [2, PRIM_F, K]
                   sems,                 # DMA semaphores [2]
                   *, q_max: int, any_hit: bool, exit_every: int = 1,
-                  nop: bool = False):
+                  nop: bool = False, mxu: bool = True):
     i = pl.program_id(0)
 
     t_out_ref[...] = jnp.full(t_out_ref.shape, jnp.inf, jnp.float32)
@@ -176,7 +266,8 @@ def _tiled_kernel(slots_ref,            # scalar prefetch [T * q_max] packed
                     t_out_ref[g] = jnp.minimum(t_out_ref[g],
                                                seg_vmem[q % 2][0, :TILE_R])
                 else:
-                    tq, pq = _cyl_test(seg_vmem[q % 2], rays)
+                    test = _cyl_test_mxu if mxu else _cyl_test
+                    tq, pq = test(seg_vmem[q % 2], rays)
                     prev_t = t_out_ref[g]
                     better = tq < prev_t
                     t_out_ref[g] = jnp.where(better, tq, prev_t)
@@ -201,11 +292,11 @@ def _tiled_kernel(slots_ref,            # scalar prefetch [T * q_max] packed
 
 @functools.partial(jax.jit,
                    static_argnames=("K", "q_max", "any_hit", "interpret",
-                                    "exit_every", "nop"))
+                                    "exit_every", "nop", "mxu"))
 def tiled_phase_b(slots, cnt, tmin, tscale, rays8, t_pmax, seg_rows,
                   K: int, q_max: int, any_hit: bool = False,
                   interpret: bool = False, exit_every: int = 1,
-                  nop: bool = False):
+                  nop: bool = False, mxu: bool = True):
     """Run the tiled kernel. slots [T, q_max] (packed cluster|bound),
     cnt/tmin/tscale [T], rays8 [T, 8, TILE], t_pmax [T, TILE],
     seg_rows [C, PRIM_F, K] → (t [T, TILE], pid [T, TILE])."""
@@ -247,7 +338,7 @@ def tiled_phase_b(slots, cnt, tmin, tscale, rays8, t_pmax, seg_rows,
     )
     t, pid = pl.pallas_call(
         functools.partial(_tiled_kernel, q_max=q_max, any_hit=any_hit,
-                          exit_every=exit_every, nop=nop),
+                          exit_every=exit_every, nop=nop, mxu=mxu),
         out_shape=(jax.ShapeDtypeStruct((T_pad, TILE), jnp.float32),
                    jax.ShapeDtypeStruct((T_pad, TILE), jnp.int32)),
         grid_spec=grid_spec,

@@ -409,8 +409,26 @@ def load_scene(path: str, defines: dict | None = None,
         w = max(8, int(round(w * res_scale)))
         h = max(8, int(round(h * res_scale)))
         film = Film.make(w, h, rfilter, gamma)
-        cam = Camera.perspective(to_world, fov, w, h,
-                                 fov_axis=p.get("fovAxis", "x"))
+        from ..models import sensors as sens_mod
+        skind = {"perspective": sens_mod.PERSPECTIVE,
+                 "thinlens": sens_mod.THINLENS,
+                 "orthographic": sens_mod.ORTHOGRAPHIC,
+                 "spherical": sens_mod.SPHERICAL,
+                 "telecentric": sens_mod.TELECENTRIC,
+                 "radiancemeter": sens_mod.RADIANCEMETER,
+                 "fluencemeter": sens_mod.FLUENCEMETER,
+                 "irradiancemeter": sens_mod.IRRADIANCEMETER,
+                 "perspective_rdist": sens_mod.PERSPECTIVE_RDIST,
+                 }.get(sensor.get("type", "perspective"),
+                       sens_mod.PERSPECTIVE)
+        kc = [float(x) for x in str(p.get("kc", "0, 0")).replace(
+            ",", " ").split()[:2]] if "kc" in p else [0.0, 0.0]
+        cam = Camera.perspective(
+            to_world, fov, w, h, fov_axis=p.get("fovAxis", "x"),
+            kind=skind,
+            aperture_radius=float(p.get("apertureRadius", 0.0)),
+            focus_distance=float(p.get("focusDistance", 1.0)))
+        cam = cam._replace(kc0=kc[0], kc1=kc[1] if len(kc) > 1 else 0.0)
     if spp_override is not None:
         spp = spp_override
 

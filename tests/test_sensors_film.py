@@ -78,3 +78,77 @@ def test_filter_shapes():
     s = float(filter_eval(m, 2.0, jnp.float32(0.0), jnp.float32(0.0))) \
         + 2 * float(filter_eval(m, 2.0, jnp.float32(1.0), jnp.float32(0.0)))
     assert abs(s - 1.0) < 0.25
+
+
+# ---------------------------------------------------------------------------
+# measurement sensors + telecentric + radial distortion
+# ---------------------------------------------------------------------------
+
+def test_radiancemeter_single_direction():
+    import numpy as np
+    from hairpt.models import sensors as sens
+    cam = sens.Camera.perspective(np.eye(4), 45.0, 4, 4,
+                                  kind=sens.RADIANCEMETER)
+    pos = jnp.asarray([[0.5, 0.5], [3.5, 2.5]], jnp.float32)
+    r = sens.sample_ray(cam, pos, None)
+    np.testing.assert_allclose(np.asarray(r.d),
+                               [[0, 0, 1], [0, 0, 1]], atol=1e-7)
+
+
+def test_fluencemeter_uniform_sphere():
+    import numpy as np
+    from hairpt.models import sensors as sens
+    cam = sens.Camera.perspective(np.eye(4), 45.0, 64, 64,
+                                  kind=sens.FLUENCEMETER)
+    n = 64 * 64
+    pix = np.arange(n)
+    pos = jnp.asarray(np.stack([(pix % 64) + 0.5, (pix // 64) + 0.5], -1),
+                      jnp.float32)
+    d = np.asarray(sens.sample_ray(cam, pos, None).d)
+    np.testing.assert_allclose(np.linalg.norm(d, axis=-1), 1.0, atol=1e-5)
+    np.testing.assert_allclose(d.mean(0), 0.0, atol=0.05)  # uniform sphere
+
+
+def test_irradiancemeter_cosine_moments():
+    import numpy as np
+    from hairpt.models import sensors as sens
+    cam = sens.Camera.perspective(np.eye(4), 45.0, 128, 128,
+                                  kind=sens.IRRADIANCEMETER)
+    n = 128 * 128
+    pix = np.arange(n)
+    pos = jnp.asarray(np.stack([(pix % 128) + 0.5, (pix // 128) + 0.5], -1),
+                      jnp.float32)
+    d = np.asarray(sens.sample_ray(cam, pos, None).d)
+    assert (d[:, 2] >= 0).all()
+    # E[cosθ] of a cosine distribution = 2/3
+    np.testing.assert_allclose(d[:, 2].mean(), 2.0 / 3.0, atol=0.01)
+
+
+def test_telecentric_parallel_centers():
+    import numpy as np
+    from hairpt.models import sensors as sens
+    cam = sens.Camera.perspective(np.eye(4), 45.0, 8, 8,
+                                  kind=sens.TELECENTRIC,
+                                  aperture_radius=0.0, focus_distance=5.0)
+    pos = jnp.asarray([[1.5, 2.5], [6.5, 4.5]], jnp.float32)
+    r = sens.sample_ray(cam, pos, jnp.full((2, 2), 0.5, jnp.float32))
+    d = np.asarray(r.d)
+    # zero aperture → parallel +z rays from shifted origins
+    np.testing.assert_allclose(d, [[0, 0, 1], [0, 0, 1]], atol=1e-6)
+    o = np.asarray(r.o)
+    assert abs(o[0][0] - o[1][0]) > 0.1  # origins differ across the film
+
+
+def test_perspective_rdist_bends_edges():
+    import numpy as np
+    from hairpt.models import sensors as sens
+    cam = sens.Camera.perspective(np.eye(4), 45.0, 64, 64,
+                                  kind=sens.PERSPECTIVE_RDIST)
+    cam = cam._replace(kc0=0.3, kc1=0.0)
+    base = sens.Camera.perspective(np.eye(4), 45.0, 64, 64)
+    pos = jnp.asarray([[32.0, 32.0], [2.0, 32.0]], jnp.float32)
+    d_r = np.asarray(sens.sample_ray(cam, pos, None).d)
+    d_b = np.asarray(sens.sample_ray(base, pos, None).d)
+    np.testing.assert_allclose(d_r[0], d_b[0], atol=1e-6)  # center unchanged
+    # edge ray bends outward for positive kc0
+    assert abs(d_r[1][0]) > abs(d_b[1][0])
