@@ -85,12 +85,13 @@ class CheckerboardTable(NamedTuple):
     common resolution (reference: src/textures/{checkerboard,bitmap}.cpp;
     trilinear mipmapping is a roadmap item — bilinear at a fixed resolution
     here)."""
-    kind: jnp.ndarray    # [T] 0 = checkerboard, 1 = bitmap
+    kind: jnp.ndarray    # [T] 0 = checkerboard, 1 = bitmap, 2 = grid
     color0: jnp.ndarray  # [T, 3]
     color1: jnp.ndarray  # [T, 3]
     uv_scale: jnp.ndarray   # [T, 2]
     uv_offset: jnp.ndarray  # [T, 2]
     bitmaps: jnp.ndarray    # [T, R, R, 3] (zeros for checkers)
+    aux: jnp.ndarray        # [T] grid lineWidth / spare parameter
 
 
 class HairTables(NamedTuple):
@@ -184,6 +185,15 @@ def eval_checkerboard(tex: CheckerboardTable, tex_id, uv, base):
               + (bm[tid, y1m, x0m] * (1 - wx) + bm[tid, y1m, x1m] * wx)
               * wy)
     val = jnp.where((tex.kind[tid] == 1)[..., None], val_bm, val_ck)
+    # gridtexture (src/textures/gridtexture.cpp): color1 lines of width
+    # `lineWidth` along integer cell borders, color0 inside cells
+    lw = tex.aux[tid] * 0.5
+    fu = jnp.mod(su, 1.0)
+    fv = jnp.mod(sv, 1.0)
+    on_line = (jnp.minimum(fu, 1.0 - fu) < lw) \
+        | (jnp.minimum(fv, 1.0 - fv) < lw)
+    val_gr = jnp.where(on_line[..., None], tex.color1[tid], tex.color0[tid])
+    val = jnp.where((tex.kind[tid] == 2)[..., None], val_gr, val)
     return jnp.where((tex_id >= 0)[..., None], val, base)
 
 

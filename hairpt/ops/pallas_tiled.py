@@ -136,17 +136,21 @@ def _cyl_test_mxu(rows, rays):
     t_c = -jnp.sum(oc * d3, axis=0)        # [CH]
     o3 = oc + d3 * t_c[None, :]            # [3, CH], |o3| ~ cluster size
 
-    # one MXU pass: [(o;d) 2CH, 3] x [3, (a p0c n0 n1) 4K] → [2CH, 4K]
-    lhs = jnp.concatenate([o3, d3], axis=1)          # [3, 2CH]
+    # two MXU passes: [CH, 3] x [3, (a p0c n0 n1) 4K] for o and for d
+    # (K-sized pieces are lane-tile aligned; a CH-sized lhs concat is not)
     rhs = jnp.concatenate([a, p0c, n0, n1], axis=1)  # [3, 4K]
-    dots = jax.lax.dot_general(
-        lhs, rhs, dimension_numbers=(((0,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32,
-        precision=jax.lax.Precision.HIGHEST)         # [2CH, 4K]
-    CH = rays.shape[1]
-    o_a, o_p0, o_n0, o_n1 = (dots[:CH, i * K:(i + 1) * K]
+
+    def mm(lhs3):
+        return jax.lax.dot_general(
+            lhs3, rhs, dimension_numbers=(((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST)     # [CH, 4K]
+
+    dots_o = mm(o3)
+    dots_d = mm(d3)
+    o_a, o_p0, o_n0, o_n1 = (dots_o[:, i * K:(i + 1) * K]
                              for i in range(4))
-    d_a, d_p0, d_n0, d_n1 = (dots[CH:, i * K:(i + 1) * K]
+    d_a, d_p0, d_n0, d_n1 = (dots_d[:, i * K:(i + 1) * K]
                              for i in range(4))
 
     # per-segment constants ([1, K] cheap VPU rows)

@@ -160,6 +160,13 @@ class SceneBuilder:
                               (uoffset, voffset), None))
         return len(self.checkers) - 1
 
+    def add_gridtexture(self, color0, color1, line_width=0.01, uscale=1.0,
+                        vscale=1.0, uoffset=0.0, voffset=0.0) -> int:
+        """reference: src/textures/gridtexture.cpp"""
+        self.checkers.append((2, color0, color1, (uscale, vscale),
+                              (uoffset, voffset), None, line_width))
+        return len(self.checkers) - 1
+
     def add_bitmap_texture(self, image, uscale=1.0, vscale=1.0,
                            uoffset=0.0, voffset=0.0, res=256) -> int:
         """image: [H, W, 3] linear float; resampled to res x res."""
@@ -323,7 +330,9 @@ class SceneBuilder:
                                      jnp.float32),
                 uv_offset=jnp.asarray([c[4] for c in self.checkers],
                                       jnp.float32),
-                bitmaps=jnp.asarray(bitmaps))
+                bitmaps=jnp.asarray(bitmaps),
+                aux=jnp.asarray([(c[6] if len(c) > 6 else 0.01)
+                                 for c in self.checkers], jnp.float32))
 
         hair_tables = None
         if self.hair_aux:

@@ -250,11 +250,27 @@ def _material_row_from_bsdf(node, defines, builder: SceneBuilder,
 
     # texture children (teapot floor checkerboard; bitmap textures)
     tex = node.find("texture")
-    if tex is not None and tex.get("type") == "checkerboard":
+    tex_gain = 1.0
+    if tex is not None and tex.get("type") == "scale":
+        # scale texture (src/textures/scale.cpp): constant × nested texture
+        sp_ = _collect_props(tex, defines)
+        tex_gain = float(np.mean(sp_.get("scale", sp_.get("value", 1.0))))
+        inner_tex = tex.find("texture")
+        if inner_tex is not None:
+            tex = inner_tex
+    if tex is not None and tex.get("type") == "gridtexture":
+        tp = _collect_props(tex, defines)
+        row["tex_id"] = builder.add_gridtexture(
+            color0=np.asarray(tp.get("color0", (0.2,) * 3)) * tex_gain,
+            color1=np.asarray(tp.get("color1", (0.4,) * 3)) * tex_gain,
+            line_width=tp.get("lineWidth", 0.01),
+            uscale=tp.get("uscale", 1.0), vscale=tp.get("vscale", 1.0),
+            uoffset=tp.get("uoffset", 0.0), voffset=tp.get("voffset", 0.0))
+    elif tex is not None and tex.get("type") == "checkerboard":
         tp = _collect_props(tex, defines)
         tid = builder.add_checkerboard(
-            color0=tp.get("color0", (0.4,) * 3),
-            color1=tp.get("color1", (0.2,) * 3),
+            color0=np.asarray(tp.get("color0", (0.4,) * 3)) * tex_gain,
+            color1=np.asarray(tp.get("color1", (0.2,) * 3)) * tex_gain,
             uscale=tp.get("uscale", 1.0), vscale=tp.get("vscale", 1.0),
             uoffset=tp.get("uoffset", 0.0), voffset=tp.get("voffset", 0.0))
         row["tex_id"] = tid
@@ -284,7 +300,7 @@ def _material_row_from_bsdf(node, defines, builder: SceneBuilder,
                     img = None
         if img is not None:
             row["tex_id"] = builder.add_bitmap_texture(
-                img, uscale=tp.get("uscale", 1.0),
+                np.asarray(img) * tex_gain, uscale=tp.get("uscale", 1.0),
                 vscale=tp.get("vscale", 1.0),
                 uoffset=tp.get("uoffset", 0.0),
                 voffset=tp.get("voffset", 0.0))

@@ -313,3 +313,25 @@ def test_mixture_bsdf_blends():
     resid = np.asarray(w_s)[ok] * np.asarray(pdf_s)[ok, None] \
         - np.asarray(f2)[ok]
     assert np.abs(resid).max() < 1e-3
+
+
+def test_gridtexture_eval():
+    """gridtexture: color1 on integer cell borders, color0 inside
+    (reference: src/textures/gridtexture.cpp)."""
+    from hairpt.scene.scene import SceneBuilder
+    b = SceneBuilder()
+    tid = b.add_gridtexture((0.1, 0.2, 0.3), (0.9, 0.8, 0.7),
+                            line_width=0.1)
+    b.add_material(kind=R.DIFFUSE, tex_id=tid)
+    from hairpt.film.film import Film
+    from hairpt.models.sensors import Camera
+    sc = b.build(Camera.perspective(np.eye(4), 45, 8, 8),
+                 Film.make(8, 8, "box"), spp=1, max_depth=2)
+    tex = sc.arrays.checkers
+    uv = jnp.asarray([[0.5, 0.5], [0.01, 0.5], [0.5, 0.99]], jnp.float32)
+    out = R.eval_checkerboard(tex, jnp.zeros(3, jnp.int32), uv,
+                              jnp.zeros((3, 3)))
+    out = np.asarray(out)
+    np.testing.assert_allclose(out[0], [0.1, 0.2, 0.3], atol=1e-6)  # cell
+    np.testing.assert_allclose(out[1], [0.9, 0.8, 0.7], atol=1e-6)  # line
+    np.testing.assert_allclose(out[2], [0.9, 0.8, 0.7], atol=1e-6)  # line

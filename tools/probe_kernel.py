@@ -57,3 +57,13 @@ for label, kw in [
         s, c, tm, ts, r8, tp, rows, K, q_max, **kw))
     out, dt = timeit(f, slots, cnt, tmin, tscale, rays8, t_pm,
                      sw.seg_rows_t, label=label)
+
+for label, kw in [
+    ("MXU exit=off", dict(nop=False, exit_every=10**6, mxu=True)),
+    ("MXU exit=4", dict(nop=False, exit_every=4, mxu=True)),
+    ("MXU exit=2", dict(nop=False, exit_every=2, mxu=True)),
+]:
+    f = jax.jit(lambda s, c, tm, ts, r8, tp, rows, kw=kw: tiled_phase_b(
+        s, c, tm, ts, r8, tp, rows, K, q_max, **kw))
+    out, dt = timeit(f, slots, cnt, tmin, tscale, rays8, t_pm,
+                     sw.seg_rows_t, label=label)
