@@ -67,6 +67,10 @@ def main(argv=None):
     elif integ == "direct":
         from .integrators import aux_integrators as aux
         img = np.asarray(aux.render_direct(scene, seed=args.seed))
+    elif integ == "bdpt":
+        from .integrators import bdpt as bdpt_int
+        img = np.asarray(bdpt_int.render_bdpt(scene, spp=scene.config.spp,
+                                              seed=args.seed))
     elif integ == "volpath":
         from .integrators import volpath as vp
         img = np.asarray(vp.render_volpath(scene, spp=scene.config.spp,

@@ -74,3 +74,18 @@ def develop(image, weight):
 def zeros(film: Film):
     return (jnp.zeros((film.height, film.width, 3), jnp.float32),
             jnp.zeros((film.height, film.width), jnp.float32))
+
+
+def splat_add_only(film: Film, pos, value, image):
+    """Nearest-pixel scatter-add with no weight bookkeeping — for
+    measurement-estimate splats (BDPT t=1 / light tracing), which are
+    already normalized by sample count (reference: hdrfilm's separate
+    `develop` splat buffer with splatScale)."""
+    ix = jnp.clip(jnp.floor(pos[..., 0]).astype(jnp.int32), 0,
+                  film.width - 1)
+    iy = jnp.clip(jnp.floor(pos[..., 1]).astype(jnp.int32), 0,
+                  film.height - 1)
+    inb = (pos[..., 0] >= 0) & (pos[..., 0] < film.width) \
+        & (pos[..., 1] >= 0) & (pos[..., 1] < film.height)
+    return image.at[iy, ix].add(jnp.where(inb[..., None], value, 0.0),
+                                mode="drop")

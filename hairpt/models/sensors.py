@@ -187,3 +187,34 @@ def sample_ray(cam: Camera, pos, aperture_sample=None) -> Ray:
     d = d_cam @ R.T
     inv_z = 1.0 / d_cam[..., 2]
     return Ray(o=o, d=d, mint=cam.near * inv_z, maxt=cam.far * inv_z)
+
+
+def camera_importance(cam: Camera, p_world):
+    """Pinhole-perspective importance for light→camera connections
+    (BDPT t=1 / particle tracing; reference: PerspectiveCamera::
+    sampleDirect + importance, src/sensors/perspective.cpp:329-408).
+
+    Returns (film_pos [N, 2], We [N], dist [N], dir_to_cam [N, 3],
+    valid [N]) where the splat estimator for a point x with scattered
+    value f·cosθ_x is  f·cosθ_x · We / dist².
+    """
+    R = cam.to_world[:3, :3]
+    o_world = cam.to_world[:3, 3]
+    rel = p_world - o_world
+    pc = rel @ R                       # camera-space (columns = axes)
+    z = pc[..., 2]
+    valid = z > cam.near
+    zs = jnp.where(valid, z, 1.0)
+    xi = pc[..., 0] / zs
+    yi = pc[..., 1] / zs
+    t = cam.tan_half_fov
+    u = (1.0 - xi / t) * 0.5
+    v = (1.0 - yi * cam.aspect / t) * 0.5
+    valid = valid & (u >= 0) & (u < 1) & (v >= 0) & (v < 1)
+    film_pos = jnp.stack([u * cam.width, v * cam.height], axis=-1)
+    dist = jnp.sqrt(jnp.maximum(jnp.sum(rel * rel, axis=-1), 1e-20))
+    cos_theta = z / dist
+    area = 4.0 * t * t / cam.aspect    # film area on the z=1 plane
+    we = 1.0 / jnp.maximum(area * cos_theta ** 3, 1e-9)
+    d_to_cam = -rel / dist[..., None]
+    return film_pos, jnp.where(valid, we, 0.0), dist, d_to_cam, valid

@@ -136,22 +136,16 @@ def _cyl_test_mxu(rows, rays):
     t_c = -jnp.sum(oc * d3, axis=0)        # [CH]
     o3 = oc + d3 * t_c[None, :]            # [3, CH], |o3| ~ cluster size
 
-    # two MXU passes: [CH, 3] x [3, (a p0c n0 n1) 4K] for o and for d
-    # (K-sized pieces are lane-tile aligned; a CH-sized lhs concat is not)
-    rhs = jnp.concatenate([a, p0c, n0, n1], axis=1)  # [3, 4K]
-
-    def mm(lhs3):
+    # eight small MXU matmuls [CH, 3] x [3, K] (Mosaic rejects vector
+    # concats with mismatched sublane offsets, so no [3, 4K] packing)
+    def mm(lhs3, rhs3):
         return jax.lax.dot_general(
-            lhs3, rhs, dimension_numbers=(((0,), (0,)), ((), ())),
+            lhs3, rhs3, dimension_numbers=(((0,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
-            precision=jax.lax.Precision.HIGHEST)     # [CH, 4K]
+            precision=jax.lax.Precision.HIGHEST)     # [CH, K]
 
-    dots_o = mm(o3)
-    dots_d = mm(d3)
-    o_a, o_p0, o_n0, o_n1 = (dots_o[:, i * K:(i + 1) * K]
-                             for i in range(4))
-    d_a, d_p0, d_n0, d_n1 = (dots_d[:, i * K:(i + 1) * K]
-                             for i in range(4))
+    o_a, o_p0, o_n0, o_n1 = mm(o3, a), mm(o3, p0c), mm(o3, n0), mm(o3, n1)
+    d_a, d_p0, d_n0, d_n1 = mm(d3, a), mm(d3, p0c), mm(d3, n0), mm(d3, n1)
 
     # per-segment constants ([1, K] cheap VPU rows)
     pa = jnp.sum(p0c * a, 0)[None, :]

@@ -1,0 +1,74 @@
+"""BDPT (integrators/bdpt.py): consistency against the forward path
+tracer on an area-lit box — the standard bidirectional validation
+(reference: libbidir verification.cpp cross-checks + bdpt test scenes)."""
+import numpy as np
+import jax.numpy as jnp
+
+from hairpt.core.math import matrix_lookat
+from hairpt.film.film import Film
+from hairpt.models import shapes as shp
+from hairpt.models.bsdf import registry as R
+from hairpt.models.sensors import Camera
+from hairpt.scene.scene import SceneBuilder
+from hairpt.integrators import path as path_int
+from hairpt.integrators import bdpt as bdpt_int
+
+
+def _box_scene(res=24):
+    b = SceneBuilder()
+    white = b.add_material(kind=R.DIFFUSE, diffuse=(0.7, 0.7, 0.7))
+    red = b.add_material(kind=R.DIFFUSE, diffuse=(0.7, 0.15, 0.1))
+    # floor (y=0), back wall (z=+2), left wall (x=-1.5)
+    floor = shp.rectangle()
+    rot_floor = np.array([[1, 0, 0, 0], [0, 0, -1, 0], [0, 1, 0, 0],
+                          [0, 0, 0, 1]], np.float64)
+    sc = np.diag([2.0, 2.0, 1.0, 1.0])
+    tr = np.eye(4); tr[:3, 3] = [0, 0, 1.0]
+    b.add_mesh(floor, white, to_world=tr @ rot_floor @ sc)
+    back = np.eye(4); back[:3, 3] = [0, 1.0, 3.0]
+    flipz = np.diag([1.0, 1.0, -1.0, 1.0])
+    b.add_mesh(floor, white, to_world=back @ flipz @ sc)
+    left = np.array([[0, 0, 1, -1.8], [0, 1, 0, 1.0], [-1, 0, 0, 1.0],
+                     [0, 0, 0, 1]], np.float64)
+    b.add_mesh(floor, red, to_world=left @ sc)
+    # emissive quad near the top, facing down
+    lamp = np.array([[0.4, 0, 0, 0], [0, 0, 0.4, 2.2], [0, -0.4, 0, 1.0],
+                     [0, 0, 0, 1]], np.float64)
+    b.add_mesh(floor, white, to_world=lamp, radiance=(12.0, 11.0, 9.0))
+    cam = Camera.perspective(matrix_lookat((0.3, 1.2, -2.6), (0, 0.8, 1.0),
+                                           (0, 1, 0)), 55.0, res, res)
+    return b.build(cam, Film.make(res, res, "box"), spp=1, max_depth=5,
+                   sampler=0, rr_depth=99)
+
+
+def test_bdpt_matches_path_tracer():
+    scene = _box_scene()
+    img_pt = np.asarray(path_int.render(scene, spp=96))
+    img_bd = np.asarray(bdpt_int.render_bdpt(scene, spp=48, s_max=4,
+                                             t_max=4))
+    assert np.isfinite(img_bd).all()
+    # global energy agreement
+    m_pt = img_pt.mean()
+    m_bd = img_bd.mean()
+    assert abs(m_bd - m_pt) / m_pt < 0.06, (m_pt, m_bd)
+    # per-region agreement on a 4x4 downsampling (MC noise tolerant)
+    r = 6
+    a = img_pt.reshape(4, r, 4, r, 3).mean((1, 3, 4))
+    c = img_bd.reshape(4, r, 4, r, 3).mean((1, 3, 4))
+    rel = np.abs(a - c) / np.maximum(a, 5e-2)
+    assert np.percentile(rel, 90) < 0.15, rel
+
+
+def test_bdpt_strategies_all_contribute():
+    """Strategy families (s=0, connections, t=1 splats) must each carry
+    energy on the box scene — catches silently-dead strategies."""
+    scene = _box_scene(res=16)
+    # t=1 only (splats): s_max big, t_max=1 is impossible for per-pixel
+    # accumulation, so instead check the developed image of the full run
+    # minus a run with s_max=1 (connections + s0 only) differs
+    img_full = np.asarray(bdpt_int.render_bdpt(scene, spp=12, s_max=4,
+                                               t_max=4, seed=3))
+    img_s1 = np.asarray(bdpt_int.render_bdpt(scene, spp=12, s_max=1,
+                                             t_max=4, seed=3))
+    assert img_full.mean() > 0.002
+    assert not np.allclose(img_full, img_s1)
