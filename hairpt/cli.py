@@ -67,6 +67,9 @@ def main(argv=None):
     elif integ == "direct":
         from .integrators import aux_integrators as aux
         img = np.asarray(aux.render_direct(scene, seed=args.seed))
+    elif integ == "pssmlt":
+        from .integrators import pssmlt as pssmlt_int
+        img = np.asarray(pssmlt_int.render_pssmlt(scene, seed=args.seed))
     elif integ == "bdpt":
         from .integrators import bdpt as bdpt_int
         img = np.asarray(bdpt_int.render_bdpt(scene, spp=scene.config.spp,

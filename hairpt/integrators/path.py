@@ -185,7 +185,8 @@ def _pdf_emitter_hit(arr, cfg, hit: Hit, d):
     return pdf
 
 
-def make_li_fn(scene: Scene, differentiable: bool = False):
+def make_li_fn(scene: Scene, differentiable: bool = False,
+               n_uniform_dims: int = 0):
     """Builds the jit-able per-wavefront radiance estimator.
 
     Returns li(arr: SceneArrays, pixel_idx [N], sample_idx [N])
@@ -202,20 +203,37 @@ def make_li_fn(scene: Scene, differentiable: bool = False):
     detached — gradients flow through BSDF eval only, the standard
     path-replay style estimator for continuous parameters). Russian
     roulette is disabled in this mode.
+
+    n_uniform_dims > 0: li takes a 4th argument `uniforms [N, D]` and all
+    sample requests read from it instead of the procedural sampler — the
+    primary-sample-space hook used by PSSMLT (reference:
+    src/integrators/pssmlt + ReplayableSampler, bidir/rsampler.h).
     """
     cfg = scene.config
     cam = scene.camera
     active_kinds = scene.active_kinds
     smode = cfg.sampler
     ray_eps = cfg.ray_eps
+    _U = [None]  # set per-call when n_uniform_dims > 0
 
     def s1(pix, smp, dim):
+        if n_uniform_dims > 0:
+            d = jnp.mod(dim, n_uniform_dims)
+            return jax.lax.dynamic_index_in_dim(
+                _U[0], d, axis=1, keepdims=False) if jnp.ndim(d) == 0 \
+                else jnp.take_along_axis(_U[0], d[None].astype(jnp.int32),
+                                         axis=1)[:, 0]
         return rng.next_1d(smode, pix, smp, dim)
 
     def s2(pix, smp, dim):
+        if n_uniform_dims > 0:
+            return jnp.stack([s1(pix, smp, dim), s1(pix, smp, dim + 1)],
+                             axis=-1)
         return rng.next_2d(smode, pix, smp, dim)
 
-    def li(arr, pixel_idx, sample_idx):
+    def li(arr, pixel_idx, sample_idx, uniforms=None):
+        if n_uniform_dims > 0:
+            _U[0] = uniforms
         n = pixel_idx.shape[0]
         px = (pixel_idx % cfg.width).astype(jnp.float32)
         py = (pixel_idx // cfg.width).astype(jnp.float32)

@@ -72,3 +72,22 @@ def test_bdpt_strategies_all_contribute():
                                              t_max=4, seed=3))
     assert img_full.mean() > 0.002
     assert not np.allclose(img_full, img_s1)
+
+
+def test_pssmlt_matches_path_tracer():
+    """PSSMLT chains on the box scene converge to the PT image
+    (global mean + smooth-region agreement)."""
+    from hairpt.integrators import pssmlt
+    scene = _box_scene(res=16)
+    img_pt = np.asarray(path_int.render(scene, spp=64))
+    img_ml = np.asarray(pssmlt.render_pssmlt(scene, n_chains=1 << 13,
+                                             n_mutations=48, seed=1))
+    assert np.isfinite(img_ml).all() and (img_ml >= 0).all()
+    m_pt, m_ml = img_pt.mean(), img_ml.mean()
+    assert abs(m_ml - m_pt) / m_pt < 0.12, (m_pt, m_ml)
+    # coarse 4x4 block agreement
+    r = 4
+    a = img_pt.reshape(4, r, 4, r, 3).mean((1, 3, 4))
+    c = img_ml.reshape(4, r, 4, r, 3).mean((1, 3, 4))
+    rel = np.abs(a - c) / np.maximum(a, 8e-2)
+    assert np.percentile(rel, 85) < 0.25, rel
