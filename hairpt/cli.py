@@ -67,6 +67,9 @@ def main(argv=None):
     elif integ == "direct":
         from .integrators import aux_integrators as aux
         img = np.asarray(aux.render_direct(scene, seed=args.seed))
+    elif integ == "ptracer":
+        from .integrators import ptracer as pt_int
+        img = np.asarray(pt_int.render_ptracer(scene, seed=args.seed))
     elif integ == "pssmlt":
         from .integrators import pssmlt as pssmlt_int
         img = np.asarray(pssmlt_int.render_pssmlt(scene, seed=args.seed))

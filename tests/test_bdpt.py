@@ -91,3 +91,15 @@ def test_pssmlt_matches_path_tracer():
     c = img_ml.reshape(4, r, 4, r, 3).mean((1, 3, 4))
     rel = np.abs(a - c) / np.maximum(a, 8e-2)
     assert np.percentile(rel, 85) < 0.25, rel
+
+
+def test_ptracer_matches_path_tracer():
+    """Pure particle tracing converges to the PT image."""
+    from hairpt.integrators import ptracer
+    scene = _box_scene(res=16)
+    img_pt = np.asarray(path_int.render(scene, spp=64))
+    img_lt = np.asarray(ptracer.render_ptracer(scene, n_paths=1 << 14,
+                                               seed=2))
+    assert np.isfinite(img_lt).all() and (img_lt >= 0).all()
+    m_pt, m_lt = img_pt.mean(), img_lt.mean()
+    assert abs(m_lt - m_pt) / m_pt < 0.12, (m_pt, m_lt)
