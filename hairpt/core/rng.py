@@ -129,6 +129,36 @@ def sobol_2d(pixel, sample, dim):
 INDEPENDENT = 0
 SOBOL = 1
 HALTON = 2
+STRATIFIED = 3  # use as mode=(STRATIFIED, spp); exact for power-of-two spp
+
+
+def _strat_perm(sample, spp_mask, pixel, dim):
+    """Stateless bijection of the sample index within [0, 2^k): XOR then
+    odd multiply (both bijective mod 2^k), keyed per (pixel, dim) —
+    the per-pixel stratum shuffle of the reference stratified sampler
+    (src/samplers/stratified.cpp) without mutable permutation tables."""
+    key = hash_combine(_u32(pixel), _u32(dim))
+    h1 = hash_u32(key ^ U32(0x9E3779B9))
+    h2 = hash_u32(key ^ U32(0x85EBCA6B)) | U32(1)
+    return ((_u32(sample) ^ h1) * h2) & U32(spp_mask)
+
+
+def stratified_1d(pixel, sample, dim, spp: int):
+    perm = _strat_perm(sample, spp - 1, pixel, dim)
+    jit = uniform_1d(pixel, sample, dim)
+    return (perm.astype(jnp.float32) + jit) / spp
+
+
+def stratified_2d(pixel, sample, dim, spp: int):
+    import math
+    k = int(math.log2(spp))
+    a = 1 << (k // 2)
+    b = spp // a
+    perm = _strat_perm(sample, spp - 1, pixel, dim)
+    sx = (perm % a).astype(jnp.float32)
+    sy = (perm // a).astype(jnp.float32)
+    j = uniform_2d(pixel, sample, dim)
+    return jnp.stack([(sx + j[..., 0]) / a, (sy + j[..., 1]) / b], axis=-1)
 
 
 def _radical_inverse(base: int, index, digits: int = 20):
@@ -161,7 +191,12 @@ def halton_2d(pixel, sample, dim):
     return jnp.stack(jnp.broadcast_arrays(u1, u2), axis=-1)
 
 
-def next_1d(mode: int, pixel, sample, dim: int):
+def next_1d(mode, pixel, sample, dim: int):
+    if isinstance(mode, tuple) and mode[0] == STRATIFIED:
+        spp = int(mode[1])
+        if spp & (spp - 1) == 0 and spp > 0:
+            return stratified_1d(pixel, sample, dim, spp)
+        return uniform_1d(pixel, sample, dim)
     if mode == SOBOL:
         return sobol_2d(pixel, sample, dim)[..., 0]
     if mode == HALTON:
@@ -169,7 +204,12 @@ def next_1d(mode: int, pixel, sample, dim: int):
     return uniform_1d(pixel, sample, dim)
 
 
-def next_2d(mode: int, pixel, sample, dim: int):
+def next_2d(mode, pixel, sample, dim: int):
+    if isinstance(mode, tuple) and mode[0] == STRATIFIED:
+        spp = int(mode[1])
+        if spp & (spp - 1) == 0 and spp > 0:
+            return stratified_2d(pixel, sample, dim, spp)
+        return uniform_2d(pixel, sample, dim)
     if mode == SOBOL:
         return sobol_2d(pixel, sample, dim)
     if mode == HALTON:

@@ -406,8 +406,10 @@ def load_scene(path: str, defines: dict | None = None,
             stype_s = sam.get("type", "independent")
             if stype_s in ("halton", "hammersley"):
                 sampler_kind = 2
-            elif stype_s in ("sobol", "ldsampler", "stratified"):
+            elif stype_s in ("sobol", "ldsampler"):
                 sampler_kind = 1
+            elif stype_s == "stratified":
+                sampler_kind = (3, int(spp))  # exact for pow2 spp
             else:
                 sampler_kind = 0
         fm = sensor.find("film")

@@ -146,3 +146,25 @@ def test_halton_stratification():
     strata = np.floor(np.sort(p[:, 0]) * 256).astype(int)
     counts = np.bincount(strata, minlength=256)
     assert counts.min() >= 1 and counts.max() <= 3
+
+
+def test_stratified_sampler_exact_strata():
+    """mode (STRATIFIED, spp): across all spp samples of one pixel/dim,
+    every stratum is hit exactly once (a true permutation), and 2D
+    points stratify on the a x b grid (reference:
+    src/samplers/stratified.cpp)."""
+    import numpy as np
+    from hairpt.core import rng
+    spp = 16
+    pix = jnp.zeros((spp,), jnp.uint32) + 7
+    smp = jnp.arange(spp, dtype=jnp.uint32)
+    u = np.asarray(rng.next_1d((rng.STRATIFIED, spp), pix, smp, 5))
+    strata = np.sort((u * spp).astype(int))
+    np.testing.assert_array_equal(strata, np.arange(spp))
+    u2 = np.asarray(rng.next_2d((rng.STRATIFIED, spp), pix, smp, 9))
+    cells = np.sort((u2[:, 0] * 4).astype(int) * 4
+                    + (u2[:, 1] * 4).astype(int))
+    np.testing.assert_array_equal(cells, np.arange(spp))
+    # different pixels get different permutations
+    u_b = np.asarray(rng.next_1d((rng.STRATIFIED, spp), pix + 1, smp, 5))
+    assert not np.allclose(u, u_b)
