@@ -158,17 +158,19 @@ def build_photon_map(pos, power, wi, valid, radius: float,
                      grid_res=grid_res)
 
 
-def gather_radiance(pm: PhotonMap, scene: Scene, hit, wi_local, fr,
-                    radius: float, max_per_cell: int = 32):
-    """Density estimate at the hit points: Σ f(wi→wo)·Φ / (π r²) over
-    photons within `radius`, scanning the 27 neighbouring grid cells."""
+def gather_flux(pm: PhotonMap, scene: Scene, hit, wi_local, fr,
+                r2, max_per_cell: int = 32):
+    """Σ f(wi→wo)·Φ and photon count over photons within per-lane
+    squared radius r2 (scalar or [N]), scanning 27 neighbour cells.
+    The building block shared by the photonmapper/ppm/sppm family."""
     arr = scene.arrays
     active_kinds = scene.active_kinds
     gr = pm.grid_res
     q_ijk = ((hit.p - pm.grid_min) * pm.inv_cell).astype(jnp.int32)
-    r2 = radius * radius
+    r2 = jnp.broadcast_to(jnp.asarray(r2, jnp.float32), hit.p.shape[:-1])
     n = hit.p.shape[0]
     acc = jnp.zeros((n, 3), jnp.float32)
+    count = jnp.zeros((n,), jnp.float32)
     gm = mat.gather(arr.materials, arr.checkers, hit.mat_id, hit.uv)
 
     offs = jnp.arange(max_per_cell)
@@ -184,7 +186,8 @@ def gather_radiance(pm: PhotonMap, scene: Scene, hit, wi_local, fr,
                 in_cell = pm.cell[idxs] == key[:, None]
                 p_ph = pm.pos[idxs]                     # [N, M, 3]
                 d2 = jnp.sum((p_ph - hit.p[:, None]) ** 2, -1)
-                near = in_cell & (d2 < r2) & okc[:, None] & pm.valid[idxs]
+                near = in_cell & (d2 < r2[:, None]) & okc[:, None] \
+                    & pm.valid[idxs]
                 # BSDF towards the photon's incident direction
                 wo_l = jnp.einsum("nmi,ni->nm", pm.wi[idxs], fr.s), \
                     jnp.einsum("nmi,ni->nm", pm.wi[idxs], fr.t), \
@@ -205,7 +208,16 @@ def gather_radiance(pm: PhotonMap, scene: Scene, hit, wi_local, fr,
                 contrib = jnp.where(near[..., None],
                                     f / cosw * pm.power[idxs], 0.0)
                 acc = acc + jnp.sum(contrib, axis=1)
-    return acc / (jnp.pi * r2)
+                count = count + jnp.sum(near.astype(jnp.float32), axis=1)
+    return acc, count
+
+
+def gather_radiance(pm: PhotonMap, scene: Scene, hit, wi_local, fr,
+                    radius: float, max_per_cell: int = 32):
+    """Density estimate: gather_flux / (π r²)."""
+    flux, _ = gather_flux(pm, scene, hit, wi_local, fr, radius * radius,
+                          max_per_cell)
+    return flux / (jnp.pi * radius * radius)
 
 
 def render_photonmap(scene: Scene, n_photons: int = 1 << 16,
@@ -266,3 +278,67 @@ def render_ppm(scene: Scene, n_photons: int = 1 << 14, passes: int = 4,
         acc = img if acc is None else acc + img
         r = float(np.sqrt(r * r * (i + alpha) / (i + 1)))
     return acc / passes
+
+
+def render_sppm(scene: Scene, n_photons: int = 1 << 14, passes: int = 6,
+                radius0: float = 0.3, alpha: float = 0.7, seed: int = 0):
+    """Stochastic progressive photon mapping (reference:
+    src/integrators/photonmapper/sppm.cpp): per-PIXEL statistics
+    (radius², accumulated flux τ, photon count N) with the SPPM update
+      N' = N + α·M,  r'² = r²·N'/(N+M),  τ' = (τ + Φ)·r'²/r²
+    and a fresh jittered camera hit point every pass."""
+    cfg = scene.config
+    arr = scene.arrays
+    n_pix = cfg.width * cfg.height
+
+    r2 = jnp.full((n_pix,), radius0 * radius0, jnp.float32)
+    tau = jnp.zeros((n_pix, 3), jnp.float32)
+    nacc = jnp.zeros((n_pix,), jnp.float32)
+    env_acc = jnp.zeros((n_pix, 3), jnp.float32)
+
+    @jax.jit
+    def one_pass(arrs, pm_, r2, tau, nacc, env_acc, pass_id):
+        pixel_idx = jnp.arange(n_pix, dtype=jnp.uint32)
+        sample_idx = jnp.full((n_pix,), pass_id, jnp.uint32)
+        px = (pixel_idx % cfg.width).astype(jnp.float32)
+        py = (pixel_idx // cfg.width).astype(jnp.float32)
+        j2 = rng.next_2d(cfg.sampler, pixel_idx, sample_idx, 0)
+        p2 = jnp.stack([px + j2[..., 0], py + j2[..., 1]], -1)
+        ray = sensors.sample_ray(scene.camera, p2, None)
+        hit = scene_intersect(arrs, ray, cfg.traversal, cfg.block,
+                              _swept_params(cfg))
+        wi_world = -ray.d
+        two = arrs.materials.twosided[jnp.maximum(hit.mat_id, 0)]
+        flip = two & (dot(hit.sh_n, wi_world) < 0)
+        fr = frame(hit)._replace(
+            n=jnp.where(flip[..., None], -hit.sh_n, hit.sh_n),
+            t=jnp.where(flip[..., None], -hit.sh_t, hit.sh_t))
+        wi_l = fr.to_local(wi_world)
+        flux, m = gather_flux(pm_, scene, hit, wi_l, fr, r2)
+        flux = jnp.where(hit.valid[..., None], flux, 0.0)
+        m = jnp.where(hit.valid, m, 0.0)
+
+        n_new = nacc + alpha * m
+        frac = jnp.where(nacc + m > 0, n_new / jnp.maximum(nacc + m, 1e-6),
+                         1.0)
+        r2_new = r2 * frac
+        tau_new = (tau + flux) * frac[..., None]
+
+        env_r = em.env_eval(arrs.env, ray.d) if arrs.env is not None \
+            else jnp.zeros((n_pix, 3))
+        env_acc = env_acc + jnp.where(hit.valid[..., None], 0.0, env_r)
+        return r2_new, tau_new, n_new, env_acc
+
+    for p in range(passes):
+        pos, pw, wi, valid = trace_photons(scene, n_photons, 4,
+                                           seed * 131 + p)
+        pm = build_photon_map(pos, pw, wi, valid, radius0)
+        r2, tau, nacc, env_acc = one_pass(arr, pm, r2, tau, nacc, env_acc,
+                                          jnp.uint32(p))
+
+    # τ already contains the per-photon powers normalized by photons/pass
+    # (trace_photons divides by n_photons), so average over passes
+    l_ind = tau / (passes * jnp.pi * jnp.maximum(r2, 1e-12))[..., None]
+    img = l_ind + env_acc / passes
+    img = jnp.nan_to_num(img, nan=0.0, posinf=0.0, neginf=0.0)
+    return img.reshape(cfg.height, cfg.width, 3)

