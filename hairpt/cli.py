@@ -60,6 +60,12 @@ def main(argv=None):
           f"({scene.config.width}x{scene.config.height} @ {scene.config.spp}"
           f"spp, depth {scene.config.max_depth})", file=sys.stderr)
 
+    from .models.bsdf import registry as _mat
+    if _mat.DIPOLE in scene.active_kinds:
+        from .integrators.sss import attach_dipole
+        scene = attach_dipole(scene)
+        print("[hairpt] dipole irradiance prepass done", file=sys.stderr)
+
     integ = args.integrator or "path"
     if integ == "ao":
         from .integrators import aux_integrators as aux

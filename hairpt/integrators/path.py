@@ -319,6 +319,16 @@ def make_li_fn(scene: Scene, differentiable: bool = False,
 
             gm = mat.gather(arr.materials, arr.checkers, hit.mat_id, hit.uv)
 
+            # ---- dipole subsurface lanes: gather Lo, terminate ----
+            if mat.DIPOLE in set(int(k) for k in active_kinds) \
+                    and arr.sss is not None:
+                from ..models import subsurface as sss_mod
+                is_sss = active & (gm.kind == mat.DIPOLE)
+                lo_sss = sss_mod.sss_radiance(arr.sss, hit.p, wi[..., 2])
+                li_acc = li_acc + jnp.where(is_sss[..., None],
+                                            st.throughput * lo_sss, 0.0)
+                active = active & ~is_sss
+
             pix, smp = pixel_idx, sample_idx
 
             # ---- NEE ----

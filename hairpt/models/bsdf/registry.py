@@ -42,6 +42,9 @@ DIFFTRANS = 16
 MIXTURE = 17
 COATING = 18
 ROUGHCOATING = 19
+DIPOLE = 20   # subsurface dipole BSSRDF — resolved at the integrator level
+              # (src/subsurface/dipole.cpp); params: transmit=σs',
+              # sigma_a=σa, eta, mix_w=density scale
 
 # wrapper kinds modify/combine a nested material row (mix_a, mix_b)
 WRAPPER_KINDS = (MIXTURE, MASK, COATING, ROUGHCOATING)
@@ -244,8 +247,8 @@ def eval_pdf(active_kinds, gm: GatheredMat, wi, wo, hair_tables=None):
     f = jnp.zeros(n + (3,), jnp.float32)
     pdf = jnp.zeros(n, jnp.float32)
     for kind in sorted(set(int(k) for k in active_kinds)):
-        if kind in WRAPPER_KINDS:
-            continue  # handled by the caller via eval_pdf_mix
+        if kind in WRAPPER_KINDS or kind == DIPOLE:
+            continue  # wrappers via eval_pdf_mix; dipole at the integrator
         mod = FAMILIES[kind]
         fk, pk = mod.eval_pdf(gm, wi, wo, hair_tables)
         sel = gm.kind == kind
@@ -268,8 +271,8 @@ def sample(active_kinds, gm: GatheredMat, wi, u_lobe, u2, u2b,
     is_delta = jnp.zeros(n, bool)
     eta_s = jnp.ones(n, jnp.float32)
     for kind in sorted(set(int(k) for k in active_kinds)):
-        if kind in WRAPPER_KINDS:
-            continue  # handled by the caller via sample_mix
+        if kind in WRAPPER_KINDS or kind == DIPOLE:
+            continue  # wrappers via sample_mix; dipole at the integrator
         mod = FAMILIES[kind]
         wk, wtk, pk, dk, ek = mod.sample(gm, wi, u_lobe, u2, u2b, hair_tables)
         sel = gm.kind == kind

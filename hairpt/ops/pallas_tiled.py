@@ -102,7 +102,12 @@ def _cyl_test(rows, rays):
 
 
 def _cyl_test_mxu(rows, rays):
-    """MXU-accelerated miter-cylinder test — same geometry as _cyl_test,
+    """[Experimental, off by default: measured SLOWER than the VPU form on
+    v5e (48.7 vs 31.6 ms on the furball probe) — eight tiny
+    HIGHEST-precision matmuls cost more than the ~55 VPU ops they save,
+    and the recentered expansion flips ~0.2% of grazing hits.]
+
+    MXU-accelerated miter-cylinder test — same geometry as _cyl_test,
     restructured so all eight ray·segment dot-product families come from
     ONE [2·CH, 3] × [3, 4·K] matmul (the MXU does them nearly for free;
     the VPU residue drops from ~100 to ~45 ops per [CH, K] pair block).
@@ -206,7 +211,7 @@ def _tiled_kernel(slots_ref,            # scalar prefetch [T * q_max] packed
                   seg_vmem,             # scratch VMEM [2, PRIM_F, K]
                   sems,                 # DMA semaphores [2]
                   *, q_max: int, any_hit: bool, exit_every: int = 1,
-                  nop: bool = False, mxu: bool = True):
+                  nop: bool = False, mxu: bool = False):
     i = pl.program_id(0)
 
     t_out_ref[...] = jnp.full(t_out_ref.shape, jnp.inf, jnp.float32)
@@ -294,7 +299,7 @@ def _tiled_kernel(slots_ref,            # scalar prefetch [T * q_max] packed
 def tiled_phase_b(slots, cnt, tmin, tscale, rays8, t_pmax, seg_rows,
                   K: int, q_max: int, any_hit: bool = False,
                   interpret: bool = False, exit_every: int = 1,
-                  nop: bool = False, mxu: bool = True):
+                  nop: bool = False, mxu: bool = False):
     """Run the tiled kernel. slots [T, q_max] (packed cluster|bound),
     cnt/tmin/tscale [T], rays8 [T, 8, TILE], t_pmax [T, TILE],
     seg_rows [C, PRIM_F, K] → (t [T, TILE], pid [T, TILE])."""

@@ -58,6 +58,7 @@ class SceneArrays(NamedTuple):
     env: Optional[em.EnvMap]
     area: Optional[em.AreaLights]
     delta: Optional[em.DeltaLights]
+    sss: object = None      # Optional[subsurface.SSSSamples] (dipole)
 
 
 @dataclasses.dataclass(frozen=True)

@@ -463,6 +463,19 @@ def load_scene(path: str, defines: dict | None = None,
         p = _collect_props(shape, defines)
         tr = shape.find("transform")
         to_world = _parse_transform(tr) if tr is not None else np.eye(4)
+        # subsurface dipole attached to the shape → DIPOLE material
+        ss_el = shape.find("subsurface")
+        dipole_mat = None
+        if ss_el is not None and ss_el.get("type") == "dipole":
+            sp2 = _collect_props(ss_el, defines)
+            int_ior = sp2.get("intIOR", 1.5)
+            if isinstance(int_ior, str):
+                int_ior = IOR_NAMES.get(int_ior, 1.5)
+            dipole_mat = b.add_material(
+                kind=mat.DIPOLE,
+                transmit=sp2.get("sigmaS", (2.6, 3.2, 3.9)),
+                sigma_a=sp2.get("sigmaA", (0.0021, 0.0041, 0.0071)),
+                eta=float(int_ior), mix_w=float(sp2.get("scale", 1.0)))
         # material: <ref id> or inline bsdf
         mid = None
         ref = shape.find("ref")
@@ -474,6 +487,8 @@ def load_scene(path: str, defines: dict | None = None,
                 mid = b.add_material(
                     **_material_row_from_bsdf(inline, defines, b,
                                               scene_dir))
+        if dipole_mat is not None:
+            mid = dipole_mat  # subsurface overrides the surface BSDF
         if mid is None:
             mid = b.add_material(kind=mat.DIFFUSE)
         # emissive?

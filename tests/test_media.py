@@ -182,3 +182,62 @@ def test_hetero_volpath_runs_and_darkens():
     corner = img[:4, :4].mean()
     assert center < corner * 0.7, (center, corner)
     assert corner > 0.9  # clear paths see the env
+
+
+# ---------------------------------------------------------------------------
+# dipole subsurface (models/subsurface.py + integrators/sss.py)
+# ---------------------------------------------------------------------------
+
+def test_dipole_rd_properties():
+    import numpy as np
+    from hairpt.models import subsurface as sss
+    params = sss.SSSParams(sigma_s=jnp.asarray([2.6, 3.2, 3.9]),
+                           sigma_a=jnp.asarray([0.002, 0.004, 0.007]),
+                           eta=jnp.float32(1.5), scale=jnp.float32(1.0))
+    r = np.asarray([0.01, 0.05, 0.2, 1.0], np.float32)
+    rd = np.asarray(sss.rd_kernel(params, jnp.asarray(r * r)))
+    assert (rd > 0).all()
+    assert (np.diff(rd, axis=0) < 0).all()  # monotone falloff
+    # total diffuse albedo ≈ ∫ Rd 2πr dr stays below 1 (energy conservation)
+    rr = np.linspace(1e-3, 20.0, 20000, dtype=np.float32)
+    rdv = np.asarray(sss.rd_kernel(params, jnp.asarray(rr * rr)))
+    alb = (rdv * 2 * np.pi * rr[:, None]).sum(0) * (rr[1] - rr[0])
+    assert (alb < 1.01).all() and (alb > 0.3).all(), alb
+
+
+def test_dipole_render_translucency():
+    """A dipole slab lit from one side shows light bleeding to nearby
+    shadowed points (the defining subsurface behavior)."""
+    import numpy as np
+    from hairpt.core.math import matrix_lookat
+    from hairpt.film.film import Film
+    from hairpt.models import shapes as shp
+    from hairpt.models.bsdf import registry as R
+    from hairpt.models.sensors import Camera
+    from hairpt.scene.scene import SceneBuilder
+    from hairpt.integrators.sss import attach_dipole
+    from hairpt.integrators import path as path_int
+
+    b = SceneBuilder()
+    dip = b.add_material(kind=R.DIPOLE, transmit=(2.0, 2.0, 2.0),
+                         sigma_a=(0.02, 0.02, 0.02), eta=1.3, mix_w=1.0)
+    # 180° about y so the plane (at z=0 before transform) faces -z
+    sc = np.diag([-1.0, 1.0, -1.0, 1.0]); sc[2, 3] = 2.0
+    b.add_mesh(shp.rectangle(), dip, to_world=sc)
+    # point light close to the left half of the slab
+    b.delta_lights.append(dict(kind=0, position=(-0.6, 0.0, 1.0),
+                               direction=(0, 0, 1), intensity=(6.0,) * 3,
+                               cutoff_deg=90, beam_deg=60))
+    cam = Camera.perspective(matrix_lookat((0, 0, -1.5), (0, 0, 2.0),
+                                           (0, 1, 0)), 60.0, 24, 24)
+    scene = b.build(cam, Film.make(24, 24, "box"), spp=1, max_depth=3,
+                    sampler=0)
+    scene = attach_dipole(scene, n_samples=3000, k_light_samples=8)
+    assert scene.arrays.sss is not None
+    img = np.asarray(path_int.render(scene, spp=4))
+    assert np.isfinite(img).all()
+    # camera x points screen-left, so world -x (the lit side) is on the
+    # image's RIGHT
+    near = img[8:16, 16:22].mean()
+    far = img[8:16, 2:8].mean()
+    assert near > far > 0, (near, far)   # bleed, with falloff
