@@ -73,6 +73,9 @@ def main(argv=None):
     elif integ == "direct":
         from .integrators import aux_integrators as aux
         img = np.asarray(aux.render_direct(scene, seed=args.seed))
+    elif integ == "erpt":
+        from .integrators import erpt as erpt_int
+        img = np.asarray(erpt_int.render_erpt(scene, seed=args.seed))
     elif integ == "ptracer":
         from .integrators import ptracer as pt_int
         img = np.asarray(pt_int.render_ptracer(scene, seed=args.seed))

@@ -28,23 +28,21 @@ def _luminance(c):
     return c @ jnp.asarray(LUM)
 
 
-def render_pssmlt(scene: Scene, n_chains: int = 1 << 14,
-                  n_mutations: int = 64, p_large: float = 0.3,
-                  sigma: float = 0.014, seed: int = 0):
-    """Metropolis render. Returns the developed [H, W, 3] image.
-
-    n_chains lanes × n_mutations Metropolis steps; p_large = large-step
-    probability (reference default 0.3); sigma = small-step size."""
-    cfg = scene.config
-    fl = scene.film
-    n = n_chains
-    # dims: 2 (pixel) + camera jitter/aperture (4) + 16 per bounce
-    n_dims = 2 + path_int.DIM_BASE + path_int.DIM_STRIDE * max(
+def n_pss_dims(cfg):
+    """2 (pixel) + camera jitter/aperture + 16 per bounce."""
+    return 2 + path_int.DIM_BASE + path_int.DIM_STRIDE * max(
         cfg.max_depth - 1, 1)
+
+
+def make_eval_u(scene: Scene):
+    """Primary-sample-space path evaluator shared by pssmlt/erpt:
+    u [N, n_dims] → (pos [N,2], rgb [N,3], lum [N])."""
+    cfg = scene.config
+    n_dims = n_pss_dims(cfg)
     li_fn = path_int.make_li_fn(scene, n_uniform_dims=n_dims - 2)
 
     def eval_u(arr, u):
-        """u [N, n_dims] → (pos [N,2], rgb [N,3], lum [N])."""
+        n = u.shape[0]
         px = jnp.clip(u[:, 0] * cfg.width, 0, cfg.width - 1e-3)
         py = jnp.clip(u[:, 1] * cfg.height, 0, cfg.height - 1e-3)
         pix = (py.astype(jnp.uint32) * cfg.width
@@ -57,6 +55,21 @@ def render_pssmlt(scene: Scene, n_chains: int = 1 << 14,
         rgb, pos, _ = li_fn(arr, pix, jnp.zeros(n, jnp.uint32), uu)
         rgb = jnp.nan_to_num(rgb, nan=0.0, posinf=0.0, neginf=0.0)
         return pos, rgb, _luminance(rgb)
+
+    return eval_u, n_dims
+
+
+def render_pssmlt(scene: Scene, n_chains: int = 1 << 14,
+                  n_mutations: int = 64, p_large: float = 0.3,
+                  sigma: float = 0.014, seed: int = 0):
+    """Metropolis render. Returns the developed [H, W, 3] image.
+
+    n_chains lanes × n_mutations Metropolis steps; p_large = large-step
+    probability (reference default 0.3); sigma = small-step size."""
+    cfg = scene.config
+    fl = scene.film
+    n = n_chains
+    eval_u, n_dims = make_eval_u(scene)
 
     arr = scene.arrays
     idx = jnp.arange(n, dtype=jnp.uint32)

@@ -103,3 +103,14 @@ def test_ptracer_matches_path_tracer():
     assert np.isfinite(img_lt).all() and (img_lt >= 0).all()
     m_pt, m_lt = img_pt.mean(), img_lt.mean()
     assert abs(m_lt - m_pt) / m_pt < 0.12, (m_pt, m_lt)
+
+
+def test_erpt_matches_path_tracer():
+    from hairpt.integrators import erpt
+    scene = _box_scene(res=16)
+    img_pt = np.asarray(path_int.render(scene, spp=64))
+    img_er = np.asarray(erpt.render_erpt(scene, n_seeds=1 << 13,
+                                         n_mutations=12, seed=5))
+    assert np.isfinite(img_er).all() and (img_er >= 0).all()
+    m_pt, m_er = img_pt.mean(), img_er.mean()
+    assert abs(m_er - m_pt) / m_pt < 0.12, (m_pt, m_er)
