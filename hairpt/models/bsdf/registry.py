@@ -45,6 +45,7 @@ ROUGHCOATING = 19
 DIPOLE = 20   # subsurface dipole BSSRDF — resolved at the integrator level
               # (src/subsurface/dipole.cpp); params: transmit=σs',
               # sigma_a=σa, eta, mix_w=density scale
+HK = 21       # Hanrahan-Krueger slab (src/bsdfs/hk.cpp)
 
 # wrapper kinds modify/combine a nested material row (mix_a, mix_b)
 WRAPPER_KINDS = (MIXTURE, MASK, COATING, ROUGHCOATING)

@@ -46,6 +46,7 @@ BSDF_KINDS = {
     "kajiyakay": mat.KAJIYAKAY,
     "marschner": mat.MARSCHNER,  # = the fork's MarschnerDiffuse build
     "marschnerdielectric": mat.MARSCHNERDIELECTRIC,
+    "hk": mat.HK,
     "mask": mat.MASK,
     "coating": mat.COATING,
     "roughcoating": mat.ROUGHCOATING,
@@ -220,6 +221,12 @@ def _material_row_from_bsdf(node, defines, builder: SceneBuilder,
         row["alpha"] = p["alpha"]
     if "nonlinear" in p:
         row["nonlinear"] = p["nonlinear"]
+    if btype == "hk":
+        # σs → transmit, σa → sigma_a, thickness → alpha, HG g → beta_r
+        row["transmit"] = p.get("sigmaS", (2.0, 2.0, 2.0))
+        row["sigma_a"] = p.get("sigmaA", (0.05, 0.05, 0.05))
+        row["alpha"] = float(p.get("thickness", 1.0))
+        row["beta_r"] = float(p.get("g", 0.0))
     row["dist"] = 0 if p.get("distribution", "ggx") != "beckmann" else 1
     if btype == "marschner":
         # hardcoded in the reference ctor (marschner_diffuse.cpp:125,152-157)

@@ -238,3 +238,39 @@ def test_normalmap_tilts_frame():
     assert abs(np.dot(pn[1], pt[1])) < 1e-5
     # unmapped lane untouched
     np.testing.assert_array_equal(pn[2], [0, 0, 1])
+
+
+def test_hk_slab_consistency_and_limits():
+    """Hanrahan-Krueger slab: sample/eval/pdf consistency; thick slab →
+    no transmission; thin clear slab → mostly delta pass-through."""
+    from hairpt.models.bsdf import hk as hk_mod  # registers HK
+    n = 1 << 13
+    gm = None
+    from test_bsdf import make_gm, fixed_wi
+    gm = make_gm(n, kind=R.HK, transmit=(2.0, 2.0, 2.0),
+                 sigma_a=(0.1, 0.1, 0.1), alpha=1.0, beta_r=0.4)
+    wi = fixed_wi(n)
+    ul, u2, u2b = _samples(n)
+    wo, wt, pdf, is_delta, _ = R.sample([R.HK], gm, wi, ul, u2, u2b)
+    f, pdf2 = R.eval_pdf([R.HK], gm, wi, wo)
+    ok = ~np.asarray(is_delta) & (np.asarray(pdf) > 1e-6)
+    np.testing.assert_allclose(np.asarray(pdf)[ok], np.asarray(pdf2)[ok],
+                               rtol=1e-3)
+    resid = np.asarray(wt)[ok] * np.asarray(pdf)[ok, None] \
+        - np.asarray(f)[ok]
+    assert np.abs(resid).max() < 1e-3
+    # delta lanes go straight through
+    d = np.asarray(is_delta)
+    np.testing.assert_allclose(np.asarray(wo)[d], -np.asarray(wi)[d],
+                               atol=1e-6)
+    # thick slab: transmission negligible
+    gm_thick = make_gm(8, kind=R.HK, transmit=(5.0,) * 3,
+                       sigma_a=(5.0,) * 3, alpha=10.0, beta_r=0.0)
+    wo_t = -fixed_wi(8, 30.0)
+    f_t, _ = R.eval_pdf([R.HK], gm_thick, fixed_wi(8, 30.0), wo_t)
+    assert np.asarray(f_t).max() < 1e-4
+    # nearly-clear slab: delta weight ≈ 1, single scattering tiny
+    gm_thin = make_gm(8, kind=R.HK, transmit=(0.01,) * 3,
+                      sigma_a=(0.0,) * 3, alpha=0.01, beta_r=0.0)
+    p_s = np.asarray(hk_mod._p_spec(gm_thin, fixed_wi(8)))
+    assert (p_s > 0.999).all()
