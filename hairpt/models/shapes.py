@@ -381,3 +381,45 @@ def load_serialized(path: str, shape_index: int = 0) -> Mesh:
     faces = np.frombuffer(take(n_tri * 12), "<u4").astype(
         np.int32).reshape(-1, 3)
     return Mesh(positions, normals, uvs, faces)
+
+
+def heightfield(heights, scale_xy: float = 1.0, scale_z: float = 1.0,
+                flip: bool = False) -> Mesh:
+    """Regular-grid heightfield tessellated to triangles (reference:
+    src/shapes/heightfield.cpp — that plugin intersects the grid
+    analytically; a wavefront tracer over a triangle pool tessellates
+    once at load instead).
+
+    heights: [H, W] array; the surface spans x,y ∈ [-1, 1]·scale_xy with
+    z = heights·scale_z (Mitsuba's heightfield convention, +z up in
+    object space)."""
+    h = np.asarray(heights, np.float32)
+    H, W = h.shape
+    xs = np.linspace(-1, 1, W, dtype=np.float32) * scale_xy
+    ys = np.linspace(-1, 1, H, dtype=np.float32) * scale_xy
+    px, py = np.meshgrid(xs, ys)
+    pos = np.stack([px, py, h * scale_z], axis=-1).reshape(-1, 3)
+    idx = np.arange(H * W).reshape(H, W)
+    a = idx[:-1, :-1].ravel()
+    b = idx[:-1, 1:].ravel()
+    c = idx[1:, :-1].ravel()
+    d = idx[1:, 1:].ravel()
+    f1 = np.stack([a, b, c], axis=-1)
+    f2 = np.stack([b, d, c], axis=-1)
+    faces = np.concatenate([f1, f2]).astype(np.int32)
+    if flip:
+        faces = faces[:, ::-1]
+    mesh = Mesh(positions=pos, faces=faces, normals=None, uvs=np.stack(
+        [(px + scale_xy) / (2 * scale_xy), (py + scale_xy) /
+         (2 * scale_xy)], -1).reshape(-1, 2).astype(np.float32))
+    return compute_smooth_normals(mesh)
+
+
+def lerp_mesh(a: Mesh, b: Mesh, t: float) -> Mesh:
+    """Keyframe morph (reference: src/shapes/deformable.cpp evaluated at
+    a fixed scene time; per-ray motion blur is a roadmap item)."""
+    assert a.positions.shape == b.positions.shape
+    pos = a.positions * (1.0 - t) + b.positions * t
+    mesh = Mesh(positions=pos.astype(np.float32), faces=a.faces,
+                normals=None, uvs=a.uvs)
+    return compute_smooth_normals(mesh)

@@ -590,6 +590,36 @@ def load_scene(path: str, defines: dict | None = None,
         elif stype == "cylinder":
             b.add_mesh(shp.cylinder(p.get("radius", 1.0)), mid,
                        to_world=to_world, radiance=radiance)
+        elif stype == "heightfield":
+            img = _read_texture_image(p.get("filename", ""), scene_dir,
+                                      gamma=1.0)
+            if img is not None:
+                hs = img.mean(-1)
+            else:
+                # procedural fallback: gentle ripples
+                g = 65
+                yy, xx = np.meshgrid(np.linspace(0, 4 * np.pi, g),
+                                     np.linspace(0, 4 * np.pi, g))
+                hs = 0.1 * np.sin(xx) * np.cos(yy)
+            b.add_mesh(shp.heightfield(hs, scale_z=float(p.get("scale",
+                                                               1.0))),
+                       mid, to_world=to_world, radiance=radiance)
+        elif stype == "deformable":
+            # keyframe morph evaluated at the scene's fixed time
+            # (reference: src/shapes/deformable.cpp; -D time=t)
+            f0 = os.path.join(scene_dir, p.get("filename", ""))
+            f1 = os.path.join(scene_dir, p.get("filename2",
+                                               p.get("filename", "")))
+            t_anim = float(defines.get("time", p.get("time", 0.0)))
+            if os.path.exists(f0):
+                m0 = shp.load_obj(f0) if f0.endswith(".obj") \
+                    else shp.load_serialized(f0)
+                m1 = m0
+                if os.path.exists(f1) and f1 != f0:
+                    m1 = shp.load_obj(f1) if f1.endswith(".obj") \
+                        else shp.load_serialized(f1)
+                b.add_mesh(shp.lerp_mesh(m0, m1, t_anim), mid,
+                           to_world=to_world, radiance=radiance)
 
     # emitters
     for emit in root.findall("emitter"):

@@ -168,3 +168,55 @@ def test_stratified_sampler_exact_strata():
     # different pixels get different permutations
     u_b = np.asarray(rng.next_1d((rng.STRATIFIED, spp), pix + 1, smp, 5))
     assert not np.allclose(u, u_b)
+
+
+def test_animated_transform_interpolation():
+    """AnimatedTransform: endpoint exactness, midpoint rotation = half
+    angle (slerp), translation lerp (reference: core/track.h)."""
+    import numpy as np
+    from hairpt.core.track import AnimatedTransform
+
+    def rot_z(deg):
+        a = np.radians(deg)
+        m = np.eye(4)
+        m[:2, :2] = [[np.cos(a), -np.sin(a)], [np.sin(a), np.cos(a)]]
+        return m
+
+    m0 = rot_z(0.0); m0[:3, 3] = [0, 0, 0]
+    m1 = rot_z(90.0); m1[:3, 3] = [2, 4, 6]
+    at = AnimatedTransform([(0.0, m0), (1.0, m1)])
+    np.testing.assert_allclose(at.eval(0.0), m0, atol=1e-12)
+    np.testing.assert_allclose(at.eval(1.0), m1, atol=1e-9)
+    mid = at.eval(0.5)
+    expect = rot_z(45.0); expect[:3, 3] = [1, 2, 3]
+    np.testing.assert_allclose(mid, expect, atol=1e-7)
+    # clamping outside the range
+    np.testing.assert_allclose(at.eval(-5.0), m0, atol=1e-12)
+
+
+def test_heightfield_scene_renders():
+    """heightfield + gridtexture through the XML loader + CLI path."""
+    import numpy as np
+    import os, tempfile
+    from hairpt.scene.xml_loader import load_scene
+    from hairpt.integrators import aux_integrators as aux
+    with tempfile.TemporaryDirectory() as td:
+        xml = os.path.join(td, "s.xml")
+        open(xml, "w").write('''<scene version="0.5.0">
+ <integrator type="path"/>
+ <sensor type="perspective"><float name="fov" value="45"/>
+  <transform name="toWorld">
+    <lookat origin="0, -2.5, 1.5" target="0, 0, 0" up="0, 0, 1"/>
+  </transform>
+  <sampler type="independent"><integer name="sampleCount" value="2"/></sampler>
+  <film type="hdrfilm"><integer name="width" value="24"/>
+   <integer name="height" value="24"/></film>
+ </sensor>
+ <emitter type="constant"><spectrum name="radiance" value="1"/></emitter>
+ <shape type="heightfield"><float name="scale" value="0.5"/>
+  <bsdf type="diffuse"/></shape>
+</scene>''')
+        scene = load_scene(xml, {})
+        img = np.asarray(aux.render_field(scene, "distance"))
+        assert np.isfinite(img).all()
+        assert (img > 0).mean() > 0.3  # the surface fills the frame
