@@ -65,6 +65,7 @@ class Hit(NamedTuple):
     mat_id: jnp.ndarray     # [N]
     emitter_id: jnp.ndarray  # [N] area light index or -1
     is_hair: jnp.ndarray    # [N] bool
+    uv_density: jnp.ndarray  # [N] mip LOD factor (0 = no texture footprint)
 
 
 def frame(hit: Hit) -> Frame:
@@ -115,6 +116,7 @@ def scene_intersect(arr: SceneArrays, ray: Ray, traversal: str = "packed",
     uv = jnp.zeros((n, 2), jnp.float32)
     mat_id = jnp.zeros((n,), jnp.int32)
     emitter_id = jnp.full((n,), -1, jnp.int32)
+    uv_density = jnp.zeros((n,), jnp.float32)
 
     if arr.tri is not None:
         i = jnp.maximum(prim_tri, 0)
@@ -150,6 +152,7 @@ def scene_intersect(arr: SceneArrays, ray: Ray, traversal: str = "packed",
         uv = jnp.where(m, uvi, uv)
         mat_id = jnp.where(tri_sel, sh.mat_id[i], mat_id)
         emitter_id = jnp.where(tri_sel, sh.emitter_id[i], emitter_id)
+        uv_density = jnp.where(tri_sel, sh.uv_density[i], uv_density)
 
     if arr.hair is not None:
         i = jnp.maximum(prim_hair, 0)
@@ -178,7 +181,7 @@ def scene_intersect(arr: SceneArrays, ray: Ray, traversal: str = "packed",
 
     return Hit(valid=valid, t=t, p=p, geo_n=geo_n, sh_s=sh_s, sh_t=sh_t,
                sh_n=sh_n, uv=uv, mat_id=mat_id, emitter_id=emitter_id,
-               is_hair=use_hair & valid)
+               is_hair=use_hair & valid, uv_density=uv_density)
 
 
 def scene_occluded(arr: SceneArrays, ray: Ray, traversal: str = "packed",

@@ -318,7 +318,16 @@ def make_li_fn(scene: Scene, differentiable: bool = False,
                 bad = dot(d_in, geo_n) * wi[..., 2] >= 0
                 active = active & ~bad
 
-            gm = mat.gather(arr.materials, arr.checkers, hit.mat_id, hit.uv)
+            # mip LOD from the ray footprint: uv-space footprint ≈
+            # t · (pixel angle) · uv_density, in texels at the base level
+            lod = None
+            if arr.checkers is not None and arr.checkers.mips.shape[1] > 0:
+                pix_ang = 2.0 * cam.tan_half_fov / cfg.width
+                res_t = arr.checkers.bitmaps.shape[1]
+                foot = hit.t * pix_ang * hit.uv_density * res_t
+                lod = jnp.log2(jnp.maximum(foot, 1.0))
+            gm = mat.gather(arr.materials, arr.checkers, hit.mat_id, hit.uv,
+                            lod)
 
             # ---- dipole subsurface lanes: gather Lo, terminate ----
             if mat.DIPOLE in set(int(k) for k in active_kinds) \

@@ -96,6 +96,9 @@ class CheckerboardTable(NamedTuple):
     uv_offset: jnp.ndarray  # [T, 2]
     bitmaps: jnp.ndarray    # [T, R, R, 3] (zeros for checkers)
     aux: jnp.ndarray        # [T] grid lineWidth / spare parameter
+    mips: jnp.ndarray       # [T, L, R, R, 3] pre-blurred pyramid (level k
+                            # = 2^k box filter, stored at full R) or
+                            # zeros-shaped [T, 0, ...] when unused
 
 
 class HairTables(NamedTuple):
@@ -159,7 +162,8 @@ def pack_materials(rows) -> MaterialTable:
         nrm_kind=arr("nrm_kind", np.int32), nrm_scale=arr("nrm_scale"))
 
 
-def eval_checkerboard(tex: CheckerboardTable, tex_id, uv, base):
+def eval_checkerboard(tex: CheckerboardTable, tex_id, uv, base,
+                      lod=None):
     """Resolve textured reflectance; lanes with tex_id < 0 keep `base`."""
     if tex is None:
         return base
@@ -189,6 +193,27 @@ def eval_checkerboard(tex: CheckerboardTable, tex_id, uv, base):
               + (bm[tid, y1m, x0m] * (1 - wx) + bm[tid, y1m, x1m] * wx)
               * wy)
     val = jnp.where((tex.kind[tid] == 1)[..., None], val_bm, val_ck)
+    # trilinear mipmap lookup for bitmap lanes when a footprint is given
+    # (reference: src/textures/bitmap.cpp EWA/trilinear via mipmap.h)
+    if lod is not None and tex.mips.shape[1] > 0:
+        L = tex.mips.shape[1]
+        lvl = jnp.clip(lod, 0.0, L - 1.001)
+        l0 = jnp.floor(lvl).astype(jnp.int32)
+        fl = (lvl - l0)[..., None]
+
+        def bil(level_idx):
+            bm_l = tex.mips[tid, level_idx]
+            return ((bm_l[jnp.arange(bm_l.shape[0]), y0m, x0m] * (1 - wx)
+                     + bm_l[jnp.arange(bm_l.shape[0]), y0m, x1m] * wx)
+                    * (1 - wy)
+                    + (bm_l[jnp.arange(bm_l.shape[0]), y1m, x0m] * (1 - wx)
+                       + bm_l[jnp.arange(bm_l.shape[0]), y1m, x1m] * wx)
+                    * wy)
+
+        v0 = bil(l0)
+        v1 = bil(jnp.minimum(l0 + 1, L - 1))
+        val_bm = v0 * (1 - fl) + v1 * fl
+        val = jnp.where((tex.kind[tid] == 1)[..., None], val_bm, val)
     # gridtexture (src/textures/gridtexture.cpp): color1 lines of width
     # `lineWidth` along integer cell borders, color0 inside cells
     lw = tex.aux[tid] * 0.5
@@ -202,10 +227,10 @@ def eval_checkerboard(tex: CheckerboardTable, tex_id, uv, base):
 
 
 def gather(table: MaterialTable, tex: Optional[CheckerboardTable],
-           mat_id, uv) -> GatheredMat:
+           mat_id, uv, lod=None) -> GatheredMat:
     m = jnp.maximum(mat_id, 0)
     diffuse = table.diffuse[m]
-    diffuse = eval_checkerboard(tex, table.tex_id[m], uv, diffuse)
+    diffuse = eval_checkerboard(tex, table.tex_id[m], uv, diffuse, lod)
     return GatheredMat(
         kind=table.kind[m], diffuse=diffuse, specular=table.specular[m],
         transmit=table.transmit[m], exponent=table.exponent[m],

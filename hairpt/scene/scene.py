@@ -39,6 +39,7 @@ class TriShading(NamedTuple):
     uv2: jnp.ndarray
     mat_id: jnp.ndarray  # [N]
     emitter_id: jnp.ndarray  # [N] index into area light table, -1 = none
+    uv_density: jnp.ndarray  # [N] sqrt(uv area / world area) — mip LOD
 
 
 class SceneArrays(NamedTuple):
@@ -94,6 +95,34 @@ class Scene(NamedTuple):
     marschner_rows: tuple = ()  # material-row index per hair-table aux_id
     has_normal_maps: bool = False  # static: any normal/bump-mapped material
     medium: object = None      # Medium/HeteroMedium for volpath (optional)
+
+
+def _uv_density(uv0, uv1, uv2, e1, e2):
+    """sqrt(uv area / world area) per triangle — converts a world-space
+    footprint into uv units for mip LOD selection."""
+    a = uv1 - uv0
+    b = uv2 - uv0
+    uv_area = 0.5 * np.abs(a[:, 0] * b[:, 1] - a[:, 1] * b[:, 0])
+    w_area = 0.5 * np.linalg.norm(np.cross(e1, e2), axis=1)
+    return np.sqrt(uv_area / np.maximum(w_area, 1e-20))
+
+
+def _build_mips(bitmaps: np.ndarray, levels: int = 4) -> np.ndarray:
+    """Pre-blurred pyramid for trilinear filtering: level k = 2^k box
+    average, stored at full resolution (uniform shapes keep the lookup a
+    single fused gather on TPU; a few textures × 4 levels is cheap)."""
+    t, r, _, _ = bitmaps.shape
+    out = np.zeros((t, levels, r, r, 3), np.float32)
+    out[:, 0] = bitmaps
+    cur = bitmaps
+    for k in range(1, levels):
+        rr = max(r >> k, 1)
+        small = cur.reshape(t, rr, cur.shape[1] // rr,
+                            rr, cur.shape[2] // rr, 3).mean((2, 4))
+        out[:, k] = np.repeat(np.repeat(small, r // rr, axis=1),
+                              r // rr, axis=2)
+        cur = out[:, k]
+    return out
 
 
 class SceneBuilder:
@@ -266,7 +295,10 @@ class SceneBuilder:
                 uv1=jnp.asarray(cat(uv1l)[o], jnp.float32),
                 uv2=jnp.asarray(cat(uv2l)[o], jnp.float32),
                 mat_id=jnp.asarray(cat(midl)[o]),
-                emitter_id=jnp.asarray(cat(eidl)[o]))
+                emitter_id=jnp.asarray(cat(eidl)[o]),
+                uv_density=jnp.asarray(_uv_density(
+                    cat(uv0l)[o], cat(uv1l)[o], cat(uv2l)[o],
+                    (v1 - v0)[o], (v2 - v0)[o]), jnp.float32))
             tri_bvh = isec.bvh_to_device(fb)
 
         # hair segments
@@ -333,7 +365,8 @@ class SceneBuilder:
                                       jnp.float32),
                 bitmaps=jnp.asarray(bitmaps),
                 aux=jnp.asarray([(c[6] if len(c) > 6 else 0.01)
-                                 for c in self.checkers], jnp.float32))
+                                 for c in self.checkers], jnp.float32),
+                mips=jnp.asarray(_build_mips(bitmaps)))
 
         hair_tables = None
         if self.hair_aux:

@@ -335,3 +335,36 @@ def test_gridtexture_eval():
     np.testing.assert_allclose(out[0], [0.1, 0.2, 0.3], atol=1e-6)  # cell
     np.testing.assert_allclose(out[1], [0.9, 0.8, 0.7], atol=1e-6)  # line
     np.testing.assert_allclose(out[2], [0.9, 0.8, 0.7], atol=1e-6)  # line
+
+
+def test_mipmap_trilinear_lod():
+    """Mip pyramid: lod 0 reproduces the base texel, high lod converges to
+    the global mean; intermediate lods interpolate monotonically."""
+    from hairpt.scene.scene import SceneBuilder
+    b = SceneBuilder()
+    img = np.zeros((64, 64, 3), np.float32)
+    img[::2, :, 0] = 1.0     # fine horizontal stripes in red
+    tid = b.add_bitmap_texture(img, res=64)
+    b.add_material(kind=R.DIFFUSE, tex_id=tid)
+    from hairpt.film.film import Film
+    from hairpt.models.sensors import Camera
+    sc = b.build(Camera.perspective(np.eye(4), 45, 8, 8),
+                 Film.make(8, 8, "box"), spp=1, max_depth=2)
+    tex = sc.arrays.checkers
+    assert tex.mips.shape[1] == 4
+    # v chosen so the base-level bilinear lookup lands on the CENTER of
+    # an even (red) stripe row: mod(1-v,1)*64-0.5 == 20
+    uv = jnp.broadcast_to(jnp.asarray([0.31, 1.0 - 20.5 / 64.0],
+                                      jnp.float32), (4, 2))
+    tid0 = jnp.zeros(4, jnp.int32)
+    base = jnp.zeros((4, 3))
+    v0 = np.asarray(R.eval_checkerboard(tex, tid0, uv, base,
+                                        jnp.zeros(4)))[0]
+    v3 = np.asarray(R.eval_checkerboard(tex, tid0, uv, base,
+                                        jnp.full(4, 3.0)))[0]
+    # coarsest level ≈ stripe average (0.5 in red)
+    np.testing.assert_allclose(v3[0], 0.5, atol=0.1)
+    np.testing.assert_allclose(v0[0], 1.0, atol=0.05)  # on a stripe
+    v1 = np.asarray(R.eval_checkerboard(tex, tid0, uv, base,
+                                        jnp.full(4, 1.5)))[0]
+    assert min(v0[0], v3[0]) - 1e-5 <= v1[0] <= max(v0[0], v3[0]) + 1e-5
