@@ -73,6 +73,11 @@ def main(argv=None):
     elif integ == "direct":
         from .integrators import aux_integrators as aux
         img = np.asarray(aux.render_direct(scene, seed=args.seed))
+    elif integ == "irrcache":
+        from .integrators import irrcache as ic_int
+        img = np.asarray(ic_int.render_irrcache(scene,
+                                                spp=scene.config.spp,
+                                                seed=args.seed))
     elif integ == "erpt":
         from .integrators import erpt as erpt_int
         img = np.asarray(erpt_int.render_erpt(scene, seed=args.seed))

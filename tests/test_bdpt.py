@@ -114,3 +114,18 @@ def test_erpt_matches_path_tracer():
     assert np.isfinite(img_er).all() and (img_er >= 0).all()
     m_pt, m_er = img_pt.mean(), img_er.mean()
     assert abs(m_er - m_pt) / m_pt < 0.12, (m_pt, m_er)
+
+
+def test_irrcache_matches_path_tracer():
+    """Two-pass irradiance caching approximates the PT solution on the
+    diffuse box (smooth indirect → small interpolation error)."""
+    from hairpt.integrators import irrcache
+    scene = _box_scene(res=16)
+    img_pt = np.asarray(path_int.render(scene, spp=48))
+    img_ic = np.asarray(irrcache.render_irrcache(scene, n_points=2048,
+                                                 m_rays=12, spp=4, seed=7))
+    assert np.isfinite(img_ic).all()
+    m_pt, m_ic = img_pt.mean(), img_ic.mean()
+    # irradiance caching is an approximation: 1-bounce indirect only
+    assert abs(m_ic - m_pt) / m_pt < 0.35, (m_pt, m_ic)
+    assert m_ic > 0
