@@ -66,6 +66,8 @@ class Hit(NamedTuple):
     emitter_id: jnp.ndarray  # [N] area light index or -1
     is_hair: jnp.ndarray    # [N] bool
     uv_density: jnp.ndarray  # [N] mip LOD factor (0 = no texture footprint)
+    bary: jnp.ndarray       # [N, 2] triangle barycentrics (b1, b2)
+    vcolor: jnp.ndarray     # [N, 3] interpolated vertex colors (default 1)
 
 
 def frame(hit: Hit) -> Frame:
@@ -117,6 +119,8 @@ def scene_intersect(arr: SceneArrays, ray: Ray, traversal: str = "packed",
     mat_id = jnp.zeros((n,), jnp.int32)
     emitter_id = jnp.full((n,), -1, jnp.int32)
     uv_density = jnp.zeros((n,), jnp.float32)
+    bary = jnp.zeros((n, 2), jnp.float32)
+    vcolor = jnp.ones((n, 3), jnp.float32)
 
     if arr.tri is not None:
         i = jnp.maximum(prim_tri, 0)
@@ -153,6 +157,10 @@ def scene_intersect(arr: SceneArrays, ray: Ray, traversal: str = "packed",
         mat_id = jnp.where(tri_sel, sh.mat_id[i], mat_id)
         emitter_id = jnp.where(tri_sel, sh.emitter_id[i], emitter_id)
         uv_density = jnp.where(tri_sel, sh.uv_density[i], uv_density)
+        bary = jnp.where(m, jnp.stack([b1, b2], -1), bary)
+        vcolor = jnp.where(m, sh.vc0[i] * b0[..., None]
+                           + sh.vc1[i] * b1[..., None]
+                           + sh.vc2[i] * b2[..., None], vcolor)
 
     if arr.hair is not None:
         i = jnp.maximum(prim_hair, 0)
@@ -181,7 +189,8 @@ def scene_intersect(arr: SceneArrays, ray: Ray, traversal: str = "packed",
 
     return Hit(valid=valid, t=t, p=p, geo_n=geo_n, sh_s=sh_s, sh_t=sh_t,
                sh_n=sh_n, uv=uv, mat_id=mat_id, emitter_id=emitter_id,
-               is_hair=use_hair & valid, uv_density=uv_density)
+               is_hair=use_hair & valid, uv_density=uv_density,
+               bary=bary, vcolor=vcolor)
 
 
 def scene_occluded(arr: SceneArrays, ray: Ray, traversal: str = "packed",

@@ -327,7 +327,7 @@ def make_li_fn(scene: Scene, differentiable: bool = False,
                 foot = hit.t * pix_ang * hit.uv_density * res_t
                 lod = jnp.log2(jnp.maximum(foot, 1.0))
             gm = mat.gather(arr.materials, arr.checkers, hit.mat_id, hit.uv,
-                            lod)
+                            lod, hit.bary, hit.vcolor)
 
             # ---- dipole subsurface lanes: gather Lo, terminate ----
             if mat.DIPOLE in set(int(k) for k in active_kinds) \

@@ -89,7 +89,8 @@ class CheckerboardTable(NamedTuple):
     common resolution (reference: src/textures/{checkerboard,bitmap}.cpp;
     trilinear mipmapping is a roadmap item — bilinear at a fixed resolution
     here)."""
-    kind: jnp.ndarray    # [T] 0 = checkerboard, 1 = bitmap, 2 = grid
+    kind: jnp.ndarray    # [T] 0 = checker, 1 = bitmap, 2 = grid,
+                         #     3 = wireframe (bary), 4 = vertexcolors
     color0: jnp.ndarray  # [T, 3]
     color1: jnp.ndarray  # [T, 3]
     uv_scale: jnp.ndarray   # [T, 2]
@@ -163,7 +164,7 @@ def pack_materials(rows) -> MaterialTable:
 
 
 def eval_checkerboard(tex: CheckerboardTable, tex_id, uv, base,
-                      lod=None):
+                      lod=None, bary=None, vcolor=None):
     """Resolve textured reflectance; lanes with tex_id < 0 keep `base`."""
     if tex is None:
         return base
@@ -223,14 +224,27 @@ def eval_checkerboard(tex: CheckerboardTable, tex_id, uv, base,
         | (jnp.minimum(fv, 1.0 - fv) < lw)
     val_gr = jnp.where(on_line[..., None], tex.color1[tid], tex.color0[tid])
     val = jnp.where((tex.kind[tid] == 2)[..., None], val_gr, val)
+    # wireframe (src/textures/wireframe.cpp): color1 near triangle edges
+    if bary is not None:
+        b1 = bary[..., 0]
+        b2 = bary[..., 1]
+        b0 = 1.0 - b1 - b2
+        edge = jnp.minimum(jnp.minimum(b0, b1), b2) < tex.aux[tid]
+        val_wf = jnp.where(edge[..., None], tex.color1[tid],
+                           tex.color0[tid])
+        val = jnp.where((tex.kind[tid] == 3)[..., None], val_wf, val)
+    # vertexcolors / curvature (src/textures/{vertexcolors,curvature}.cpp)
+    if vcolor is not None:
+        val = jnp.where((tex.kind[tid] == 4)[..., None], vcolor, val)
     return jnp.where((tex_id >= 0)[..., None], val, base)
 
 
 def gather(table: MaterialTable, tex: Optional[CheckerboardTable],
-           mat_id, uv, lod=None) -> GatheredMat:
+           mat_id, uv, lod=None, bary=None, vcolor=None) -> GatheredMat:
     m = jnp.maximum(mat_id, 0)
     diffuse = table.diffuse[m]
-    diffuse = eval_checkerboard(tex, table.tex_id[m], uv, diffuse, lod)
+    diffuse = eval_checkerboard(tex, table.tex_id[m], uv, diffuse, lod,
+                                bary, vcolor)
     return GatheredMat(
         kind=table.kind[m], diffuse=diffuse, specular=table.specular[m],
         transmit=table.transmit[m], exponent=table.exponent[m],

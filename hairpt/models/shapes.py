@@ -18,6 +18,7 @@ class Mesh(NamedTuple):
     normals: Optional[np.ndarray]   # [V, 3] or None
     uvs: Optional[np.ndarray]       # [V, 2] or None
     faces: np.ndarray      # [F, 3] int32
+    colors: Optional[np.ndarray] = None  # [V, 3] vertex colors or None
 
 
 def transform_mesh(mesh: Mesh, to_world: np.ndarray) -> Mesh:
@@ -423,3 +424,27 @@ def lerp_mesh(a: Mesh, b: Mesh, t: float) -> Mesh:
     mesh = Mesh(positions=pos.astype(np.float32), faces=a.faces,
                 normals=None, uvs=a.uvs)
     return compute_smooth_normals(mesh)
+
+
+def vertex_gaussian_curvature(mesh: Mesh) -> np.ndarray:
+    """Per-vertex Gaussian curvature via angle deficit
+    (2π − Σ incident angles) / (mixed area) — feeds the `curvature`
+    visualization texture (reference: src/textures/curvature.cpp uses the
+    mesh differential geometry computed in trimesh.cpp)."""
+    v = np.asarray(mesh.positions, np.float64)
+    f = mesh.faces
+    deficit = np.full(len(v), 2.0 * np.pi)
+    area = np.zeros(len(v))
+    for k in range(3):
+        a = v[f[:, k]]
+        b = v[f[:, (k + 1) % 3]]
+        c = v[f[:, (k + 2) % 3]]
+        e1 = b - a
+        e2 = c - a
+        cosang = (e1 * e2).sum(1) / np.maximum(
+            np.linalg.norm(e1, axis=1) * np.linalg.norm(e2, axis=1), 1e-20)
+        ang = np.arccos(np.clip(cosang, -1, 1))
+        np.subtract.at(deficit, f[:, k], ang)
+        tri_a = 0.5 * np.linalg.norm(np.cross(e1, e2), axis=1)
+        np.add.at(area, f[:, k], tri_a / 3.0)
+    return (deficit / np.maximum(area, 1e-12)).astype(np.float32)

@@ -40,6 +40,9 @@ class TriShading(NamedTuple):
     mat_id: jnp.ndarray  # [N]
     emitter_id: jnp.ndarray  # [N] index into area light table, -1 = none
     uv_density: jnp.ndarray  # [N] sqrt(uv area / world area) — mip LOD
+    vc0: jnp.ndarray     # [N, 3] per-vertex colors (vertexcolors/curvature)
+    vc1: jnp.ndarray
+    vc2: jnp.ndarray
 
 
 class SceneArrays(NamedTuple):
@@ -140,11 +143,14 @@ class SceneBuilder:
         self.camera: Optional[Camera] = None
         self.film: Optional[Film] = None
         self.medium = None         # optional Medium/HeteroMedium (volpath)
+        self.curvature_mats = set()  # mat ids whose texture is curvature
+        self.curvature_scale = 1.0
         self.config_kwargs = {}
 
     # -- materials ---------------------------------------------------------
 
     def add_material(self, **row) -> int:
+        is_curv = row.pop("__curvature__", False)
         kind = row.get("kind", mat.DIFFUSE)
         # per-material precomputed transmittance slices
         if kind in (mat.ROUGHPLASTIC, mat.MARSCHNER, mat.ROUGHCOATING):
@@ -182,6 +188,8 @@ class SceneBuilder:
             else:
                 row["spec_weight"] = s / max(d + s, 1e-9)
         self.materials.append(mat.default_material_row(**row))
+        if is_curv:
+            self.curvature_mats.add(len(self.materials) - 1)
         return len(self.materials) - 1
 
     def add_checkerboard(self, color0, color1, uscale=1.0, vscale=1.0,
@@ -195,6 +203,20 @@ class SceneBuilder:
         """reference: src/textures/gridtexture.cpp"""
         self.checkers.append((2, color0, color1, (uscale, vscale),
                               (uoffset, voffset), None, line_width))
+        return len(self.checkers) - 1
+
+    def add_wireframe_texture(self, color0=(0.1,) * 3, color1=(0.6,) * 3,
+                              line_width=0.05) -> int:
+        """reference: src/textures/wireframe.cpp (edge distance in
+        barycentric units here — resolution-independent)"""
+        self.checkers.append((3, color0, color1, (1.0, 1.0), (0.0, 0.0),
+                              None, line_width))
+        return len(self.checkers) - 1
+
+    def add_vertexcolor_texture(self) -> int:
+        """reference: src/textures/vertexcolors.cpp"""
+        self.checkers.append((4, (1, 1, 1), (1, 1, 1), (1.0, 1.0),
+                              (0.0, 0.0), None))
         return len(self.checkers) - 1
 
     def add_bitmap_texture(self, image, uscale=1.0, vscale=1.0,
@@ -219,6 +241,16 @@ class SceneBuilder:
         if radiance is not None:
             emitter_id = len(self.area_lights)
             self.area_lights.append(np.asarray(radiance, np.float32))
+        if mat_id in getattr(self, "curvature_mats", set()) \
+                and mesh.colors is None:
+            # curvature texture: bake |K| (tanh-compressed) into vertex
+            # colors — negative K red, positive green
+            k = shp.vertex_gaussian_curvature(mesh)
+            v = np.tanh(np.abs(k) * self.curvature_scale)
+            cols = np.zeros((len(k), 3), np.float32)
+            cols[:, 0] = np.where(k < 0, v, 0.0)
+            cols[:, 1] = np.where(k >= 0, v, 0.0)
+            mesh = mesh._replace(colors=cols)
         self.tri_meshes.append((mesh, mat_id, emitter_id))
 
     def add_fibers(self, fs: hairgen.FiberSet, mat_id: int):
@@ -250,6 +282,7 @@ class SceneBuilder:
         if self.tri_meshes:
             v0l, v1l, v2l, n0l, n1l, n2l = [], [], [], [], [], []
             uv0l, uv1l, uv2l, midl, eidl = [], [], [], [], []
+            vc0l, vc1l, vc2l = [], [], []
             for mesh, mid, eid in self.tri_meshes:
                 f = mesh.faces
                 p = mesh.positions
@@ -273,6 +306,13 @@ class SceneBuilder:
                     uv0l.append(z); uv1l.append(z); uv2l.append(z)
                 midl.append(np.full(len(f), mid, np.int32))
                 eidl.append(np.full(len(f), eid, np.int32))
+                if mesh.colors is not None:
+                    cc = mesh.colors
+                    vc0l.append(cc[f[:, 0]]); vc1l.append(cc[f[:, 1]])
+                    vc2l.append(cc[f[:, 2]])
+                else:
+                    one = np.ones((len(f), 3), np.float32)
+                    vc0l.append(one); vc1l.append(one); vc2l.append(one)
             v0 = np.concatenate(v0l); v1 = np.concatenate(v1l)
             v2 = np.concatenate(v2l)
             fb = bvh_mod.build(np.minimum(np.minimum(v0, v1), v2),
@@ -298,7 +338,10 @@ class SceneBuilder:
                 emitter_id=jnp.asarray(cat(eidl)[o]),
                 uv_density=jnp.asarray(_uv_density(
                     cat(uv0l)[o], cat(uv1l)[o], cat(uv2l)[o],
-                    (v1 - v0)[o], (v2 - v0)[o]), jnp.float32))
+                    (v1 - v0)[o], (v2 - v0)[o]), jnp.float32),
+                vc0=jnp.asarray(cat(vc0l)[o], jnp.float32),
+                vc1=jnp.asarray(cat(vc1l)[o], jnp.float32),
+                vc2=jnp.asarray(cat(vc2l)[o], jnp.float32))
             tri_bvh = isec.bvh_to_device(fb)
 
         # hair segments

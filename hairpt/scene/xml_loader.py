@@ -265,7 +265,21 @@ def _material_row_from_bsdf(node, defines, builder: SceneBuilder,
         inner_tex = tex.find("texture")
         if inner_tex is not None:
             tex = inner_tex
-    if tex is not None and tex.get("type") == "gridtexture":
+    if tex is not None and tex.get("type") == "wireframe":
+        tp = _collect_props(tex, defines)
+        row["tex_id"] = builder.add_wireframe_texture(
+            color0=np.asarray(tp.get("interiorColor", (0.5,) * 3))
+            * tex_gain,
+            color1=np.asarray(tp.get("edgeColor", (0.1,) * 3)) * tex_gain,
+            line_width=tp.get("lineWidth", 0.05))
+    elif tex is not None and tex.get("type") == "vertexcolors":
+        row["tex_id"] = builder.add_vertexcolor_texture()
+    elif tex is not None and tex.get("type") == "curvature":
+        tp = _collect_props(tex, defines)
+        row["tex_id"] = builder.add_vertexcolor_texture()
+        builder.curvature_scale = float(tp.get("scale", 1.0))
+        row["__curvature__"] = True
+    elif tex is not None and tex.get("type") == "gridtexture":
         tp = _collect_props(tex, defines)
         row["tex_id"] = builder.add_gridtexture(
             color0=np.asarray(tp.get("color0", (0.2,) * 3)) * tex_gain,

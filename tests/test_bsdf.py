@@ -368,3 +368,54 @@ def test_mipmap_trilinear_lod():
     v1 = np.asarray(R.eval_checkerboard(tex, tid0, uv, base,
                                         jnp.full(4, 1.5)))[0]
     assert min(v0[0], v3[0]) - 1e-5 <= v1[0] <= max(v0[0], v3[0]) + 1e-5
+
+
+def test_wireframe_vertexcolors_curvature_textures():
+    import numpy as np
+    from hairpt.scene.scene import SceneBuilder
+    from hairpt.models import shapes as shp
+    from hairpt.film.film import Film
+    from hairpt.models.sensors import Camera
+    b = SceneBuilder()
+    t_wf = b.add_wireframe_texture((0.2, 0.2, 0.2), (1.0, 0.0, 0.0),
+                                   line_width=0.1)
+    m_wf = b.add_material(kind=R.DIFFUSE, tex_id=t_wf)
+    t_vc = b.add_vertexcolor_texture()
+    m_vc = b.add_material(kind=R.DIFFUSE, tex_id=t_vc)
+    m_cv = b.add_material(kind=R.DIFFUSE,
+                          tex_id=b.add_vertexcolor_texture(),
+                          __curvature__=True)
+    # colored sphere: per-vertex gradient
+    sph = shp.sphere(1.0, 8, 16)
+    cols = np.zeros((len(sph.positions), 3), np.float32)
+    cols[:, 1] = (sph.positions[:, 1] + 1) / 2
+    b.add_mesh(sph._replace(colors=cols), m_vc)
+    b.add_mesh(shp.rectangle(), m_wf)
+    b.add_mesh(shp.sphere(2.0, 8, 16), m_cv)   # curvature-baked
+    sc = b.build(Camera.perspective(np.eye(4), 45, 8, 8),
+                 Film.make(8, 8, "box"), spp=1, max_depth=2)
+    tex = sc.arrays.checkers
+    # wireframe eval: center of triangle vs near an edge
+    tid = jnp.full(2, t_wf, jnp.int32)
+    uv = jnp.zeros((2, 2))
+    base = jnp.zeros((2, 3))
+    bary = jnp.asarray([[0.33, 0.33], [0.02, 0.49]], jnp.float32)
+    out = np.asarray(R.eval_checkerboard(tex, tid, uv, base, None, bary,
+                                         jnp.ones((2, 3))))
+    np.testing.assert_allclose(out[0], [0.2, 0.2, 0.2], atol=1e-6)
+    np.testing.assert_allclose(out[1], [1.0, 0.0, 0.0], atol=1e-6)
+    # vertexcolor passthrough
+    tid2 = jnp.full(2, t_vc, jnp.int32)
+    vc = jnp.asarray([[0.1, 0.5, 0.9], [0.7, 0.2, 0.0]], jnp.float32)
+    out2 = np.asarray(R.eval_checkerboard(tex, tid2, uv, base, None, bary,
+                                          vc))
+    np.testing.assert_allclose(out2, np.asarray(vc), atol=1e-6)
+    # curvature baked into the third mesh's vertex colors: positive K →
+    # green channel dominates
+    sh = sc.arrays.tri_shading
+    kinds = np.asarray(sc.arrays.materials.kind)
+    mids = np.asarray(sh.mat_id)
+    vc0 = np.asarray(sh.vc0)
+    curv_rows = vc0[mids == m_cv]
+    assert curv_rows[:, 1].mean() > 0.2      # green (positive curvature)
+    assert curv_rows[:, 0].max() < 1e-6      # no negative-K red
