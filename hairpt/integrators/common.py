@@ -75,7 +75,8 @@ def frame(hit: Hit) -> Frame:
 
 
 def scene_intersect(arr: SceneArrays, ray: Ray, traversal: str = "packed",
-                    block: int = 256, swept=None) -> Hit:
+                    block: int = 256, swept=None,
+                    sort_rays: bool = False) -> Hit:
     """Closest hit against triangles and hair; builds the shading record."""
     n = ray.o.shape[0]
     inf = jnp.full((n,), jnp.inf, jnp.float32)
@@ -91,7 +92,8 @@ def scene_intersect(arr: SceneArrays, ray: Ray, traversal: str = "packed",
         if traversal == "tiled" and arr.hair_swept is not None:
             c, k, _, _, q_max = swept
             t_hair, prim_hair = itiled.tiled_closest_hit(
-                arr.hair_swept, hair_ray, c, k, q_max=q_max)
+                arr.hair_swept, hair_ray, c, k, q_max=q_max,
+                sort_rays=sort_rays)
         elif traversal == "swept" and arr.hair_swept is not None:
             c, k, pmax, chunk = swept[:4]
             t_hair, prim_hair = iswept.swept_closest_hit(
@@ -194,7 +196,7 @@ def scene_intersect(arr: SceneArrays, ray: Ray, traversal: str = "packed",
 
 
 def scene_occluded(arr: SceneArrays, ray: Ray, traversal: str = "packed",
-                   block: int = 256, swept=None):
+                   block: int = 256, swept=None, sort_rays: bool = False):
     n = ray.o.shape[0]
     occ = jnp.zeros((n,), bool)
     if arr.tri is not None:
@@ -208,7 +210,8 @@ def scene_occluded(arr: SceneArrays, ray: Ray, traversal: str = "packed",
         if traversal == "tiled" and arr.hair_swept is not None:
             c, k, _, _, q_max = swept
             occ = occ | itiled.tiled_any_hit(arr.hair_swept, ray2, c, k,
-                                             q_max=q_max)
+                                             q_max=q_max,
+                                             sort_rays=sort_rays)
         elif traversal == "swept" and arr.hair_swept is not None:
             c, k, pmax, chunk = swept[:4]
             occ = occ | iswept.swept_any_hit(arr.hair_swept, ray2, c, k,

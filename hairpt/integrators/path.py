@@ -364,7 +364,8 @@ def make_li_fn(scene: Scene, differentiable: bool = False,
             shadow = shadow._replace(
                 maxt=jnp.where(nee_ok, shadow.maxt, 0.0))
             occluded = scene_occluded(arr, shadow, cfg.traversal,
-                                      cfg.block, _swept_params(cfg))
+                                      cfg.block, _swept_params(cfg),
+                                      sort_rays=True)
             vis = nee_ok & ~occluded
             w_nee = jnp.where(is_dl, 1.0,
                               _mi_weight(pdf_nee, bsdf_pdf_nee))
@@ -411,7 +412,8 @@ def make_li_fn(scene: Scene, differentiable: bool = False,
                            mint=jnp.zeros((n,), jnp.float32),
                            maxt=jnp.where(active, jnp.inf, 0.0))
             hit2 = scene_intersect(arr, next_ray, cfg.traversal,
-                                   cfg.block, _swept_params(cfg))
+                                   cfg.block, _swept_params(cfg),
+                                   sort_rays=True)
 
             # ---- RR ---- (disabled in differentiable mode: the survival
             # decision is not differentiable and max_depth is small there)

@@ -154,20 +154,50 @@ def _pad_rays(ray: Ray, tile: int):
                maxt=jnp.concatenate([ray.maxt, jnp.full(pad, -1.0)])), N
 
 
+def _morton_sort_rays(sw: SweptHair, ray: Ray):
+    """Sort rays by (direction octant, origin Morton code) to restore
+    tile coherence for bounce/shadow waves (camera waves are already
+    pixel-coherent; the ~N-element argsort is far cheaper than the pair
+    inflation of incoherent tiles). Dead rays (maxt<=mint) sort last so
+    their tiles are skipped by the kernel. Returns (sorted ray, order)."""
+    lo = jnp.min(sw.cl_lo, axis=0)
+    hi = jnp.max(sw.cl_hi, axis=0)
+    inv = 1.0 / jnp.maximum(hi - lo, 1e-9)
+    q = jnp.clip(((ray.o - lo) * inv) * 255.0, 0.0, 255.0).astype(jnp.uint32)
+    m = jnp.zeros(ray.o.shape[:-1], jnp.uint32)
+    for b in range(8):  # interleave 8 bits per axis
+        for ax in range(3):
+            m = m | (((q[..., ax] >> b) & 1) << (3 * b + ax))
+    octant = ((ray.d[..., 0] > 0).astype(jnp.uint32)
+              | ((ray.d[..., 1] > 0).astype(jnp.uint32) << 1)
+              | ((ray.d[..., 2] > 0).astype(jnp.uint32) << 2))
+    key = m | (octant << 24)
+    key = jnp.where(ray.maxt > ray.mint, key, jnp.uint32(0xFFFFFFFF))
+    order = jnp.argsort(key)
+    ray_s = Ray(o=ray.o[order], d=ray.d[order], mint=ray.mint[order],
+                maxt=ray.maxt[order])
+    return ray_s, order
+
+
 def tiled_closest_hit(sw: SweptHair, ray: Ray, n_clusters: int, K: int,
                       tile: int = 64, q_max: int = 128, impl: str = "auto",
-                      return_overflow: bool = False, mode: str = "closest"):
+                      return_overflow: bool = False, mode: str = "closest",
+                      sort_rays: bool = False):
     """Closest hit over the cluster layout. Returns (t [N], prim_id [N]).
 
     n_clusters, K are the static cluster-layout ints; tile and q_max are
     routing knobs (q_max caps candidate clusters per tile — overflow drops
     the farthest entry-t clusters and is reported via return_overflow).
     mode='any' lets the kernel stop a tile as soon as every ray has found
-    some hit (shadow queries).
+    some hit (shadow queries). sort_rays restores coherence for bounce
+    waves via a Morton/octant resort (results are unsorted back).
     """
     if impl == "auto":
         impl = "pallas" if jax.default_backend() in ("tpu", "axon") \
             else "interpret"
+    order = None
+    if sort_rays:
+        ray, order = _morton_sort_rays(sw, ray)
     ray_p, N = _pad_rays(ray, tile)
     Np = ray_p.o.shape[0]
     T = Np // tile
@@ -194,14 +224,21 @@ def tiled_closest_hit(sw: SweptHair, ray: Ray, n_clusters: int, K: int,
         exit_every=(1 if mode == "any" else 10 ** 6))
     t = t_tiles.reshape(Np)[:N]
     p = p_tiles.reshape(Np)[:N]
+    if order is not None:
+        # inverse permutation via scatter
+        inv = jnp.zeros((N,), jnp.int32).at[order].set(
+            jnp.arange(N, dtype=jnp.int32))
+        t = t[inv]
+        p = p[inv]
     if return_overflow:
         return t, p, overflow
     return t, p
 
 
 def tiled_any_hit(sw: SweptHair, ray: Ray, n_clusters: int, K: int,
-                  tile: int = 64, q_max: int = 128, impl: str = "auto"):
+                  tile: int = 64, q_max: int = 128, impl: str = "auto",
+                  sort_rays: bool = False):
     degenerate = ray.maxt <= ray.mint
     t, p = tiled_closest_hit(sw, ray, n_clusters, K, tile, q_max, impl,
-                             mode="any")
+                             mode="any", sort_rays=sort_rays)
     return (p >= 0) & ~degenerate
