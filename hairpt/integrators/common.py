@@ -19,6 +19,28 @@ from ..ops import intersect_tiled as itiled
 from ..scene.scene import SceneArrays
 
 
+def block_swizzle(width: int, height: int, bw: int = 8, bh: int = 8):
+    """Pixel processing order where each run of bw*bh consecutive lanes is
+    a bw×bh screen block — the wavefront analog of the reference's 32×32
+    RectangularWorkUnit blocks (src/librender/imageproc.cpp): consecutive
+    rays then share nearby hair clusters, which is what the tile-routed
+    intersector's per-tile candidate union (ops/intersect_tiled.py) needs
+    to stay small. Returns a uint32 [width*height] permutation (lane →
+    pixel id), or None when the resolution doesn't tile evenly."""
+    if width % bw or height % bh:
+        return None
+    import numpy as np
+    i = np.arange(width * height, dtype=np.uint32)
+    per = bw * bh
+    blk = i // per
+    j = i % per
+    bx = blk % (width // bw)
+    by = blk // (width // bw)
+    px = bx * bw + j % bw
+    py = by * bh + j // bw
+    return jnp.asarray(py * width + px, jnp.uint32)
+
+
 def _pad_ray(ray: Ray, block: int):
     n = ray.o.shape[0]
     pad = (-n) % block

@@ -498,9 +498,15 @@ def render(scene: Scene, seed: int = 0, spp: int | None = None,
 
     li_fn = make_li_fn(scene)
 
+    from .common import block_swizzle
+    swz = block_swizzle(cfg.width, cfg.height)
+
     @jax.jit
     def wave(arr, sample_id, image, weight):
-        pixel_idx = jnp.arange(n_pix, dtype=jnp.uint32)
+        # 8×8-block pixel order keeps each 64-ray intersector tile
+        # spatially tight (see block_swizzle)
+        pixel_idx = swz if swz is not None \
+            else jnp.arange(n_pix, dtype=jnp.uint32)
         sample_idx = jnp.full((n_pix,), sample_id, jnp.uint32)
         radiance, pos, n_rays = li_fn(arr, pixel_idx, sample_idx)
         radiance = jnp.nan_to_num(radiance, nan=0.0, posinf=0.0, neginf=0.0)

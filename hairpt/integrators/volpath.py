@@ -100,7 +100,9 @@ def make_volpath_li(scene: Scene, medium):
                 _sample_emitter_direct(arr, cfg, p_evt, u_sel, u_nee)
 
             # medium-event scattering value towards the light
-            ph = med.phase_eval(pk, medium.g, -d, d_nee)
+            ph_p = getattr(medium, "phase_p", None)
+            ph_ori = getattr(medium, "orientation", None)
+            ph = med.phase_eval(pk, medium.g, -d, d_nee, ph_p, ph_ori)
             # surface-event BSDF value
             wi_world = -d
             two = arr.materials.twosided[jnp.maximum(hit.mat_id, 0)]
@@ -133,7 +135,11 @@ def make_volpath_li(scene: Scene, medium):
             else:
                 tr_shadow = med.transmittance(
                     medium, jnp.minimum(dist_nee, medium.fog_depth))
-            ph_pdf_nee = ph  # HG/iso pdf == eval
+            # HG/iso pdf == eval; kkay samples the uniform sphere, so its
+            # pdf is 1/(4π) regardless of eval (kkay.cpp:96-101)
+            ph_pdf_nee = jnp.broadcast_to(jnp.float32(med.INV_FOURPI),
+                                          ph.shape) \
+                if pk == med.KKAY else ph
             scatter_pdf_nee = jnp.where(is_med, ph_pdf_nee, pdf_bs)
             w_mis = jnp.where(is_dl, 1.0,
                               _mi_weight(pdf_nee, scatter_pdf_nee))
@@ -146,12 +152,19 @@ def make_volpath_li(scene: Scene, medium):
             u_ph = s2(pixel_idx, sample_idx, dims + 4)
             u_lobe = s1(pixel_idx, sample_idx, dims + 3)
             u2b = s2(pixel_idx, sample_idx, dims + 6)
-            wo_med, pdf_ph = med.phase_sample(pk, medium.g, -d, u_ph)
+            wo_med, pdf_ph = med.phase_sample(pk, medium.g, -d, u_ph,
+                                              ph_p, ph_ori)
+            # phase throughput weight eval/pdf (1 for HG/iso where they
+            # cancel; eval·4π for the uniform-sphere-sampled kkay)
+            w_ph = med.phase_eval(pk, medium.g, -d, wo_med, ph_p, ph_ori) \
+                / jnp.maximum(pdf_ph, 1e-20) if pk == med.KKAY else 1.0
             wo_l, w_bsdf, pdf_b, is_delta, _ = mat.sample(
                 active_kinds, gm, wi, u_lobe, u_ph, u2b, arr.hair_tables)
             wo_surf = fr.to_world(wo_l)
             d_next = jnp.where(is_med[..., None], wo_med, wo_surf)
-            w_next = jnp.where(is_med[..., None], 1.0, w_bsdf)
+            w_med3 = w_ph[..., None] * jnp.ones((1, 3)) \
+                if pk == med.KKAY else jnp.ones((n, 3), jnp.float32)
+            w_next = jnp.where(is_med[..., None], w_med3, w_bsdf)
             throughput = throughput * w_next
             dead = jnp.max(jnp.abs(throughput), axis=-1) <= 0
             active2 = active2 & ~dead

@@ -1,10 +1,11 @@
 """Participating media: homogeneous medium + phase functions.
 
 Capability parity targets: src/medium/homogeneous.cpp, src/phase/
-{isotropic,hg,rayleigh}.cpp. The `kkay` fiber phase (src/phase/kkay.cpp,
-instantiated by the fork's Marschner BSDFs as their default phase) is
-represented by the HG approximation with g chosen from the fiber exponent;
-heterogeneous (gridvolume/Woodcock) media are a documented roadmap item.
+{isotropic,hg,rayleigh,kkay}.cpp. The `kkay` fiber phase
+(src/phase/kkay.cpp:36-125, instantiated by the fork's Marschner BSDFs as
+their default phase) is implemented exactly: uniform-sphere sampling with
+weight eval·4π and the Simpson-quadrature specular normalization of
+kkay.cpp:58-76.
 """
 from __future__ import annotations
 
@@ -19,6 +20,7 @@ from ..core.math import frame_from_normal, normalize, safe_sqrt
 ISOTROPIC = 0
 HG = 1
 RAYLEIGH = 2
+KKAY = 3
 
 INV_FOURPI = 1.0 / (4.0 * jnp.pi)
 
@@ -29,10 +31,31 @@ class Medium(NamedTuple):
     g: jnp.ndarray         # [] HG asymmetry
     fog_depth: jnp.ndarray  # [] medium thickness along any escaping ray
     phase_kind: int        # static
+    # kkay fiber-phase parameters (ks, kd, exponent, normalization);
+    # unused by the other kinds (reference: src/phase/kkay.cpp:40-45)
+    phase_p: jnp.ndarray = None
+    # fiber tangent at the scattering point (the reference reads it from
+    # mRec.orientation, filled by oriented volumes); zero = unoriented,
+    # kkay then degrades to kd/(4π) exactly as kkay.cpp:105-106
+    orientation: jnp.ndarray = None
+
+
+def kkay_normalization(exponent: float) -> float:
+    """Simpson quadrature of the specular lobe for perpendicular
+    illumination, matching src/phase/kkay.cpp:58-76 (n=1000 panels)."""
+    import numpy as np
+    n_parts = 1000
+    step = np.pi / n_parts
+    theta = step * np.arange(1, n_parts)
+    m = np.where(np.arange(1, n_parts) % 2 == 1, 4.0, 2.0)
+    val = np.cos(theta - np.pi / 2) ** exponent * np.sin(theta)
+    integral = float((val * m).sum() * step / 3.0)
+    return 1.0 / (integral * 2.0 * np.pi)
 
 
 def make_medium(sigma_s, sigma_a, g=0.0, phase_kind=HG,
-                fog_depth=1e4) -> Medium:
+                fog_depth=1e4, ks=0.4, kd=0.2, exponent=4.0,
+                orientation=(0.0, 0.0, 0.0)) -> Medium:
     """Global homogeneous 'fog' of finite optical extent: any ray towards
     the environment traverses `fog_depth` of medium (the bounded-slab
     approximation of the reference's shape-bounded media)."""
@@ -40,10 +63,14 @@ def make_medium(sigma_s, sigma_a, g=0.0, phase_kind=HG,
     sigma_a = jnp.asarray(sigma_a, jnp.float32)
     sigma_t = sigma_s + sigma_a
     albedo = sigma_s / jnp.maximum(sigma_t, 1e-8)
+    phase_p = jnp.asarray([ks, kd, exponent,
+                           kkay_normalization(exponent)], jnp.float32)
     return Medium(sigma_t=sigma_t, albedo=albedo,
                   g=jnp.asarray(g, jnp.float32),
                   fog_depth=jnp.asarray(fog_depth, jnp.float32),
-                  phase_kind=phase_kind)
+                  phase_kind=phase_kind,
+                  phase_p=phase_p,
+                  orientation=jnp.asarray(orientation, jnp.float32))
 
 
 # ---------------------------------------------------------------------------
@@ -51,7 +78,31 @@ def make_medium(sigma_s, sigma_a, g=0.0, phase_kind=HG,
 # cos_theta below is wi·wo as in the reference's PhaseFunctionSamplingRecord)
 # ---------------------------------------------------------------------------
 
-def phase_eval(kind: int, g, wi, wo):
+def _kkay_eval(phase_p, orientation, wi, wo):
+    """Kajiya-Kay fiber phase (src/phase/kkay.cpp:104-120): specular cone
+    around the fiber tangent + isotropic diffuse floor. `orientation` may
+    be a single [3] or per-lane [..., 3]."""
+    ks, kd, exponent, norm = (phase_p[0], phase_p[1], phase_p[2],
+                              phase_p[3])
+    ori = jnp.broadcast_to(jnp.asarray(orientation, jnp.float32), wo.shape)
+    has_ori = jnp.sum(ori * ori, axis=-1) > 1e-12
+    n = normalize(jnp.where(has_ori[..., None], ori,
+                            jnp.asarray([0.0, 0.0, 1.0])))
+    fr = frame_from_normal(n)
+    loc = fr.to_local(wo)
+    # replace the longitudinal coordinate with the mirrored wi angle,
+    # rescaling the azimuthal part back to unit length (kkay.cpp:108-115)
+    z = -jnp.sum(wi * n, axis=-1)
+    xy2 = jnp.maximum(loc[..., 0] ** 2 + loc[..., 1] ** 2, 1e-20)
+    a = jnp.sqrt(jnp.maximum(1.0 - z * z, 0.0) / xy2)
+    r_loc = jnp.stack([loc[..., 0] * a, loc[..., 1] * a, z], axis=-1)
+    r_world = fr.to_world(r_loc)
+    spec = jnp.maximum(jnp.sum(r_world * wo, axis=-1), 0.0) ** exponent
+    val = spec * norm * ks + kd * INV_FOURPI
+    return jnp.where(has_ori, val, kd * INV_FOURPI)
+
+
+def phase_eval(kind: int, g, wi, wo, phase_p=None, orientation=None):
     ct = jnp.sum(wi * (-wo), axis=-1)   # forward scattering: wo ≈ -wi
     if kind == ISOTROPIC:
         return jnp.broadcast_to(jnp.float32(INV_FOURPI), ct.shape)
@@ -59,13 +110,23 @@ def phase_eval(kind: int, g, wi, wo):
         denom = 1.0 + g * g + 2.0 * g * ct
         return INV_FOURPI * (1.0 - g * g) \
             / jnp.maximum(denom * jnp.sqrt(jnp.maximum(denom, 1e-8)), 1e-8)
+    if kind == KKAY:
+        if phase_p is None:
+            phase_p = jnp.asarray([0.4, 0.2, 4.0, kkay_normalization(4.0)],
+                                  jnp.float32)
+        if orientation is None:
+            orientation = jnp.zeros(3, jnp.float32)
+        return _kkay_eval(phase_p, orientation, wi, wo)
     # Rayleigh
     return (3.0 / (16.0 * jnp.pi)) * (1.0 + ct * ct)
 
 
-def phase_sample(kind: int, g, wi, u2):
-    """Sample wo; returns (wo, pdf). HG/isotropic exact; Rayleigh via HG0."""
-    if kind == ISOTROPIC or kind == RAYLEIGH:
+def phase_sample(kind: int, g, wi, u2, phase_p=None, orientation=None):
+    """Sample wo; returns (wo, pdf). HG/isotropic exact; Rayleigh via HG0;
+    kkay samples the uniform sphere exactly like the reference
+    (kkay.cpp:88-101 — weight = eval·4π is applied by the caller as
+    eval/pdf)."""
+    if kind == ISOTROPIC or kind == RAYLEIGH or kind == KKAY:
         z = 1.0 - 2.0 * u2[..., 0]
         r = safe_sqrt(1.0 - z * z)
         phi = 2.0 * jnp.pi * u2[..., 1]

@@ -205,13 +205,15 @@ def _tiled_kernel(slots_ref,            # scalar prefetch [T * q_max] packed
                   tscale_ref,           # scalar prefetch [T]
                   rays_ref,             # VMEM [GROUP_T, 8, TILE]
                   tpmax_ref,            # VMEM [GROUP_T, TILE]
-                  seg_rows_hbm,         # HBM  [C, PRIM_F, K]
+                  seg_rows_hbm,         # HBM  [C, PRIM_F, K] (or VMEM if
+                                        # resident — then scratch args absent)
                   t_out_ref,            # VMEM [GROUP_T, TILE]
                   pid_out_ref,          # VMEM [GROUP_T, TILE]
-                  seg_vmem,             # scratch VMEM [2, PRIM_F, K]
-                  sems,                 # DMA semaphores [2]
+                  seg_vmem=None,        # scratch VMEM [n_buf, PRIM_F, K]
+                  sems=None,            # DMA semaphores [n_buf]
                   *, q_max: int, any_hit: bool, exit_every: int = 1,
-                  nop: bool = False, mxu: bool = False):
+                  nop: bool = False, mxu: bool = False, n_buf: int = 2,
+                  resident: bool = False):
     i = pl.program_id(0)
 
     t_out_ref[...] = jnp.full(t_out_ref.shape, jnp.inf, jnp.float32)
@@ -221,15 +223,25 @@ def _tiled_kernel(slots_ref,            # scalar prefetch [T * q_max] packed
         t_glob = i * GROUP_T + g
         n_q = cnt_ref[t_glob]
 
+        def cid(q):
+            return slots_ref[t_glob * q_max + q] & CID_MASK
+
         def dma(buf_slot, q):
-            cluster = slots_ref[t_glob * q_max + q] & CID_MASK
             return pltpu.make_async_copy(
-                seg_rows_hbm.at[cluster], seg_vmem.at[buf_slot],
+                seg_rows_hbm.at[cid(q)], seg_vmem.at[buf_slot],
                 sems.at[buf_slot])
 
         @pl.when(n_q > 0)
         def _():
-            dma(0, 0).start()
+            if not resident:
+                # warm the pipeline: up to n_buf-1 slots in flight
+                for w in range(n_buf - 1):
+                    if w == 0:
+                        dma(0, 0).start()
+                    else:
+                        @pl.when(w < n_q)
+                        def _(w=w):
+                            dma(w, w).start()
             TILE_R = rays_ref.shape[2]
             rays = rays_ref[g]                       # [8, TILE]
             t_pmax = tpmax_ref[g]                    # [TILE]
@@ -258,19 +270,23 @@ def _tiled_kernel(slots_ref,            # scalar prefetch [T * q_max] packed
 
             def body(carry):
                 q, _ = carry
-                @pl.when(q + 1 < n_q)
-                def _():
-                    dma((q + 1) % 2, q + 1).start()
-                pltpu.make_async_copy(
-                    seg_vmem.at[q % 2], seg_vmem.at[q % 2],
-                    sems.at[q % 2]).wait()
+                if resident:
+                    rows = seg_rows_hbm[cid(q)]      # VMEM dynamic slice
+                else:
+                    @pl.when(q + n_buf - 1 < n_q)
+                    def _():
+                        dma((q + n_buf - 1) % n_buf, q + n_buf - 1).start()
+                    pltpu.make_async_copy(
+                        seg_vmem.at[q % n_buf], seg_vmem.at[q % n_buf],
+                        sems.at[q % n_buf]).wait()
+                    rows = seg_vmem[q % n_buf]
                 if nop:
                     # DMA/loop-overhead probe: touch the data, skip math
                     t_out_ref[g] = jnp.minimum(t_out_ref[g],
-                                               seg_vmem[q % 2][0, :TILE_R])
+                                               rows[0, :TILE_R])
                 else:
                     test = _cyl_test_mxu if mxu else _cyl_test
-                    tq, pq = test(seg_vmem[q % 2], rays)
+                    tq, pq = test(rows, rays)
                     prev_t = t_out_ref[g]
                     better = tq < prev_t
                     t_out_ref[g] = jnp.where(better, tq, prev_t)
@@ -284,26 +300,42 @@ def _tiled_kernel(slots_ref,            # scalar prefetch [T * q_max] packed
 
             q_end, _ = jax.lax.while_loop(cond, body,
                                           (jnp.int32(0), jnp.bool_(False)))
-            # a prefetched-but-unconsumed DMA (early exit) must be drained
-            # so the next tile's reuse of the buffer slot doesn't mismatch
-            @pl.when(q_end < n_q)
-            def _():
-                pltpu.make_async_copy(
-                    seg_vmem.at[q_end % 2], seg_vmem.at[q_end % 2],
-                    sems.at[q_end % 2]).wait()
+            # prefetched-but-unconsumed DMAs (early exit) must be drained
+            # so the next tile's reuse of the buffer slots doesn't mismatch
+            if not resident:
+                for w in range(n_buf - 1):
+                    @pl.when(q_end + w < n_q)
+                    def _(w=w):
+                        pltpu.make_async_copy(
+                            seg_vmem.at[(q_end + w) % n_buf],
+                            seg_vmem.at[(q_end + w) % n_buf],
+                            sems.at[(q_end + w) % n_buf]).wait()
+
+
+# segment tables at most this large are pinned whole in VMEM (v5e has
+# ~16 MB); above it the kernel streams clusters with double-buffered DMA
+VMEM_RESIDENT_BYTES = 10 * 1024 * 1024
 
 
 @functools.partial(jax.jit,
                    static_argnames=("K", "q_max", "any_hit", "interpret",
-                                    "exit_every", "nop", "mxu"))
+                                    "exit_every", "nop", "mxu", "n_buf",
+                                    "resident"))
 def tiled_phase_b(slots, cnt, tmin, tscale, rays8, t_pmax, seg_rows,
                   K: int, q_max: int, any_hit: bool = False,
                   interpret: bool = False, exit_every: int = 1,
-                  nop: bool = False, mxu: bool = False):
+                  nop: bool = False, mxu: bool = False, n_buf: int = 2,
+                  resident: bool | None = None):
     """Run the tiled kernel. slots [T, q_max] (packed cluster|bound),
     cnt/tmin/tscale [T], rays8 [T, 8, TILE], t_pmax [T, TILE],
-    seg_rows [C, PRIM_F, K] → (t [T, TILE], pid [T, TILE])."""
+    seg_rows [C, PRIM_F, K] → (t [T, TILE], pid [T, TILE]).
+
+    resident=None auto-pins the whole segment table in VMEM when it fits
+    (≤ VMEM_RESIDENT_BYTES) — per-slot cluster access becomes a VMEM
+    dynamic slice instead of a latency-bound HBM DMA."""
     T, _, TILE = rays8.shape
+    if resident is None:
+        resident = seg_rows.size * 4 <= VMEM_RESIDENT_BYTES
 
     pad = (-T) % GROUP_T
     if pad:
@@ -318,6 +350,17 @@ def tiled_phase_b(slots, cnt, tmin, tscale, rays8, t_pmax, seg_rows,
             [t_pmax, jnp.full((pad, TILE), -1.0, jnp.float32)])
     T_pad = T + pad
 
+    C = seg_rows.shape[0]
+    if resident:
+        seg_spec = pl.BlockSpec((C, PRIM_F, K), lambda i, *_: (0, 0, 0),
+                                memory_space=pltpu.VMEM)
+        scratch = []
+    else:
+        seg_spec = pl.BlockSpec(memory_space=pltpu.ANY)
+        scratch = [
+            pltpu.VMEM((n_buf, PRIM_F, K), jnp.float32),
+            pltpu.SemaphoreType.DMA((n_buf,)),
+        ]
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=4,
         grid=(T_pad // GROUP_T,),
@@ -326,7 +369,7 @@ def tiled_phase_b(slots, cnt, tmin, tscale, rays8, t_pmax, seg_rows,
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((GROUP_T, TILE), lambda i, *_: (i, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pltpu.ANY),
+            seg_spec,
         ],
         out_specs=[
             pl.BlockSpec((GROUP_T, TILE), lambda i, *_: (i, 0),
@@ -334,14 +377,12 @@ def tiled_phase_b(slots, cnt, tmin, tscale, rays8, t_pmax, seg_rows,
             pl.BlockSpec((GROUP_T, TILE), lambda i, *_: (i, 0),
                          memory_space=pltpu.VMEM),
         ],
-        scratch_shapes=[
-            pltpu.VMEM((2, PRIM_F, K), jnp.float32),
-            pltpu.SemaphoreType.DMA((2,)),
-        ],
+        scratch_shapes=scratch,
     )
     t, pid = pl.pallas_call(
         functools.partial(_tiled_kernel, q_max=q_max, any_hit=any_hit,
-                          exit_every=exit_every, nop=nop, mxu=mxu),
+                          exit_every=exit_every, nop=nop, mxu=mxu,
+                          n_buf=n_buf, resident=resident),
         out_shape=(jax.ShapeDtypeStruct((T_pad, TILE), jnp.float32),
                    jax.ShapeDtypeStruct((T_pad, TILE), jnp.int32)),
         grid_spec=grid_spec,

@@ -697,9 +697,13 @@ def load_scene(path: str, defines: dict | None = None,
         if ph_el is not None:
             pp = _collect_props(ph_el, defines)
             pk = {"isotropic": med_mod.ISOTROPIC, "hg": med_mod.HG,
-                  "rayleigh": med_mod.RAYLEIGH}.get(
+                  "rayleigh": med_mod.RAYLEIGH,
+                  "kkay": med_mod.KKAY}.get(
                       ph_el.get("type", "isotropic"), med_mod.HG)
             g_val = float(pp.get("g", g_val))
+            kkay_p = dict(ks=float(pp.get("ks", 0.4)),
+                          kd=float(pp.get("kd", 0.2)),
+                          exponent=float(pp.get("exponent", 4.0)))
         sig_s = mp.get("sigmaS", (0.5, 0.5, 0.5))
         sig_a = mp.get("sigmaA", (0.1, 0.1, 0.1))
         if md.get("type") == "heterogeneous":
@@ -722,8 +726,24 @@ def load_scene(path: str, defines: dict | None = None,
                 vol, sig_s, sig_a, g=g_val, phase_kind=pk,
                 density_scale=float(mp.get("scale", 1.0)))
         else:
-            b.medium = med_mod.make_medium(sig_s, sig_a, g=g_val,
-                                           phase_kind=pk)
+            kk = kkay_p if ph_el is not None else {}
+            # finite fog slab sized from the scene geometry: a ray to the
+            # environment traverses ~4 bbox diagonals of medium (the
+            # reference bounds media by shapes; a global fog with the
+            # default 1e4 depth would be fully opaque)
+            pts = [np.asarray(m.positions).reshape(-1, 3)
+                   for m, _, _ in b.tri_meshes]
+            pts += [np.asarray(fs.vertices).reshape(-1, 3)
+                    for fs, _ in b.fibers]
+            if pts:
+                allp = np.concatenate(pts, 0)
+                diag = float(np.linalg.norm(allp.max(0) - allp.min(0)))
+            else:
+                diag = 10.0
+            b.medium = med_mod.make_medium(
+                sig_s, sig_a, g=g_val, phase_kind=pk,
+                fog_depth=float(mp.get("fogDepth", max(4.0 * diag, 1.0))),
+                **kk)
 
     return b.build(cam, film, spp=int(spp), max_depth=int(max_depth),
                    sampler=sampler_kind, gamma=film.gamma)

@@ -217,7 +217,8 @@ def test_bitmap_texture_eval():
         kind=jnp.asarray([1], jnp.int32),
         color0=jnp.zeros((1, 3)), color1=jnp.zeros((1, 3)),
         uv_scale=jnp.ones((1, 2)), uv_offset=jnp.zeros((1, 2)),
-        bitmaps=jnp.asarray(img[None]))
+        bitmaps=jnp.asarray(img[None]),
+        aux=jnp.zeros((1,)), mips=jnp.zeros((1, 0, 8, 8, 3)))
     uv = jnp.asarray([[0.2, 0.5], [0.8, 0.5]], jnp.float32)
     out = R.eval_checkerboard(tex, jnp.asarray([0, 0], jnp.int32), uv,
                               jnp.zeros((2, 3)))

@@ -29,6 +29,41 @@ def test_hg_phase_normalization_and_sampling():
     np.testing.assert_allclose(ct.mean(), g, atol=0.02)
 
 
+def test_kkay_phase_energy_and_fallback():
+    """Exact Kajiya-Kay phase (src/phase/kkay.cpp): with ks=1, kd=0 and
+    illumination perpendicular to the fiber the sphere integral of eval
+    is 1 (the normalization's defining property, kkay.cpp:33-35); with a
+    zero orientation eval degrades to kd/(4π) (kkay.cpp:105-106)."""
+    n = 1 << 16
+    m = med.make_medium((0.3,) * 3, (0.1,) * 3, phase_kind=med.KKAY,
+                        ks=1.0, kd=0.0, exponent=4.0,
+                        orientation=(0.0, 0.0, 1.0))
+    # wi ⊥ fiber (fiber along z): light travels along +x ⇒ wi = -x? The
+    # reference evaluates -dot(wi, n) with n = fiber tangent; wi ⊥ n.
+    wi = jnp.broadcast_to(jnp.asarray([1.0, 0.0, 0.0]), (n, 3))
+    pix = jnp.arange(n, dtype=jnp.uint32)
+    u2 = rng.uniform_2d(pix, 0, 3)
+    wo, pdf = med.phase_sample(med.KKAY, m.g, wi, u2, m.phase_p,
+                               m.orientation)
+    pe = med.phase_eval(med.KKAY, m.g, wi, wo, m.phase_p, m.orientation)
+    est = np.mean(np.asarray(pe) / np.asarray(pdf))
+    np.testing.assert_allclose(est, 1.0, rtol=0.02)
+    # kd floor with no orientation
+    m0 = med.make_medium((0.3,) * 3, (0.1,) * 3, phase_kind=med.KKAY,
+                         ks=1.0, kd=0.25)
+    pe0 = med.phase_eval(med.KKAY, m0.g, wi[:8], wo[:8], m0.phase_p,
+                         m0.orientation)
+    np.testing.assert_allclose(np.asarray(pe0),
+                               0.25 / (4.0 * np.pi), rtol=1e-5)
+    # normalization factor matches an independent quadrature
+    from scipy.integrate import quad as _sciquad  # noqa: F401
+    norm = med.kkay_normalization(4.0)
+    theta = np.linspace(0, np.pi, 20001)
+    integrand = np.cos(theta - np.pi / 2) ** 4.0 * np.sin(theta)
+    ref = 1.0 / (np.trapezoid(integrand, theta) * 2 * np.pi)
+    np.testing.assert_allclose(norm, ref, rtol=1e-6)
+
+
 def test_distance_sampling_unbiased():
     """E[weight · f(surface/medium)] reproduces analytic transmittance."""
     m = med.make_medium(sigma_s=(0.3, 0.3, 0.3), sigma_a=(0.2, 0.2, 0.2))
