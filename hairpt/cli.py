@@ -91,6 +91,10 @@ def main(argv=None):
         from .integrators import bdpt as bdpt_int
         img = np.asarray(bdpt_int.render_bdpt(scene, spp=scene.config.spp,
                                               seed=args.seed))
+    elif integ == "vpl":
+        from .integrators import vpl as vpl_int
+        img = np.asarray(vpl_int.render_vpl(scene, spp=scene.config.spp,
+                                            seed=args.seed))
     elif integ == "volpath":
         from .integrators import volpath as vp
         img = np.asarray(vp.render_volpath(scene, spp=scene.config.spp,
