@@ -111,10 +111,11 @@ def scene_intersect(arr: SceneArrays, ray: Ray, traversal: str = "packed",
     t_hair, prim_hair = (inf, jnp.full((n,), -1, jnp.int32))
     if arr.hair is not None:
         hair_ray = ray._replace(maxt=jnp.minimum(ray.maxt, t_tri))
-        if traversal == "tiled" and arr.hair_swept is not None:
+        if traversal in ("tiled", "tiled_sub") and arr.hair_swept is not None:
             c, k, _, _, q_max = swept
             t_hair, prim_hair = itiled.tiled_closest_hit(
                 arr.hair_swept, hair_ray, c, k, q_max=q_max,
+                subcull=(traversal == "tiled_sub"),
                 sort_rays=sort_rays)
         elif traversal == "swept" and arr.hair_swept is not None:
             c, k, pmax, chunk = swept[:4]
@@ -125,7 +126,8 @@ def scene_intersect(arr: SceneArrays, ray: Ray, traversal: str = "packed",
                 arr.hair_bvh, arr.hair, arr.hair_packed,
                 isec.hair_intersect_block, isec_blk.hair_leaf_block,
                 ipk.hair_leaf_eval, hair_ray,
-                "packed" if traversal in ("swept", "tiled") else traversal,
+                "packed" if traversal in ("swept", "tiled", "tiled_sub")
+                else traversal,
                 block)
 
     use_hair = t_hair < t_tri
@@ -225,14 +227,17 @@ def scene_occluded(arr: SceneArrays, ray: Ray, traversal: str = "packed",
         occ = occ | _any(arr.tri_bvh, arr.tri, arr.tri_packed,
                          isec.tri_intersect_block, isec_blk.tri_leaf_block,
                          ipk.tri_leaf_eval, ray,
-                         "packed" if traversal in ("swept", "tiled")
+                         "packed" if traversal in ("swept", "tiled",
+                                                   "tiled_sub")
                          else traversal, block)
     if arr.hair is not None:
         ray2 = ray._replace(maxt=jnp.where(occ, 0.0, ray.maxt))
-        if traversal == "tiled" and arr.hair_swept is not None:
+        if traversal in ("tiled", "tiled_sub") and arr.hair_swept is not None:
             c, k, _, _, q_max = swept
             occ = occ | itiled.tiled_any_hit(arr.hair_swept, ray2, c, k,
                                              q_max=q_max,
+                                             subcull=(traversal
+                                                      == "tiled_sub"),
                                              sort_rays=sort_rays)
         elif traversal == "swept" and arr.hair_swept is not None:
             c, k, pmax, chunk = swept[:4]

@@ -274,11 +274,129 @@ def make_hetero_medium(vol: GridVolume, sigma_s, sigma_a, g=0.0,
     sigma_a = jnp.asarray(sigma_a, jnp.float32) * density_scale
     sigma_t = sigma_s + sigma_a
     albedo = sigma_s / jnp.maximum(sigma_t, 1e-8)
-    majorant = jnp.max(vol.data) * jnp.max(sigma_t)
+    dens_max = jnp.max(vol.blocks) if isinstance(vol, HGridVolume) \
+        else jnp.max(vol.data)
+    majorant = dens_max * jnp.max(sigma_t)
     return HeteroMedium(vol=vol, sigma_t=sigma_t, albedo=albedo,
                         g=jnp.asarray(g, jnp.float32),
                         majorant=jnp.maximum(majorant, 1e-8),
                         phase_kind=phase_kind)
+
+
+# ---------------------------------------------------------------------------
+# hierarchical (block-sparse) grid volume + bake-to-grid cache
+# (reference: src/volume/hgridvolume.cpp — two-layer grid of gridvolume
+# blocks, empty cells return 0; src/volume/volcache.cpp — block LRU cache,
+# which on TPU becomes a one-time bake into a dense grid in HBM)
+# ---------------------------------------------------------------------------
+
+class HGridVolume(NamedTuple):
+    block_idx: jnp.ndarray   # [BZ, BY, BX] int32 block table (-1 = empty)
+    blocks: jnp.ndarray      # [NB, bz, by, bx] per-block density
+    world_min: jnp.ndarray   # [3]
+    inv_extent: jnp.ndarray  # [3]
+
+
+def make_hgrid_from_dense(data, world_min, world_max, block: int = 8,
+                          eps: float = 0.0) -> HGridVolume:
+    """Split a dense [D, H, W] grid into `block`³ tiles, dropping tiles
+    whose max density ≤ eps (the sparsity hgridvolume gets from its
+    dictionary file)."""
+    import numpy as np
+    d = np.asarray(data, np.float32)
+    D, H, W = d.shape
+    pz, py, px = [(-s) % block for s in (D, H, W)]
+    d = np.pad(d, ((0, pz), (0, py), (0, px)))
+    BZ, BY, BX = d.shape[0] // block, d.shape[1] // block, d.shape[2] // block
+    tiles = d.reshape(BZ, block, BY, block, BX, block) \
+        .transpose(0, 2, 4, 1, 3, 5).reshape(-1, block, block, block)
+    keep = tiles.max(axis=(1, 2, 3)) > eps
+    idx = np.full(len(tiles), -1, np.int32)
+    idx[keep] = np.arange(int(keep.sum()), dtype=np.int32)
+    blocks = tiles[keep] if keep.any() else np.zeros(
+        (1, block, block, block), np.float32)
+    wmin = np.asarray(world_min, np.float32)
+    wmax = np.asarray(world_max, np.float32)
+    # node-centered grid: extent grows with padding so node spacing
+    # matches the dense input's ext/(n-1)
+    scale = (np.asarray(d.shape[::-1], np.float32) - 1) \
+        / np.maximum(np.asarray((W, H, D), np.float32) - 1, 1)
+    ext = (wmax - wmin) * scale
+    return HGridVolume(block_idx=jnp.asarray(idx.reshape(BZ, BY, BX)),
+                       blocks=jnp.asarray(blocks, jnp.float32),
+                       world_min=jnp.asarray(wmin),
+                       inv_extent=jnp.asarray(1.0 / np.maximum(ext, 1e-12),
+                                              jnp.float32))
+
+
+def hgrid_density(vol: HGridVolume, p):
+    """Block-sparse trilinear lookup: resolve the coarse cell, then
+    interpolate inside its block (clamped at block borders, matching the
+    reference's per-block gridvolume lookups); empty cells → 0
+    (hgridvolume.cpp:144-158)."""
+    BZ, BY, BX = vol.block_idx.shape
+    nb = vol.blocks.shape[1]
+    g = (p - vol.world_min) * vol.inv_extent          # [..., 3] in [0,1]
+    inside = jnp.all((g >= 0.0) & (g <= 1.0), axis=-1)
+    # node-centered like grid_density: node index = g * (n_nodes - 1)
+    fx = jnp.clip(g[..., 0] * (BX * nb - 1), 0.0, BX * nb - 1.0)
+    fy = jnp.clip(g[..., 1] * (BY * nb - 1), 0.0, BY * nb - 1.0)
+    fz = jnp.clip(g[..., 2] * (BZ * nb - 1), 0.0, BZ * nb - 1.0)
+    cz = jnp.clip((fz / nb).astype(jnp.int32), 0, BZ - 1)
+    cy = jnp.clip((fy / nb).astype(jnp.int32), 0, BY - 1)
+    cx = jnp.clip((fx / nb).astype(jnp.int32), 0, BX - 1)
+    bi = vol.block_idx[cz, cy, cx]
+    lz = fz - cz * nb
+    ly = fy - cy * nb
+    lx = fx - cx * nb
+    x0 = jnp.clip(jnp.floor(lx).astype(jnp.int32), 0, nb - 2)
+    y0 = jnp.clip(jnp.floor(ly).astype(jnp.int32), 0, nb - 2)
+    z0 = jnp.clip(jnp.floor(lz).astype(jnp.int32), 0, nb - 2)
+    wx = jnp.clip(lx - x0, 0.0, 1.0)
+    wy = jnp.clip(ly - y0, 0.0, 1.0)
+    wz = jnp.clip(lz - z0, 0.0, 1.0)
+    b = vol.blocks[jnp.maximum(bi, 0)]
+
+    def at(dz, dy, dx):
+        return jnp.take_along_axis(
+            b.reshape(b.shape[0], -1),
+            ((z0 + dz) * nb * nb + (y0 + dy) * nb
+             + (x0 + dx))[..., None], axis=-1)[..., 0]
+
+    c00 = at(0, 0, 0) * (1 - wx) + at(0, 0, 1) * wx
+    c01 = at(0, 1, 0) * (1 - wx) + at(0, 1, 1) * wx
+    c10 = at(1, 0, 0) * (1 - wx) + at(1, 0, 1) * wx
+    c11 = at(1, 1, 0) * (1 - wx) + at(1, 1, 1) * wx
+    c0 = c00 * (1 - wy) + c01 * wy
+    c1 = c10 * (1 - wy) + c11 * wy
+    val = c0 * (1 - wz) + c1 * wz
+    return jnp.where(inside & (bi >= 0), val, 0.0)
+
+
+def bake_volume_cache(fn, world_min, world_max, res: int = 64,
+                      block: int = 8, eps: float = 0.0) -> HGridVolume:
+    """volcache counterpart: evaluate an arbitrary density function on a
+    dense grid once and serve lookups from the block-sparse result (the
+    reference's per-block LRU cache exists to bound CPU memory; in HBM
+    the bake is the cache)."""
+    import numpy as np
+    wmin = np.asarray(world_min, np.float32)
+    wmax = np.asarray(world_max, np.float32)
+    zs = np.linspace(wmin[2], wmax[2], res)
+    ys = np.linspace(wmin[1], wmax[1], res)
+    xs = np.linspace(wmin[0], wmax[0], res)
+    Z, Y, X = np.meshgrid(zs, ys, xs, indexing="ij")
+    pts = jnp.asarray(np.stack([X, Y, Z], -1).reshape(-1, 3), jnp.float32)
+    dens = np.asarray(fn(pts)).reshape(res, res, res)
+    return make_hgrid_from_dense(dens, wmin, wmax, block=block, eps=eps)
+
+
+def volume_density(vol, p):
+    """Dispatch density lookup on the volume type (dense GridVolume or
+    block-sparse HGridVolume)."""
+    if isinstance(vol, HGridVolume):
+        return hgrid_density(vol, p)
+    return grid_density(vol, p)
 
 
 def _woodcock_uniform(pixel, sample, dim_base, it, salt):
@@ -321,7 +439,7 @@ def woodcock_sample(med: HeteroMedium, o, d, t_max, pixel, sample,
         t_new = t - jnp.log(jnp.maximum(1.0 - u1, 1e-20)) * inv_mj
         escaped = t_new >= t1        # left the medium bbox → vacuum
         p_evt = o + d * t_new[..., None]
-        dens = grid_density(med.vol, p_evt)
+        dens = volume_density(med.vol, p_evt)
         sig = dens * jnp.max(med.sigma_t)
         real = u2 < sig * inv_mj
         newly_done = ~done & (escaped | real)
@@ -354,7 +472,7 @@ def woodcock_transmittance(med: HeteroMedium, o, d, dist, pixel, sample,
         t_new = t - jnp.log(jnp.maximum(1.0 - u1, 1e-20)) * inv_mj
         escaped = t_new >= t1
         p = o + d * t_new[..., None]
-        dens = grid_density(med.vol, p)
+        dens = volume_density(med.vol, p)
         ratio = 1.0 - dens * jnp.max(med.sigma_t) * inv_mj
         tr = jnp.where((done | escaped)[..., None], tr,
                        tr * jnp.maximum(ratio, 0.0)[..., None])

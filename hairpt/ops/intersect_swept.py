@@ -47,6 +47,10 @@ class SweptHair(NamedTuple):
     cl_hi: jnp.ndarray      # [C, 3]
     seg_rows: jnp.ndarray   # [C * K, PRIM_F] cluster-major packed segments
     seg_rows_t: jnp.ndarray  # [C, PRIM_F, K] transposed (pallas DMA layout)
+    # 32-segment sub-cluster AABBs over the same rows (4×-tighter phase-A
+    # culling granularity — see tiled_closest_hit(subcull=True))
+    sub_lo: jnp.ndarray     # [C32, 3]
+    sub_hi: jnp.ndarray     # [C32, 3]
     # static geometry of the layout (python ints kept out of the pytree):
     # K = seg_rows.shape[0] // n_clusters is carried via shapes below
     cluster_count: jnp.ndarray  # [] int32 == C (device scalar, unused in jit)
@@ -54,6 +58,7 @@ class SweptHair(NamedTuple):
 
 def build_swept_hair(p0, p1, n0, n1, radius, K: int = 64) -> SweptHair:
     """Host-side build. Inputs are the raw (unsorted) segment arrays."""
+    assert K % 32 == 0, "cluster size must hold whole 32-seg sub-clusters"
     n = len(p0)
     lo = np.minimum(p0, p1) - (radius[:, None] * 2.0)
     hi = np.maximum(p0, p1) + (radius[:, None] * 2.0)
@@ -108,11 +113,27 @@ def build_swept_hair(p0, p1, n0, n1, radius, K: int = 64) -> SweptHair:
     nodes[:, 6] = _bitcast_i2f(meta.astype(np.int32))
     nodes[:, 7] = _bitcast_i2f(fb.node_skip)
     rows_t = rows.reshape(C, K, PRIM_F).transpose(0, 2, 1).copy()
+
+    # 32-segment sub-cluster AABBs (same tree order): bounds recomputed
+    # from the final rows so padding/degenerate slots stay empty
+    SUBK = 32
+    sp0f = rows[:, 0:3]
+    sp1f = rows[:, 3:6]
+    srf = rows[:, 12:13]
+    validf = rows[:, PRIM_F - 1].view(np.int32) >= 0
+    slof = np.where(validf[:, None], np.minimum(sp0f, sp1f) - 2 * srf, 3e37)
+    shif = np.where(validf[:, None], np.maximum(sp0f, sp1f) + 2 * srf, -3e37)
+    C32 = rows.shape[0] // SUBK
+    sub_lo = slof.reshape(C32, SUBK, 3).min(1)
+    sub_hi = shif.reshape(C32, SUBK, 3).max(1)
+
     return SweptHair(nodes=jnp.asarray(nodes),
                      cl_lo=jnp.asarray(cl_lo[corder], jnp.float32),
                      cl_hi=jnp.asarray(cl_hi[corder], jnp.float32),
                      seg_rows=jnp.asarray(rows),
                      seg_rows_t=jnp.asarray(rows_t),
+                     sub_lo=jnp.asarray(sub_lo, jnp.float32),
+                     sub_hi=jnp.asarray(sub_hi, jnp.float32),
                      cluster_count=jnp.int32(C))
 
 

@@ -34,15 +34,17 @@ from .intersect_swept import SweptHair  # same build artifact / layout
 
 
 def _tile_cluster_mask(sw: SweptHair, ray: Ray, tile: int,
-                       c_chunk: int = 2048):
+                       c_chunk: int = 2048, bounds=None):
     """Per-tile cluster culling. Returns
       mask   [T, C]  — does any ray of tile t enter cluster c's AABB
       te     [T, C]  — min over the tile's rays of the entry t (inf = miss)
       t_pmax [N]     — per ray, max entry t over ITS candidate clusters
                        (-1 if it has none); bounds when a ray is exhausted.
-    Dense slab tests, chunked over clusters."""
+    Dense slab tests, chunked over clusters. `bounds` overrides the
+    (lo, hi) cluster AABB tables (sub-cluster granularity for tiled32)."""
     N = ray.o.shape[0]
-    C = sw.cl_lo.shape[0]
+    cl_lo, cl_hi = bounds if bounds is not None else (sw.cl_lo, sw.cl_hi)
+    C = cl_lo.shape[0]
     T = N // tile
     inv_d = 1.0 / jnp.where(jnp.abs(ray.d) < 1e-12,
                             jnp.where(ray.d >= 0, 1e-12, -1e-12), ray.d)
@@ -54,8 +56,8 @@ def _tile_cluster_mask(sw: SweptHair, ray: Ray, tile: int,
     t_pmax = jnp.full((N,), -1.0, jnp.float32)
     n_chunks = (C + c_chunk - 1) // c_chunk
     for ci in range(n_chunks):
-        lo = sw.cl_lo[ci * c_chunk:(ci + 1) * c_chunk]     # [Cc, 3]
-        hi = sw.cl_hi[ci * c_chunk:(ci + 1) * c_chunk]
+        lo = cl_lo[ci * c_chunk:(ci + 1) * c_chunk]     # [Cc, 3]
+        hi = cl_hi[ci * c_chunk:(ci + 1) * c_chunk]
         tn = None
         tf = None
         for ax in range(3):
@@ -182,7 +184,7 @@ def _morton_sort_rays(sw: SweptHair, ray: Ray):
 def tiled_closest_hit(sw: SweptHair, ray: Ray, n_clusters: int, K: int,
                       tile: int = 64, q_max: int = 128, impl: str = "auto",
                       return_overflow: bool = False, mode: str = "closest",
-                      sort_rays: bool = False):
+                      sort_rays: bool = False, subcull: bool = False):
     """Closest hit over the cluster layout. Returns (t [N], prim_id [N]).
 
     n_clusters, K are the static cluster-layout ints; tile and q_max are
@@ -191,6 +193,13 @@ def tiled_closest_hit(sw: SweptHair, ray: Ray, n_clusters: int, K: int,
     mode='any' lets the kernel stop a tile as soon as every ray has found
     some hit (shadow queries). sort_rays restores coherence for bounce
     waves via a Morton/octant resort (results are unsorted back).
+    subcull culls phase A against the 4×-tighter 32-segment sub-cluster
+    AABBs and OR-reduces to cluster rows — fewer clusters reach the
+    kernel at the cost of a denser slab test. (A kernel that DMA'd
+    32-segment sub-clusters directly is impossible: Mosaic tiles HBM
+    refs (1,128) too, folding 4 sub-rows per lane tile, so sub-128-lane
+    DMA source slices are rejected — the tighter granularity has to live
+    on the culling side.)
     """
     if impl == "auto":
         impl = "pallas" if jax.default_backend() in ("tpu", "axon") \
@@ -202,7 +211,14 @@ def tiled_closest_hit(sw: SweptHair, ray: Ray, n_clusters: int, K: int,
     Np = ray_p.o.shape[0]
     T = Np // tile
 
-    mask, te, t_pmax = _tile_cluster_mask(sw, ray_p, tile)
+    if subcull:
+        n_sub = K // 32  # sub-clusters per cluster row (build asserts %32)
+        mask_s, te_s, t_pmax = _tile_cluster_mask(
+            sw, ray_p, tile, bounds=(sw.sub_lo, sw.sub_hi))
+        mask = mask_s.reshape(T, n_clusters, n_sub).any(-1)
+        te = te_s.reshape(T, n_clusters, n_sub).min(-1)
+    else:
+        mask, te, t_pmax = _tile_cluster_mask(sw, ray_p, tile)
     slots, cnt, tmin, tscale, overflow = _tile_slots(mask, te, q_max)
 
     rays8 = jnp.stack([
@@ -237,8 +253,9 @@ def tiled_closest_hit(sw: SweptHair, ray: Ray, n_clusters: int, K: int,
 
 def tiled_any_hit(sw: SweptHair, ray: Ray, n_clusters: int, K: int,
                   tile: int = 64, q_max: int = 128, impl: str = "auto",
-                  sort_rays: bool = False):
+                  sort_rays: bool = False, subcull: bool = False):
     degenerate = ray.maxt <= ray.mint
     t, p = tiled_closest_hit(sw, ray, n_clusters, K, tile, q_max, impl,
-                             mode="any", sort_rays=sort_rays)
+                             mode="any", sort_rays=sort_rays,
+                             subcull=subcull)
     return (p >= 0) & ~degenerate

@@ -312,6 +312,14 @@ def _tiled_kernel(slots_ref,            # scalar prefetch [T * q_max] packed
                             sems.at[(q_end + w) % n_buf]).wait()
 
 
+# NOTE: a kernel that DMA'd 32-segment sub-clusters directly (4 packed
+# per [PRIM_F, 128] test block) was built and rejected: Mosaic tiles
+# HBM memrefs (1,128) as well, folding 4 sub-rows into one lane tile,
+# so DMA source slices narrower than 128 lanes fail to compile
+# ("Slice shape along dimension 2 must be aligned to tiling (128)").
+# The 4x-tighter 32-segment granularity lives in phase-A culling instead
+# (intersect_tiled.tiled_closest_hit(subcull=True)).
+
 # segment tables at most this large are pinned whole in VMEM (v5e has
 # ~16 MB); above it the kernel streams clusters with double-buffered DMA
 VMEM_RESIDENT_BYTES = 10 * 1024 * 1024

@@ -223,6 +223,70 @@ def test_hetero_volpath_runs_and_darkens():
 # dipole subsurface (models/subsurface.py + integrators/sss.py)
 # ---------------------------------------------------------------------------
 
+def test_hgrid_matches_dense_and_sparsifies():
+    """Block-sparse hierarchical grid (hgridvolume counterpart): lookups
+    match the dense trilinear grid away from block borders; empty blocks
+    return 0; bake_volume_cache (volcache counterpart) reproduces the
+    baked function."""
+    rs = np.random.RandomState(0)
+    res = 16
+    dense = rs.rand(res, res, res).astype(np.float32) + 0.1
+    dense[:8, :8, :8] = 0.0        # one empty block region
+    wmin, wmax = (-1.0, -1.0, -1.0), (1.0, 1.0, 1.0)
+    gv = med.make_grid_volume(dense, wmin, wmax)
+    hv = med.make_hgrid_from_dense(dense, wmin, wmax, block=8)
+    assert int((np.asarray(hv.block_idx) < 0).sum()) == 1  # empty block
+
+    pts = jnp.asarray(rs.rand(512, 3) * 2 - 1, jnp.float32) * 0.95
+    d_ref = np.asarray(med.grid_density(gv, pts))
+    d_h = np.asarray(med.hgrid_density(hv, pts))
+    # borders between blocks clamp inside the block (reference behavior),
+    # so compare only points with all 8 interpolation voxels in one block
+    g = (np.asarray(pts) + 1) * 0.5 * (res - 1)
+    i0 = np.floor(g).astype(int)
+    same_block = ((i0 // 8) == ((i0 + 1) // 8)).all(-1)
+    np.testing.assert_allclose(d_h[same_block], d_ref[same_block],
+                               rtol=2e-3, atol=2e-3)
+    # inside the dropped block → exactly 0
+    pts0 = jnp.asarray(rs.rand(64, 3), jnp.float32) * 0.8 - 0.95
+    assert np.all(np.asarray(med.hgrid_density(hv, pts0)) == 0.0)
+
+    # volcache: bake a radial falloff and read it back
+    fn = lambda p: jnp.maximum(1.0 - jnp.linalg.norm(p, axis=-1), 0.0)
+    cache = med.bake_volume_cache(fn, wmin, wmax, res=32, block=8)
+    q = jnp.asarray(rs.rand(256, 3) * 1.2 - 0.6, jnp.float32)
+    got = np.asarray(med.hgrid_density(cache, q))
+    want = np.asarray(fn(q))
+    np.testing.assert_allclose(got, want, atol=0.08)  # trilinear res-32 bake
+
+
+def test_woodcock_hgrid_consistency():
+    """Woodcock tracking through an HGridVolume matches the dense grid
+    version of the same medium."""
+    res = 16
+    # smooth radial blob: block-border clamping (inherent to per-block
+    # lookups, as in the reference) is negligible on smooth densities
+    zz, yy, xx = np.meshgrid(*([np.linspace(-1, 1, res)] * 3),
+                             indexing="ij")
+    dense = np.exp(-2.0 * (xx ** 2 + yy ** 2 + zz ** 2)).astype(np.float32)
+    wmin, wmax = (-1.0, -1.0, -1.0), (1.0, 1.0, 1.0)
+    gv = med.make_grid_volume(dense, wmin, wmax)
+    hv = med.make_hgrid_from_dense(dense, wmin, wmax, block=8)
+    md = med.make_hetero_medium(gv, (0.8,) * 3, (0.2,) * 3)
+    mh = med.make_hetero_medium(hv, (0.8,) * 3, (0.2,) * 3)
+    n = 4096
+    o = jnp.tile(jnp.asarray([[0.0, 0.0, -2.0]]), (n, 1))
+    d = jnp.tile(jnp.asarray([[0.0, 0.0, 1.0]]), (n, 1))
+    pix = jnp.arange(n, dtype=jnp.uint32)
+    trd = np.asarray(med.woodcock_transmittance(
+        md, o, d, jnp.full((n,), 4.0), pix, 0, 0)).mean()
+    trh = np.asarray(med.woodcock_transmittance(
+        mh, o, d, jnp.full((n,), 4.0), pix, 1, 0)).mean()
+    # same medium, independent estimators: agree within MC noise; block-
+    # border clamping adds a small bias bound
+    np.testing.assert_allclose(trh, trd, rtol=0.12)
+
+
 def test_dipole_rd_properties():
     import numpy as np
     from hairpt.models import subsurface as sss

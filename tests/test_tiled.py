@@ -45,6 +45,43 @@ def test_tiled_matches_bruteforce():
     np.testing.assert_array_equal(np.asarray(occ), hit_ref)
 
 
+def test_tiled_subcull_matches_bruteforce():
+    """Sub-cluster-AABB phase-A culling (subcull=True) against the
+    brute-force oracle, including the any-hit mode and ray-sorted path."""
+    (p0, p1, n0, n1, rad), rays = _geom_and_rays()
+    n_seg = len(p0)
+    K = 64
+    swept = sw.build_swept_hair(p0, p1, n0, n1, rad, K=K)
+    C = swept.cl_lo.shape[0]
+
+    t_tl, prim_tl, ovf = tl.tiled_closest_hit(swept, rays, C, K, q_max=256,
+                                              subcull=True,
+                                              return_overflow=True)
+    assert int(ovf) == 0
+
+    geom = isec.HairGeom(p0=jnp.asarray(p0), p1=jnp.asarray(p1),
+                         n0=jnp.asarray(n0), n1=jnp.asarray(n1),
+                         radius=jnp.asarray(rad))
+    t_ref, prim_ref = isec.brute_force_closest(geom,
+                                               isec.hair_intersect_block,
+                                               n_seg, rays)
+    hit_tl = np.asarray(prim_tl) >= 0
+    hit_ref = np.asarray(prim_ref) >= 0
+    np.testing.assert_array_equal(hit_tl, hit_ref)
+    m = hit_ref
+    np.testing.assert_allclose(np.asarray(t_tl)[m], np.asarray(t_ref)[m],
+                               rtol=2e-4, atol=1e-5)
+    assert (np.asarray(prim_tl)[m] == np.asarray(prim_ref)[m]).mean() > 0.999
+
+    occ = tl.tiled_any_hit(swept, rays, C, K, q_max=256, subcull=True)
+    np.testing.assert_array_equal(np.asarray(occ), hit_ref)
+
+    # Morton-sorted bounce-style path returns identical results
+    t_s, prim_s = tl.tiled_closest_hit(swept, rays, C, K, q_max=256,
+                                       subcull=True, sort_rays=True)
+    np.testing.assert_array_equal(np.asarray(prim_s), np.asarray(prim_tl))
+
+
 def test_tiled_ragged_n_and_finite_maxt():
     """N not a multiple of the tile size + shadow-style finite maxt rays."""
     (p0, p1, n0, n1, rad), rays = _geom_and_rays(n_fibers=150, n_rays=333)
