@@ -30,6 +30,7 @@ from ..models.bsdf import registry as mat
 from ..models.bsdf import simple, plastic, hair as hair_bsdf  # noqa: F401
 from ..models.bsdf import dielectric_rough  # noqa: F401  (register families)
 from ..models.bsdf import hk as hk_bsdf  # noqa: F401
+from ..models.bsdf import cloth as cloth_bsdf  # noqa: F401 (register)
 from ..scene.scene import Scene
 from .common import Hit, scene_intersect, scene_occluded, frame
 

@@ -46,6 +46,8 @@ DIPOLE = 20   # subsurface dipole BSSRDF — resolved at the integrator level
               # (src/subsurface/dipole.cpp); params: transmit=σs',
               # sigma_a=σa, eta, mix_w=density scale
 HK = 21       # Hanrahan-Krueger slab (src/bsdfs/hk.cpp)
+CLOTH = 22    # Irawan & Marschner woven cloth (src/bsdfs/irawan.cpp);
+              # weave data in MaterialTable.cloth, resolved in gather()
 
 # wrapper kinds modify/combine a nested material row (mix_a, mix_b)
 WRAPPER_KINDS = (MIXTURE, MASK, COATING, ROUGHCOATING)
@@ -82,6 +84,8 @@ class MaterialTable(NamedTuple):
     nrm_tex_id: jnp.ndarray  # [M] normal/bump texture (-1 none)
     nrm_kind: jnp.ndarray    # [M] 0 = normalmap (rgb), 1 = bumpmap (height)
     nrm_scale: jnp.ndarray   # [M] bump height scale
+    cloth: object = None     # Optional[cloth.ClothTable]; aux_id of CLOTH
+                             # rows indexes its patterns
 
 
 class CheckerboardTable(NamedTuple):
@@ -144,10 +148,11 @@ def default_material_row(**over):
     return row
 
 
-def pack_materials(rows) -> MaterialTable:
+def pack_materials(rows, cloth=None) -> MaterialTable:
     def arr(key, dtype=np.float32):
         return jnp.asarray(np.array([r[key] for r in rows], dtype=dtype))
     return MaterialTable(
+        cloth=cloth,
         kind=arr("kind", np.int32), twosided=arr("twosided", bool),
         diffuse=arr("diffuse"), specular=arr("specular"),
         transmit=arr("transmit"), exponent=arr("exponent"),
@@ -245,7 +250,7 @@ def gather(table: MaterialTable, tex: Optional[CheckerboardTable],
     diffuse = table.diffuse[m]
     diffuse = eval_checkerboard(tex, table.tex_id[m], uv, diffuse, lod,
                                 bary, vcolor)
-    return GatheredMat(
+    gm = GatheredMat(
         kind=table.kind[m], diffuse=diffuse, specular=table.specular[m],
         transmit=table.transmit[m], exponent=table.exponent[m],
         alpha=table.alpha[m], dist=table.dist[m], eta=table.eta[m],
@@ -254,6 +259,26 @@ def gather(table: MaterialTable, tex: Optional[CheckerboardTable],
         int_fdr=table.int_fdr[m], sigma_a=table.sigma_a[m],
         beta_r=table.beta_r[m], scale_tilt=table.scale_tilt[m],
         aux_id=table.aux_id[m])
+    if table.cloth is not None:
+        # spatially-varying woven-cloth yarn resolution (irawan) — the
+        # uv-dependent stage runs here so the BSDF eval is uv-free
+        from . import cloth as cloth_mod
+        res = cloth_mod.cloth_resolve(table.cloth,
+                                      jnp.maximum(gm.aux_id, 0), uv)
+        sel = gm.kind == CLOTH
+        s1 = sel[..., None]
+        gm = gm._replace(
+            diffuse=jnp.where(s1, res["kd"], gm.diffuse),
+            specular=jnp.where(s1, res["ks"], gm.specular),
+            exponent=jnp.where(sel, res["u"], gm.exponent),
+            alpha=jnp.where(sel, res["v"], gm.alpha),
+            beta_r=jnp.where(sel, res["umax"], gm.beta_r),
+            scale_tilt=jnp.where(sel, res["psi"], gm.scale_tilt),
+            eta=jnp.where(sel, res["kappa"], gm.eta),
+            sigma_a=jnp.where(s1, jnp.stack(
+                [res["w"], res["l"],
+                 res["is_weft"].astype(jnp.float32)], -1), gm.sigma_a))
+    return gm
 
 
 def ext_trans_lookup(gm: GatheredMat, cos_theta):

@@ -137,6 +137,7 @@ class SceneBuilder:
         self.materials = []        # material row dicts
         self.checkers = []
         self.hair_aux = []         # (sigma_a, beta_r, eta) per marschner mat
+        self.cloth = []            # (WeavePattern, repeatU, repeatV) rows
         self.env: Optional[em.EnvMap] = None
         self.delta_lights = []     # dict entries for em.make_delta_lights
         self.area_lights = []      # (mesh index ...) resolved at finalize
@@ -177,6 +178,20 @@ class SceneBuilder:
             self.hair_aux.append((row.get("sigma_a", (0.5, 0.5, 0.5)),
                                   row.get("beta_r", 0.1),
                                   row.get("eta", 1.55)))
+        if kind == mat.CLOTH:
+            # irawan woven cloth: weave pattern rides a side table
+            # (ClothTable); pattern scalars ride the row (see bsdf/cloth.py)
+            wp = row.pop("weave")
+            ru = row.pop("repeat_u", 1.0)
+            rv = row.pop("repeat_v", 1.0)
+            row["aux_id"] = len(self.cloth)
+            self.cloth.append((wp, ru, rv))
+            row["transmit"] = (wp.alpha, wp.beta, wp.ss)
+            row["k"] = (wp.h_width, 0.0, 0.0)
+            kds = np.mean([y["kd"] for y in wp.yarns], axis=0)
+            kss = np.mean([y["ks"] for y in wp.yarns], axis=0)
+            row.setdefault("diffuse", tuple(kds))
+            row.setdefault("specular", tuple(kss))
         # luminance-based lobe weights (reference: configure() of each BSDF)
         lum = np.array([0.212671, 0.715160, 0.072169])
         d = float(np.dot(np.asarray(row.get("diffuse", (0.5,) * 3)), lum))
@@ -385,8 +400,15 @@ class SceneBuilder:
             cfg = dataclasses.replace(
                 cfg, swept_c=int(hair_swept.seg_rows.shape[0]) // cfg.swept_k)
 
+        cloth_table = None
+        if self.cloth:
+            from ..models.bsdf import cloth as cloth_bsdf
+            cloth_table = cloth_bsdf.pack_cloth(
+                [c[0] for c in self.cloth],
+                [(c[1], c[2]) for c in self.cloth])
         materials = mat.pack_materials(self.materials or
-                                       [mat.default_material_row()])
+                                       [mat.default_material_row()],
+                                       cloth=cloth_table)
         checkers = None
         if self.checkers:
             res = max([c[5].shape[0] for c in self.checkers

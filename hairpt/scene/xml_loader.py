@@ -47,6 +47,7 @@ BSDF_KINDS = {
     "marschner": mat.MARSCHNER,  # = the fork's MarschnerDiffuse build
     "marschnerdielectric": mat.MARSCHNERDIELECTRIC,
     "hk": mat.HK,
+    "irawan": mat.CLOTH,
     "mask": mat.MASK,
     "coating": mat.COATING,
     "roughcoating": mat.ROUGHCOATING,
@@ -195,6 +196,23 @@ def _material_row_from_bsdf(node, defines, builder: SceneBuilder,
                     dist=0 if p.get("distribution", "ggx") != "beckmann"
                     else 1,
                     specular=p.get("specularReflectance", (1.0, 1.0, 1.0)))
+
+    if kind == mat.CLOTH:
+        # irawan woven cloth (src/bsdfs/irawan.cpp): weave DSL file (or a
+        # built-in name) + repeatU/repeatV + $var props forwarded to the
+        # pattern grammar
+        from ..models.bsdf import cloth as cloth_bsdf
+        fname = str(p.get("filename", "plain"))
+        if fname in cloth_bsdf.BUILTIN_WEAVES:
+            text = cloth_bsdf.BUILTIN_WEAVES[fname]
+        else:
+            import os
+            with open(os.path.join(scene_dir, fname)) as fh:
+                text = fh.read()
+        wp = cloth_bsdf.parse_weave(text, p)
+        return dict(kind=mat.CLOTH, twosided=twosided, weave=wp,
+                    repeat_u=float(p.get("repeatU", 1.0)),
+                    repeat_v=float(p.get("repeatV", 1.0)))
 
     row = dict(kind=kind, twosided=twosided)
     int_ior = p.get("intIOR", "bk7")
