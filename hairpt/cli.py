@@ -29,6 +29,9 @@ def main(argv=None):
     r.add_argument("--hair-quality", type=float, default=1.0)
     r.add_argument("--depth", type=int, default=None)
     r.add_argument("--seed", type=int, default=0)
+    r.add_argument("--stats", action="store_true",
+                   help="print the render-statistics table at exit "
+                        "(Statistics::printStats parity)")
     r.add_argument("--cpu", action="store_true",
                    help="force the CPU backend")
     r.add_argument("--integrator", default=None,
@@ -110,6 +113,11 @@ def main(argv=None):
     print(f"[hairpt] rendered in {t2 - t1:.2f}s "
           f"(≥{n_rays_lb / max(t2 - t1, 1e-9) / 1e6:.2f} Mprimary-rays/s)",
           file=sys.stderr)
+    if getattr(args, "stats", False):
+        # counter report at exit (reference: Statistics::printStats,
+        # mitsuba.cpp:408)
+        from .utils import stats as stats_mod
+        stats_mod.print_stats()
 
     out = args.output or "output.png"
     base = out.rsplit(".", 1)[0]

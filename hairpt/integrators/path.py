@@ -515,14 +515,24 @@ def render(scene: Scene, seed: int = 0, spp: int | None = None,
                                                weight)
         return image, weight, n_rays
 
+    from ..utils import stats
     image, weight = film_mod.zeros(fl)
     total_rays = 0.0
+    stats.start_timer("render")
     for s in range(spp):
         image, weight, n_rays = wave(scene.arrays,
                                      jnp.uint32(s + seed * 65536), image,
                                      weight)
         total_rays += float(n_rays)
     img = film_mod.develop(image, weight)
+    # StatsCounter parity (statistics.h / path.cpp:24 avgPathLength):
+    # integrators return counters as values; the host records them
+    stats.stop_timer("Path tracer", "render", total_rays, "rays")
+    stats.record("Path tracer", "Rays traced", total_rays)
+    stats.record("Path tracer", "Camera samples", float(n_pix) * spp)
+    stats.record("Path tracer", "Rays per camera sample", total_rays,
+                 float(n_pix) * spp, kind="average")
+    stats.record("Path tracer", "Sample waves", spp)
     if return_stats:
         return img, {"rays": total_rays}
     return img

@@ -83,6 +83,21 @@ def _tile_cluster_mask(sw: SweptHair, ray: Ray, tile: int,
     return masks[0], tes[0], t_pmax
 
 
+def _cull_pallas(rays8, cl_lo, cl_hi):
+    """Pallas phase-A culling (pallas_tiled.cull_phase_a) over [C] AABBs,
+    lane-padded to CULL_CH with empty boxes. Returns (te [T, C] with
+    inf = miss, t_pmax [T, tile])."""
+    from .pallas_tiled import cull_phase_a, CULL_CH
+    C = cl_lo.shape[0]
+    c_pad = -(-C // CULL_CH) * CULL_CH
+    bounds = jnp.full((8, c_pad), 3e37, jnp.float32)
+    bounds = bounds.at[3:6].set(-3e37)
+    bounds = bounds.at[0:3, :C].set(cl_lo.T)
+    bounds = bounds.at[3:6, :C].set(cl_hi.T)
+    te, tpmax = cull_phase_a(rays8, bounds)
+    return te[:, :C], tpmax
+
+
 N_BINS = 16  # entry-t counting-sort bins per tile
 
 
@@ -211,16 +226,6 @@ def tiled_closest_hit(sw: SweptHair, ray: Ray, n_clusters: int, K: int,
     Np = ray_p.o.shape[0]
     T = Np // tile
 
-    if subcull:
-        n_sub = K // 32  # sub-clusters per cluster row (build asserts %32)
-        mask_s, te_s, t_pmax = _tile_cluster_mask(
-            sw, ray_p, tile, bounds=(sw.sub_lo, sw.sub_hi))
-        mask = mask_s.reshape(T, n_clusters, n_sub).any(-1)
-        te = te_s.reshape(T, n_clusters, n_sub).min(-1)
-    else:
-        mask, te, t_pmax = _tile_cluster_mask(sw, ray_p, tile)
-    slots, cnt, tmin, tscale, overflow = _tile_slots(mask, te, q_max)
-
     rays8 = jnp.stack([
         ray_p.o[:, 0].reshape(T, tile), ray_p.o[:, 1].reshape(T, tile),
         ray_p.o[:, 2].reshape(T, tile),
@@ -228,7 +233,25 @@ def tiled_closest_hit(sw: SweptHair, ray: Ray, n_clusters: int, K: int,
         ray_p.d[:, 2].reshape(T, tile),
         ray_p.mint.reshape(T, tile), ray_p.maxt.reshape(T, tile),
     ], axis=1)                                             # [T, 8, tile]
-    t_pmax_t = t_pmax.reshape(T, tile)
+
+    cull_bounds = (sw.sub_lo, sw.sub_hi) if subcull else (sw.cl_lo, sw.cl_hi)
+    if impl == "pallas":
+        # phase A as a Pallas kernel: the jnp form streams [N, C]
+        # temporaries through HBM (profiled at 51 of 60 ms per query)
+        te_s, t_pmax_t = _cull_pallas(rays8, cull_bounds[0], cull_bounds[1])
+        mask_s = jnp.isfinite(te_s)
+        t_pmax = t_pmax_t.reshape(Np)
+    else:
+        mask_s, te_s, t_pmax = _tile_cluster_mask(sw, ray_p, tile,
+                                                  bounds=cull_bounds)
+        t_pmax_t = t_pmax.reshape(T, tile)
+    if subcull:
+        n_sub = K // 32  # sub-clusters per cluster row (build asserts %32)
+        mask = mask_s.reshape(T, n_clusters, n_sub).any(-1)
+        te = te_s.reshape(T, n_clusters, n_sub).min(-1)
+    else:
+        mask, te = mask_s, te_s
+    slots, cnt, tmin, tscale, overflow = _tile_slots(mask, te, q_max)
 
     from .pallas_tiled import tiled_phase_b
     # early exit pays only for any-hit queries (a shadow ray stops at its

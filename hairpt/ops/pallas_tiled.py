@@ -320,6 +320,105 @@ def _tiled_kernel(slots_ref,            # scalar prefetch [T * q_max] packed
 # The 4x-tighter 32-segment granularity lives in phase-A culling instead
 # (intersect_tiled.tiled_closest_hit(subcull=True)).
 
+
+# ---------------------------------------------------------------------------
+# phase-A culling kernel: per-tile ray-vs-cluster-AABB slab tests.
+#
+# The jnp formulation materializes [N, C] f32 intermediates (150 MB+ per
+# temporary at 256² x 563 clusters) — profiled at 51 of the 60 ms of a
+# closest-hit query, ~50x slower than its flop count (HBM-bound). Here
+# the cluster bounds table ([8, C] ≈ tens of KB) is VMEM-resident, each
+# grid program owns GROUP_T tiles of rays, and the [TILE, CH] slab tests
+# live entirely in registers; only the [T, C] per-tile reductions (te,
+# ~2 MB) ever reach HBM.
+# ---------------------------------------------------------------------------
+
+CULL_CH = 512   # cluster lanes per register block
+
+
+def _cull_kernel(rays_ref,     # VMEM [GROUP_T, TILE, 8] (ray-major)
+                 bounds_ref,   # VMEM [8, C_pad] (lo.xyz, hi.xyz rows)
+                 te_ref,       # out VMEM [GROUP_T, C_pad] (inf = miss)
+                 tpmax_ref,    # out VMEM [GROUP_T, TILE, 1]
+                 *, c_pad: int):
+    # every intermediate stays 2-D: Mosaic rejects 1-D→2-D vector
+    # reshapes (vector<64xi1> → 64x1), so ray components are sliced as
+    # [TILE, 1] columns and reductions keep dims
+    inf = jnp.float32(jnp.inf)
+    for g in range(GROUP_T):
+        r = rays_ref[g]                          # [TILE, 8]
+        o = [r[:, j:j + 1] for j in range(3)]    # [TILE, 1] each
+        inv_d = []
+        for j in range(3):
+            dj = r[:, 3 + j:4 + j]
+            dj = jnp.where(jnp.abs(dj) < 1e-12,
+                           jnp.where(dj >= 0, 1e-12, -1e-12), dj)
+            inv_d.append(1.0 / dj)
+        mint = r[:, 6:7]
+        maxt = r[:, 7:8]
+        # dead rays (maxt <= mint, incl. tile padding) must never hit
+        maxt_eff = jnp.where(maxt > mint, maxt, -inf)
+
+        tpmax = jnp.full(mint.shape, -1.0, jnp.float32)   # [TILE, 1]
+        for c0 in range(0, c_pad, CULL_CH):
+            tn = None
+            tf = None
+            for ax in range(3):
+                lo = bounds_ref[ax:ax + 1, c0:c0 + CULL_CH]      # [1, CH]
+                hi = bounds_ref[ax + 3:ax + 4, c0:c0 + CULL_CH]
+                a0 = (lo - o[ax]) * inv_d[ax]                    # [TILE, CH]
+                a1 = (hi - o[ax]) * inv_d[ax]
+                lo_ax = jnp.minimum(a0, a1)
+                hi_ax = jnp.maximum(a0, a1)
+                tn = lo_ax if tn is None else jnp.maximum(tn, lo_ax)
+                tf = hi_ax if tf is None else jnp.minimum(tf, hi_ax)
+            tf = tf * 1.00000024 + 1e-7
+            hit = (tn <= tf) & (tf >= mint) & (tn <= maxt_eff)
+            tn0 = jnp.maximum(tn, 0.0)
+            t_in = jnp.where(hit, tn0, inf)            # [TILE, CH]
+            te_ref[g:g + 1, c0:c0 + CULL_CH] = \
+                jnp.min(t_in, axis=0, keepdims=True)
+            tpmax = jnp.maximum(
+                tpmax, jnp.max(jnp.where(hit, tn0, -1.0), axis=1,
+                               keepdims=True))
+        tpmax_ref[g] = tpmax
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def cull_phase_a(rays8, bounds, interpret: bool = False):
+    """Tile-level cluster culling. rays8 [T, 8, TILE]; bounds [8, C_pad]
+    (C_pad a multiple of CULL_CH; padded slots lo=+big, hi=-big).
+    Returns (te [T, C_pad] with inf = miss, t_pmax [T, TILE])."""
+    T, _, R = rays8.shape
+    c_pad = bounds.shape[1]
+    rays_t = jnp.swapaxes(rays8, 1, 2)           # [T, TILE, 8]
+    pad = (-T) % GROUP_T
+    if pad:
+        rays_t = jnp.concatenate(
+            [rays_t, jnp.zeros((pad, R, 8), jnp.float32)
+             .at[:, :, 7].set(-1.0)])
+    T_pad = T + pad
+    te, tpmax = pl.pallas_call(
+        functools.partial(_cull_kernel, c_pad=c_pad),
+        grid=(T_pad // GROUP_T,),
+        in_specs=[
+            pl.BlockSpec((GROUP_T, R, 8), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((8, c_pad), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((GROUP_T, c_pad), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((GROUP_T, R, 1), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_shape=(jax.ShapeDtypeStruct((T_pad, c_pad), jnp.float32),
+                   jax.ShapeDtypeStruct((T_pad, R, 1), jnp.float32)),
+        interpret=interpret,
+    )(rays_t, bounds)
+    return te[:T], tpmax[:T, :, 0]
+
 # segment tables at most this large are pinned whole in VMEM (v5e has
 # ~16 MB); above it the kernel streams clusters with double-buffered DMA
 VMEM_RESIDENT_BYTES = 10 * 1024 * 1024

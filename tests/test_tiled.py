@@ -137,3 +137,42 @@ def test_tiled_render_matches_packed():
     close = np.isclose(img_tiled, img_packed, rtol=2e-3, atol=2e-3)
     assert close.mean() > 0.995, close.mean()
     assert np.abs(img_tiled - img_packed).max() < 0.05
+
+
+def test_cull_phase_a_kernel_matches_jnp():
+    """Pallas phase-A culling kernel (interpret) vs the jnp slab test:
+    identical tile masks, identical entry-t for every candidate; t_pmax
+    may differ only on fp-marginal grazing hits (both forms stay
+    self-consistent and conservative)."""
+    from hairpt.ops.pallas_tiled import cull_phase_a, CULL_CH
+
+    (p0, p1, n0, n1, rad), rays = _geom_and_rays()
+    swept = sw.build_swept_hair(p0, p1, n0, n1, rad, K=64)
+    tile = 64
+    ray_p, _ = tl._pad_rays(rays, tile)
+    T = ray_p.o.shape[0] // tile
+    rays8 = jnp.stack(
+        [ray_p.o[:, 0].reshape(T, tile), ray_p.o[:, 1].reshape(T, tile),
+         ray_p.o[:, 2].reshape(T, tile), ray_p.d[:, 0].reshape(T, tile),
+         ray_p.d[:, 1].reshape(T, tile), ray_p.d[:, 2].reshape(T, tile),
+         ray_p.mint.reshape(T, tile), ray_p.maxt.reshape(T, tile)], axis=1)
+    mask_j, te_j, tp_j = tl._tile_cluster_mask(swept, ray_p, tile)
+
+    C = swept.cl_lo.shape[0]
+    c_pad = -(-C // CULL_CH) * CULL_CH
+    bounds = jnp.full((8, c_pad), 3e37, jnp.float32).at[3:6].set(-3e37)
+    bounds = bounds.at[0:3, :C].set(swept.cl_lo.T)
+    bounds = bounds.at[3:6, :C].set(swept.cl_hi.T)
+    te_p, tp_p = cull_phase_a(rays8, bounds, interpret=True)
+    te_p = np.asarray(te_p)[:, :C]
+
+    m_j = np.asarray(mask_j)
+    np.testing.assert_array_equal(np.isfinite(te_p), m_j)
+    np.testing.assert_allclose(te_p[m_j], np.asarray(te_j)[m_j],
+                               rtol=1e-6, atol=1e-6)
+    tp_p = np.asarray(tp_p).reshape(-1)
+    tp_j = np.asarray(tp_j)
+    close = np.isclose(tp_p, tp_j, rtol=1e-5, atol=1e-5)
+    assert close.mean() > 0.95   # fp-marginal grazing hits only
+    # padded ray slots never contribute (maxt < mint ⇒ dead)
+    assert np.all(np.isfinite(te_p[m_j]))
