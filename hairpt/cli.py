@@ -69,7 +69,10 @@ def main(argv=None):
         scene = attach_dipole(scene)
         print("[hairpt] dipole irradiance prepass done", file=sys.stderr)
 
-    integ = args.integrator or "path"
+    # no CLI override → the scene XML's integrator type (mitsuba parity)
+    integ = args.integrator or scene.config.integrator or "path"
+    integ = {"volpath_simple": "volpath", "photonmapper": "ppm"}.get(integ,
+                                                                     integ)
     if integ == "ao":
         from .integrators import aux_integrators as aux
         img = np.asarray(aux.render_ao(scene, spp=scene.config.spp))
@@ -102,6 +105,15 @@ def main(argv=None):
         from .integrators import volpath as vp
         img = np.asarray(vp.render_volpath(scene, spp=scene.config.spp,
                                            seed=args.seed))
+    elif integ == "ppm":
+        from .integrators import photonmap as pm_int
+        img = np.asarray(pm_int.render_ppm(scene, seed=args.seed))
+    elif integ == "sppm":
+        from .integrators import photonmap as pm_int
+        img = np.asarray(pm_int.render_sppm(scene, seed=args.seed))
+    elif integ == "motion":
+        from .integrators import motion as motion_int
+        img = np.asarray(motion_int.render_motion(scene))
     elif integ.startswith("field"):
         from .integrators import aux_integrators as aux
         name = integ.split(":", 1)[1] if ":" in integ else "shNormal"

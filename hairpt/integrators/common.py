@@ -90,6 +90,8 @@ class Hit(NamedTuple):
     uv_density: jnp.ndarray  # [N] mip LOD factor (0 = no texture footprint)
     bary: jnp.ndarray       # [N, 2] triangle barycentrics (b1, b2)
     vcolor: jnp.ndarray     # [N, 3] interpolated vertex colors (default 1)
+    prim: jnp.ndarray       # [N] BVH-sorted primitive id (tri table when
+    #                         ~is_hair, hair table when is_hair; -1 = miss)
 
 
 def frame(hit: Hit) -> Frame:
@@ -216,7 +218,8 @@ def scene_intersect(arr: SceneArrays, ray: Ray, traversal: str = "packed",
     return Hit(valid=valid, t=t, p=p, geo_n=geo_n, sh_s=sh_s, sh_t=sh_t,
                sh_n=sh_n, uv=uv, mat_id=mat_id, emitter_id=emitter_id,
                is_hair=use_hair & valid, uv_density=uv_density,
-               bary=bary, vcolor=vcolor)
+               bary=bary, vcolor=vcolor,
+               prim=jnp.where(use_hair, prim_hair, prim_tri))
 
 
 def scene_occluded(arr: SceneArrays, ray: Ray, traversal: str = "packed",

@@ -45,6 +45,16 @@ class TriShading(NamedTuple):
     vc2: jnp.ndarray
 
 
+class MotionTables(NamedTuple):
+    """Per-object rigid motion for the `motion` integrator (reference:
+    src/integrators/misc/motion.cpp). obj_m[k] maps a world-space point on
+    object k at the frame time to its world position at the target time
+    (T(t1)·T(t0)⁻¹); cam1 is the sensor at the target time."""
+    tri_obj: Optional[jnp.ndarray]  # [Ntri] BVH-sorted object id
+    obj_m: jnp.ndarray              # [O, 4, 4] relative motion transforms
+    cam1: object                    # Camera at the target time
+
+
 class SceneArrays(NamedTuple):
     """Everything the integrator needs on device (a jit-able pytree)."""
     tri: Optional[isec.TriGeom]
@@ -87,6 +97,7 @@ class RenderConfig:
     swept_chunk: int = 64      # pairs per phase-B chunk
     tiled_q: int = 128         # candidate clusters per 64-ray tile ('tiled')
     nee_probs: tuple = (1.0, 0.0, 0.0)  # (env, area, delta) selection probs
+    integrator: str = "path"   # scene-XML integrator type (CLI default)
 
 
 class Scene(NamedTuple):
@@ -98,6 +109,7 @@ class Scene(NamedTuple):
     marschner_rows: tuple = ()  # material-row index per hair-table aux_id
     has_normal_maps: bool = False  # static: any normal/bump-mapped material
     medium: object = None      # Medium/HeteroMedium for volpath (optional)
+    motion: object = None      # MotionTables (motion-vector integrator)
 
 
 def _uv_density(uv0, uv1, uv2, e1, e2):
@@ -144,6 +156,8 @@ class SceneBuilder:
         self.camera: Optional[Camera] = None
         self.film: Optional[Film] = None
         self.medium = None         # optional Medium/HeteroMedium (volpath)
+        self.mesh_motion = {}      # mesh index → 4x4 relative motion (world)
+        self.camera1 = None        # Camera at the motion target time
         self.curvature_mats = set()  # mat ids whose texture is curvature
         self.curvature_scale = 1.0
         self.config_kwargs = {}
@@ -249,7 +263,11 @@ class SceneBuilder:
     # -- geometry ----------------------------------------------------------
 
     def add_mesh(self, mesh: shp.Mesh, mat_id: int, to_world=None,
-                 radiance=None):
+                 radiance=None, motion=None):
+        if motion is not None:
+            # world-space relative motion T(t1)·T(t0)⁻¹ for this object
+            self.mesh_motion[len(self.tri_meshes)] = \
+                np.asarray(motion, np.float32)
         if to_world is not None:
             mesh = shp.transform_mesh(mesh, to_world)
         emitter_id = -1
@@ -294,6 +312,7 @@ class SceneBuilder:
 
         # triangles
         tri = tri_shading = tri_bvh = tri_packed = None
+        tri_obj_sorted = None
         if self.tri_meshes:
             v0l, v1l, v2l, n0l, n1l, n2l = [], [], [], [], [], []
             uv0l, uv1l, uv2l, midl, eidl = [], [], [], [], []
@@ -358,6 +377,11 @@ class SceneBuilder:
                 vc1=jnp.asarray(cat(vc1l)[o], jnp.float32),
                 vc2=jnp.asarray(cat(vc2l)[o], jnp.float32))
             tri_bvh = isec.bvh_to_device(fb)
+            if self.mesh_motion or self.camera1 is not None:
+                obj = np.concatenate(
+                    [np.full(len(mesh.faces), k, np.int32)
+                     for k, (mesh, _, _) in enumerate(self.tri_meshes)])
+                tri_obj_sorted = obj[o]
 
         # hair segments
         hair = hair_mat_id = hair_bvh = hair_packed = hair_swept = None
@@ -489,9 +513,22 @@ class SceneBuilder:
         marschner_rows = tuple(
             i for i, r in enumerate(self.materials)
             if r["kind"] == mat.MARSCHNER)
+        motion = None
+        if self.mesh_motion or self.camera1 is not None:
+            n_obj = max(len(self.tri_meshes), 1)
+            obj_m = np.tile(np.eye(4, dtype=np.float32), (n_obj, 1, 1))
+            for k, m4 in self.mesh_motion.items():
+                obj_m[k] = m4
+            motion = MotionTables(
+                tri_obj=(jnp.asarray(tri_obj_sorted)
+                         if tri_obj_sorted is not None else None),
+                obj_m=jnp.asarray(obj_m, jnp.float32),
+                cam1=self.camera1 if self.camera1 is not None else camera)
+
         return Scene(arrays=arrays, camera=camera, film=film, config=cfg,
                      active_kinds=active, marschner_rows=marschner_rows,
                      has_normal_maps=any(
                          int(r.get("nrm_tex_id", -1)) >= 0
                          for r in self.materials),
-                     medium=getattr(self, "medium", None))
+                     medium=getattr(self, "medium", None),
+                     motion=motion)

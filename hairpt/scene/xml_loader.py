@@ -96,6 +96,20 @@ def _collect_props(node, defines):
     return props
 
 
+def _parse_animation(node):
+    """<animation name="toWorld"> with <transform time="t"> keyframes →
+    AnimatedTransform (reference: AnimatedTransform XML syntax,
+    src/librender/scenehandler.cpp 'animation' tag + core/track.h)."""
+    if node is None:
+        return None
+    keys = [(float(tr.get("time", 0.0)), _parse_transform(tr))
+            for tr in node.findall("transform")]
+    if not keys:
+        return None
+    from ..core.track import AnimatedTransform
+    return AnimatedTransform(keys)
+
+
 def _parse_transform(node) -> np.ndarray:
     """Compose <matrix>/<translate>/<rotate>/<scale>/<lookat> children
     (applied in document order, like the reference's Transform stack)."""
@@ -418,11 +432,17 @@ def load_scene(path: str, defines: dict | None = None,
 
     # integrator
     max_depth = 65
+    integrator_type = "path"
+    motion_time = 1.0
     for integ in root.findall("integrator"):
         p = _collect_props(integ, defines)
         max_depth = p.get("maxDepth", 65)
-        if integ.get("type") == "direct":
+        integrator_type = integ.get("type") or "path"
+        if integrator_type == "direct":
             max_depth = 2
+        elif integrator_type == "motion":
+            # target-frame time of the motion vectors (motion.cpp docs)
+            motion_time = float(p.get("time", 1.0))
     if max_depth_override is not None:
         max_depth = max_depth_override
 
@@ -431,13 +451,19 @@ def load_scene(path: str, defines: dict | None = None,
     film = None
     spp = 16
     sampler_kind = 1
+    shutter_open = 0.0
+    sensor_anim = None
     for sensor in root.findall("sensor"):
         p = _collect_props(sensor, defines)
         fov = p.get("fov", 35.0)
+        shutter_open = float(p.get("shutterOpen", 0.0))
         to_world = np.eye(4)
         tr = sensor.find("transform")
         if tr is not None:
             to_world = _parse_transform(tr)
+        sensor_anim = _parse_animation(sensor.find("animation"))
+        if sensor_anim is not None:
+            to_world = sensor_anim.eval(shutter_open)
         sam = sensor.find("sampler")
         if sam is not None:
             sp = _collect_props(sam, defines)
@@ -486,6 +512,10 @@ def load_scene(path: str, defines: dict | None = None,
             aperture_radius=float(p.get("apertureRadius", 0.0)),
             focus_distance=float(p.get("focusDistance", 1.0)))
         cam = cam._replace(kc0=kc[0], kc1=kc[1] if len(kc) > 1 else 0.0)
+        if sensor_anim is not None:
+            import jax.numpy as jnp
+            b.camera1 = cam._replace(to_world=jnp.asarray(
+                sensor_anim.eval(motion_time), jnp.float32))
     if spp_override is not None:
         spp = spp_override
 
@@ -502,6 +532,14 @@ def load_scene(path: str, defines: dict | None = None,
         p = _collect_props(shape, defines)
         tr = shape.find("transform")
         to_world = _parse_transform(tr) if tr is not None else np.eye(4)
+        shape_anim = _parse_animation(shape.find("animation"))
+        motion_m = None
+        if shape_anim is not None:
+            to_world = shape_anim.eval(shutter_open)
+            # world-space relative motion frame→target (motion integrator)
+            motion_m = (shape_anim.eval(motion_time)
+                        @ np.linalg.inv(to_world)).astype(np.float32)
+        pre_mesh_count = len(b.tri_meshes)
         # subsurface dipole attached to the shape → DIPOLE material
         ss_el = shape.find("subsurface")
         dipole_mat = None
@@ -652,6 +690,9 @@ def load_scene(path: str, defines: dict | None = None,
                         else shp.load_serialized(f1)
                 b.add_mesh(shp.lerp_mesh(m0, m1, t_anim), mid,
                            to_world=to_world, radiance=radiance)
+        if motion_m is not None:
+            for k in range(pre_mesh_count, len(b.tri_meshes)):
+                b.mesh_motion[k] = motion_m
 
     # emitters
     for emit in root.findall("emitter"):
@@ -764,4 +805,5 @@ def load_scene(path: str, defines: dict | None = None,
                 **kk)
 
     return b.build(cam, film, spp=int(spp), max_depth=int(max_depth),
-                   sampler=sampler_kind, gamma=film.gamma)
+                   sampler=sampler_kind, gamma=film.gamma,
+                   integrator=integrator_type)

@@ -1,0 +1,95 @@
+"""Motion-vector integrator tests (reference: src/integrators/misc/motion.cpp,
+'d' path configuration): object motion, camera motion, XML <animation>
+parsing. Channel semantics: R,G = screen motion in pixel coords, B = change
+of camera distance, untrackable pixels = +inf."""
+import os
+import tempfile
+
+import numpy as np
+
+from hairpt.film.film import Film
+from hairpt.integrators.motion import render_motion
+from hairpt.models import shapes as shp
+from hairpt.models.bsdf import registry as mat
+from hairpt.models.sensors import Camera
+from hairpt.scene.scene import SceneBuilder
+
+
+def _translate(v):
+    m = np.eye(4)
+    m[:3, 3] = v
+    return m
+
+
+def _quad_scene(motion=None, camera1=None, W=64):
+    b = SceneBuilder()
+    mid = b.add_material(kind=mat.DIFFUSE, diffuse=(0.5, 0.5, 0.5))
+    b.add_mesh(shp.rectangle(), mid, to_world=_translate([0, 0, 3.0]),
+               motion=motion)
+    cam = Camera.perspective(np.eye(4), 90.0, W, W)
+    if camera1 is not None:
+        b.camera1 = cam._replace(
+            to_world=np.asarray(camera1, np.float32))
+    return b.build(cam, Film.make(W, W, "box"), spp=1, max_depth=2)
+
+
+def test_motion_object_translation():
+    # quad at z=3 moves +0.3 in world x; fov 90 (tan=1), 64px film:
+    # Δpx = W·(−0.5)·(dx/z)/tan = −3.2 exactly; depth stays 3 so the
+    # distance change equals |p+dx| − |p| at the actual hit point.
+    W, dx, z = 64, 0.3, 3.0
+    scene = _quad_scene(motion=_translate([dx, 0, 0]), W=W)
+    img = np.asarray(render_motion(scene))
+    v = img[W // 2, W // 2]
+    assert abs(v[0] - (-0.5 * W * dx / z)) < 1e-2
+    assert abs(v[1]) < 1e-2
+    xi = 1.0 - 2.0 * (W // 2 + 0.5) / W        # camera-space x/z at center
+    p0 = np.array([z * xi, z * xi, z])
+    exp_db = np.linalg.norm(p0 + [dx, 0, 0]) - np.linalg.norm(p0)
+    assert abs(v[2] - exp_db) < 1e-3
+    # corner pixel misses the quad → untrackable → +inf
+    assert not np.isfinite(img[1, 1]).any()
+
+
+def test_motion_camera_translation():
+    # static quad, camera moves +dc in x → apparent motion +0.5·W·dc/z px
+    W, dc, z = 64, 0.4, 3.0
+    scene = _quad_scene(camera1=_translate([dc, 0, 0]), W=W)
+    img = np.asarray(render_motion(scene))
+    v = img[W // 2, W // 2]
+    assert abs(v[0] - (0.5 * W * dc / z)) < 1e-2
+    assert abs(v[1]) < 1e-2
+
+
+XML = """<scene version="0.5.0">
+ <integrator type="motion"><float name="time" value="1"/></integrator>
+ <sensor type="perspective">
+  <float name="fov" value="90"/>
+  <film type="ldrfilm">
+   <integer name="width" value="32"/><integer name="height" value="32"/>
+  </film>
+  <sampler type="independent"><integer name="sampleCount" value="1"/></sampler>
+ </sensor>
+ <shape type="rectangle">
+  <animation name="toWorld">
+   <transform time="0"><translate z="3"/></transform>
+   <transform time="1"><translate x="0.3" z="3"/></transform>
+  </animation>
+  <bsdf type="diffuse"/>
+ </shape>
+</scene>"""
+
+
+def test_motion_xml_animation():
+    with tempfile.TemporaryDirectory() as td:
+        path = os.path.join(td, "scene.xml")
+        with open(path, "w") as f:
+            f.write(XML)
+        from hairpt.scene.xml_loader import load_scene
+        scene = load_scene(path)
+    assert scene.config.integrator == "motion"
+    assert scene.motion is not None
+    img = np.asarray(render_motion(scene))
+    v = img[16, 16]
+    assert abs(v[0] - (-0.5 * 32 * 0.3 / 3.0)) < 1e-2
+    assert abs(v[1]) < 1e-2
