@@ -44,13 +44,7 @@ class PhotonMap(NamedTuple):
     grid_res: int          # cells per axis (static)
 
 
-def _env_emit(scene: Scene, n: int, seed: int):
-    """Emit photons from the environment: importance-sample a direction,
-    start on a disk of radius R tangent to the scene's bounding sphere
-    (reference: envmap.cpp samplePosition/sampleDirection)."""
-    arr = scene.arrays
-    env = arr.env
-    # scene bounding sphere from geometry
+def _scene_bsphere(arr):
     los, his = [], []
     if arr.tri is not None:
         los.append(jnp.min(arr.tri.p0, axis=0))
@@ -62,23 +56,69 @@ def _env_emit(scene: Scene, n: int, seed: int):
     hi = jnp.max(jnp.stack(his), axis=0)
     center = 0.5 * (lo + hi)
     radius = 0.5 * jnp.linalg.norm(hi - lo) * 1.2 + 1e-3
+    return center, radius
+
+
+def _env_emit(scene: Scene, n: int, seed: int):
+    """Emit photons from every emitter group present — environment, area
+    lights, delta lights (point/spot/directional/collimated) — selecting a
+    group per photon with the scene's NEE probabilities. Replaces the
+    reference's per-plugin Emitter::sampleRay dispatch used by
+    ParticleProcess (particleproc.h, envmap/area/point/spot/directional/
+    collimated .cpp sampleRay)."""
+    arr = scene.arrays
+    center, radius = _scene_bsphere(arr)
+    from ..core import warps
+    from ..core.math import coordinate_system
 
     idx = jnp.arange(n, dtype=jnp.uint32)
     u_dir = rng.uniform_2d(idx, seed, 0)
-    d_env, le, pdf_dir = em.env_sample(env, u_dir)   # d_env points AT the env
-    d = -d_env                                       # photon travel direction
     u_disk = rng.uniform_2d(idx, seed, 2)
-    from ..core import warps
-    disk = warps.square_to_uniform_disk_concentric(u_disk) * radius
-    from ..core.math import coordinate_system
-    s, t = coordinate_system(d)
-    origin = center - d * radius[..., None] * 1.5 \
-        + s * disk[..., 0:1] + t * disk[..., 1:2]
-    # power: Φ_j = L(ω_j) / pdf(ω_j) × (π R²) / N
-    area = jnp.pi * radius * radius
-    power = le / jnp.maximum(pdf_dir, 1e-12)[..., None] * area / n
-    return Ray(o=origin, d=d, mint=jnp.zeros(n), maxt=jnp.full(n, jnp.inf)), \
-        power
+    u_grp = rng.uniform_1d(idx, seed, 4)
+    u_sel = rng.uniform_1d(idx, seed, 5)
+    u_tri = rng.uniform_2d(idx, seed, 6)
+
+    p_env, p_area, p_delta = scene.config.nee_probs
+    origin = jnp.broadcast_to(center, (n, 3))
+    d = jnp.zeros((n, 3), jnp.float32).at[:, 2].set(1.0)
+    power = jnp.zeros((n, 3), jnp.float32)
+    # group id per photon: cumulative probability inversion
+    grp = jnp.where(u_grp < p_env, 0,
+                    jnp.where(u_grp < p_env + p_area, 1, 2))
+
+    if arr.env is not None and p_env > 0:
+        # env: importance-sample a direction, start on a tangent disk of
+        # radius R (envmap.cpp samplePosition/sampleDirection);
+        # Φ_j = L(ω)/pdf(ω)·πR²
+        d_env, le, pdf_dir = em.env_sample(arr.env, u_dir)
+        d_e = -d_env
+        disk = warps.square_to_uniform_disk_concentric(u_disk) * radius
+        s, t = coordinate_system(d_e)
+        o_e = center - d_e * radius * 1.5 \
+            + s * disk[..., 0:1] + t * disk[..., 1:2]
+        pw_e = le / jnp.maximum(pdf_dir, 1e-12)[..., None] \
+            * (jnp.pi * radius * radius) / p_env
+        m = (grp == 0)[..., None]
+        origin = jnp.where(m, o_e, origin)
+        d = jnp.where(m, d_e, d)
+        power = jnp.where(m, pw_e, power)
+    if arr.area is not None and p_area > 0:
+        o_a, d_a, _, pw_a = em.area_emit(arr.area, u_sel, u_tri, u_dir)
+        m = (grp == 1)[..., None]
+        origin = jnp.where(m, o_a, origin)
+        d = jnp.where(m, d_a, d)
+        power = jnp.where(m, pw_a / p_area, power)
+    if arr.delta is not None and p_delta > 0:
+        o_d, d_d, pw_d = em.delta_emit(arr.delta, u_sel, u_dir, center,
+                                       radius)
+        m = (grp == 2)[..., None]
+        origin = jnp.where(m, o_d, origin)
+        d = jnp.where(m, d_d, d)
+        power = jnp.where(m, pw_d / p_delta, power)
+
+    eps = scene.config.ray_eps
+    return Ray(o=origin + d * eps, d=d, mint=jnp.zeros(n),
+               maxt=jnp.full(n, jnp.inf)), power / n
 
 
 def trace_photons(scene: Scene, n_photons: int, max_bounces: int = 4,

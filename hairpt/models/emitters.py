@@ -57,13 +57,18 @@ class AreaLights(NamedTuple):
 POINT = 0
 SPOT = 1
 DIRECTIONAL = 2
+COLLIMATED = 3
 
 
 class DeltaLights(NamedTuple):
-    """Point/spot/directional emitters (reference: src/emitters/{point,spot,
-    directional}.cpp). All are delta distributions: only reachable via NEE,
-    never by BSDF rays, so their MIS weight is 1."""
-    kind: jnp.ndarray       # [L] POINT/SPOT/DIRECTIONAL
+    """Point/spot/directional/collimated emitters (reference:
+    src/emitters/{point,spot,directional,collimated}.cpp). All are delta
+    distributions: only reachable via NEE, never by BSDF rays, so their MIS
+    weight is 1. A collimated beam is a delta in *both* position and
+    direction — direct sampling always fails (collimated.cpp:126-134
+    'Direct sampling always fails for a response function on a 0D space'),
+    so it contributes only through emitted rays (photon/particle tracing)."""
+    kind: jnp.ndarray       # [L] POINT/SPOT/DIRECTIONAL/COLLIMATED
     position: jnp.ndarray   # [L, 3]
     direction: jnp.ndarray  # [L, 3] spot axis / directional emit direction
     intensity: jnp.ndarray  # [L, 3] point/spot: W/sr; directional: W/m²
@@ -136,7 +141,86 @@ def delta_light_sample(dl: DeltaLights, p, u):
     contrib = jnp.where(is_dir[..., None], contrib_dir,
                         jnp.where(is_spot[..., None], contrib_spot,
                                   contrib_pt))
+    # collimated: direct sampling of a 0D response always fails
+    # (collimated.cpp:126-134)
+    contrib = jnp.where((kind == COLLIMATED)[..., None], 0.0, contrib)
     return d, dist, contrib, prob
+
+
+def delta_emit(dl: DeltaLights, u_sel, u_dir, center, radius):
+    """Sample an emitted ray from the delta-light set (light tracing /
+    photon shooting; reference: {point,spot,directional,collimated}.cpp
+    sampleRay). Returns (o [N,3], d [N,3], power [N,3]) where power is the
+    per-ray flux estimate Φ/pdf already divided by the selection prob
+    (caller divides by the photon count). center/radius describe the scene
+    bounding sphere (directional emitters start on a tangent disk)."""
+    from ..core import warps
+    from ..core.math import coordinate_system
+    nl = dl.cdf.shape[0]
+    l = jnp.clip(jnp.searchsorted(dl.cdf, u_sel), 0, nl - 1)
+    hi = dl.cdf[l]
+    lo = jnp.where(l > 0, dl.cdf[jnp.maximum(l - 1, 0)], 0.0)
+    prob = jnp.maximum(hi - lo, 1e-12)
+    kind = dl.kind[l]
+    pos = dl.position[l]
+    axis = dl.direction[l]
+    inten = dl.intensity[l]
+
+    # point: uniform sphere, Φ = 4π·I
+    d_sph = warps.square_to_uniform_sphere(u_dir)
+    pw_point = inten * (4.0 * jnp.pi)
+
+    # spot: uniform cone inside the cutoff, weighted by the falloff curve;
+    # Φ/pdf = I·2π(1−cosCutoff)·falloff (spot.cpp sampleRay)
+    cc = dl.cos_cutoff[l]
+    cb = dl.cos_beam[l]
+    s_a, t_a = coordinate_system(axis)
+    cone = warps.square_to_uniform_cone(u_dir, cc)
+    d_cone = s_a * cone[..., 0:1] + t_a * cone[..., 1:2] \
+        + axis * cone[..., 2:3]
+    cos_a = cone[..., 2]
+    fall = jnp.clip((cos_a - cc) / jnp.maximum(cb - cc, 1e-6), 0.0, 1.0)
+    fall = jnp.where(cos_a >= cb, 1.0, fall)
+    pw_spot = inten * (TWO_PI * (1.0 - cc))[..., None] * fall[..., None]
+
+    # directional: start on a tangent disk behind the scene; Φ = E·πR²
+    disk = warps.square_to_uniform_disk_concentric(u_dir) * radius
+    o_dir = center - axis * radius * 1.5 \
+        + s_a * disk[..., 0:1] + t_a * disk[..., 1:2]
+    pw_dir = inten * (jnp.pi * radius * radius)
+
+    # collimated: exact beam; the intensity field stores total power Φ
+    is_dir = (kind == DIRECTIONAL)[..., None]
+    is_coll = (kind == COLLIMATED)[..., None]
+    is_spot = (kind == SPOT)[..., None]
+    o = jnp.where(is_dir, o_dir, pos)
+    d = jnp.where(is_dir | is_coll, axis,
+                  jnp.where(is_spot, d_cone, d_sph))
+    pw = jnp.where(is_coll, inten,
+                   jnp.where(is_dir, pw_dir,
+                             jnp.where(is_spot, pw_spot, pw_point)))
+    return o, d, pw / prob[..., None]
+
+
+def area_emit(al: AreaLights, u_sel, u_tri, u_dir):
+    """Sample an emitted ray from the area-light set (area.cpp
+    samplePosition + cosine sampleDirection). Returns (o, d, n, power)
+    with power = L·π·A/p_sel (flux estimate, divided by selection prob)."""
+    from ..core import warps
+    from ..core.math import coordinate_system
+    nl = al.cdf.shape[0]
+    l = jnp.clip(jnp.searchsorted(al.cdf, u_sel), 0, nl - 1)
+    hi = al.cdf[l]
+    lo = jnp.where(l > 0, al.cdf[jnp.maximum(l - 1, 0)], 0.0)
+    prob = jnp.maximum(hi - lo, 1e-12)
+    b = warps.square_to_uniform_triangle(u_tri)
+    o = al.p0[l] + al.e1[l] * b[..., 0:1] + al.e2[l] * b[..., 1:2]
+    n = al.n[l]
+    s_a, t_a = coordinate_system(n)
+    loc = warps.square_to_cosine_hemisphere(u_dir)
+    d = s_a * loc[..., 0:1] + t_a * loc[..., 1:2] + n * loc[..., 2:3]
+    pw = al.radiance[l] * (jnp.pi * al.area[l] / prob)[..., None]
+    return o, d, n, pw
 
 
 # ---------------------------------------------------------------------------

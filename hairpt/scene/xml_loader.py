@@ -732,7 +732,7 @@ def load_scene(path: str, defines: dict | None = None,
         elif etype in ("point", "spot", "directional", "collimated"):
             kind = {"point": em.POINT, "spot": em.SPOT,
                     "directional": em.DIRECTIONAL,
-                    "collimated": em.DIRECTIONAL}[etype]
+                    "collimated": em.COLLIMATED}[etype]
             pos = p.get("position", tuple(to_world[:3, 3]))
             ddir = p.get("direction", tuple(to_world[:3, :3] @ [0, 0, 1]))
             inten = p.get("intensity",
