@@ -102,3 +102,20 @@ def test_sh_matches_scipy():
             np.testing.assert_allclose(basis[:, k], ref, atol=1e-4,
                                        err_msg=f"l={l} m={m}")
             k += 1
+
+
+def test_gauss_lobatto_adaptive():
+    # adaptive Gauss-Lobatto vs analytic integrals (reference:
+    # GaussLobattoIntegrator, src/libcore/quad.cpp:295-420)
+    from hairpt.core.quad import gauss_lobatto
+    assert abs(gauss_lobatto(np.sin, 0.0, np.pi, rel_err=1e-10) - 2.0) < 1e-8
+    assert abs(gauss_lobatto(np.exp, 0.0, 1.0, rel_err=1e-10)
+               - (np.e - 1.0)) < 1e-10
+    # integrable singularity-ish: sqrt on [0,1] = 2/3
+    assert abs(gauss_lobatto(np.sqrt, 0.0, 1.0, rel_err=1e-10)
+               - 2.0 / 3.0) < 1e-8
+    # oscillatory: ∫0^10 cos(x²) dx (Fresnel) vs a dense Simpson oracle
+    xs = np.linspace(0, 10, 200001)
+    oracle = np.trapezoid(np.cos(xs * xs), xs)
+    got = gauss_lobatto(lambda x: np.cos(x * x), 0.0, 10.0, rel_err=1e-10)
+    assert abs(got - oracle) < 1e-6
