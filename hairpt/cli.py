@@ -34,6 +34,9 @@ def main(argv=None):
                         "(Statistics::printStats parity)")
     r.add_argument("--cpu", action="store_true",
                    help="force the CPU backend")
+    r.add_argument("--bands", type=int, default=0,
+                   help="out-of-core: render N-row bands streamed to the "
+                        "output EXR (tiledhdrfilm parity; path only)")
     r.add_argument("--integrator", default=None,
                    help="override: path | direct | ao | field:<name> "
                         "(field names: distance, position, geoNormal, "
@@ -118,6 +121,17 @@ def main(argv=None):
         from .integrators import aux_integrators as aux
         name = integ.split(":", 1)[1] if ":" in integ else "shNormal"
         img = np.asarray(aux.render_field(scene, name))
+    elif args.bands > 0 or scene.config.tiled_film:
+        # out-of-core banded path render streamed straight to EXR
+        from .film.tiled import render_tiled_exr
+        out = args.output or "output.exr"
+        base = out.rsplit(".", 1)[0]
+        render_tiled_exr(scene, base + ".exr",
+                         band_rows=args.bands or 64, seed=args.seed)
+        print(f"[hairpt] streamed {base}.exr "
+              f"({scene.config.width}x{scene.config.height})",
+              file=sys.stderr)
+        return
     else:
         img = np.asarray(path_int.render(scene, seed=args.seed))
     t2 = time.time()

@@ -98,6 +98,7 @@ class RenderConfig:
     tiled_q: int = 128         # candidate clusters per 64-ray tile ('tiled')
     nee_probs: tuple = (1.0, 0.0, 0.0)  # (env, area, delta) selection probs
     integrator: str = "path"   # scene-XML integrator type (CLI default)
+    tiled_film: bool = False   # tiledhdrfilm: stream bands to disk
 
 
 class Scene(NamedTuple):

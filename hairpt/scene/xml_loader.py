@@ -453,6 +453,7 @@ def load_scene(path: str, defines: dict | None = None,
     sampler_kind = 1
     shutter_open = 0.0
     sensor_anim = None
+    tiled_film = False
     for sensor in root.findall("sensor"):
         p = _collect_props(sensor, defines)
         fov = p.get("fov", 35.0)
@@ -479,6 +480,7 @@ def load_scene(path: str, defines: dict | None = None,
                 sampler_kind = 0
         fm = sensor.find("film")
         w, h, gamma, rfilter = 768, 576, 2.2, "tent"
+        tiled_film = fm is not None and fm.get("type") == "tiledhdrfilm"
         if fm is not None:
             fp = _collect_props(fm, defines)
             w = fp.get("width", 768)
@@ -806,4 +808,4 @@ def load_scene(path: str, defines: dict | None = None,
 
     return b.build(cam, film, spp=int(spp), max_depth=int(max_depth),
                    sampler=sampler_kind, gamma=film.gamma,
-                   integrator=integrator_type)
+                   integrator=integrator_type, tiled_film=tiled_film)

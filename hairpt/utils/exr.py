@@ -68,6 +68,113 @@ def _attr(name: str, typ: str, data: bytes) -> bytes:
         + struct.pack("<i", len(data)) + data
 
 
+class ExrScanlineWriter:
+    """Incremental scanline-EXR writer: scanline bands are compressed and
+    appended as they arrive, so the full image never has to be resident —
+    the out-of-core accumulation mode of the reference's tiledhdrfilm
+    (src/films/tiledhdrfilm.cpp, which streams blocks through IlmImf's
+    TiledOutputFile). The chunk offset table is back-patched on close().
+
+    Usage:
+        w = ExrScanlineWriter(path, h, w, channels=3)
+        w.write_band(y0, band)   # bands in increasing-y order;
+                                 # y0 multiple of the compression block
+        w.close()
+    """
+
+    def __init__(self, path: str, height: int, width: int,
+                 channels: int = 3, *, half: bool = True,
+                 compression: str = "zip"):
+        self.h, self.w, self.c = height, width, channels
+        names = {1: ["Y"], 3: ["R", "G", "B"],
+                 4: ["R", "G", "B", "A"]}[channels]
+        self._comp = {"none": _COMP_NONE, "zips": _COMP_ZIPS,
+                      "zip": _COMP_ZIP}[compression]
+        self._dtype = np.float16 if half else np.float32
+        pt = _PT_HALF if half else _PT_FLOAT
+        # channel list, sorted by name (EXR requirement)
+        self._order = np.argsort(names)
+        chans = b""
+        for i in self._order:
+            chans += names[i].encode() + b"\0" + struct.pack(
+                "<iBBBBii", pt, 0, 0, 0, 0, 1, 1)
+        chans += b"\0"
+        box = struct.pack("<4i", 0, 0, width - 1, height - 1)
+        header = b"".join([
+            _attr("channels", "chlist", chans),
+            _attr("compression", "compression",
+                  struct.pack("<B", self._comp)),
+            _attr("dataWindow", "box2i", box),
+            _attr("displayWindow", "box2i", box),
+            _attr("lineOrder", "lineOrder", struct.pack("<B", 0)),
+            _attr("pixelAspectRatio", "float", struct.pack("<f", 1.0)),
+            _attr("screenWindowCenter", "v2f",
+                  struct.pack("<2f", 0.0, 0.0)),
+            _attr("screenWindowWidth", "float", struct.pack("<f", 1.0)),
+            b"\0",
+        ])
+        self.lpb = _LINES_PER_BLOCK[self._comp]
+        self._n_blocks = (height + self.lpb - 1) // self.lpb
+        self._offsets = []
+        self._next_y = 0
+        self._f = open(path, "wb")
+        self._f.write(struct.pack("<ii", _MAGIC, 2))
+        self._f.write(header)
+        self._table_pos = self._f.tell()
+        self._f.write(b"\0" * (8 * self._n_blocks))
+
+    def write_band(self, y0: int, band: np.ndarray) -> None:
+        """Append rows [y0, y0 + band.shape[0]). y0 must equal the next
+        unwritten row and be a multiple of the compression block size;
+        the band height must be a multiple too (except the final band)."""
+        band = np.asarray(band, np.float32)
+        if band.ndim == 2:
+            band = band[..., None]
+        ny, w, c = band.shape
+        if (y0, w, c) != (self._next_y, self.w, self.c):
+            raise ValueError("bands must arrive contiguous in y with the "
+                             "declared width/channels")
+        if y0 % self.lpb != 0:
+            raise ValueError(f"band start must align to {self.lpb} rows")
+        if ny % self.lpb != 0 and y0 + ny != self.h:
+            raise ValueError(f"band height must be a multiple of "
+                             f"{self.lpb} (except the last)")
+        pix = band.astype(self._dtype)
+        for b0 in range(0, ny, self.lpb):
+            nb = min(self.lpb, ny - b0)
+            rows = []
+            for y in range(b0, b0 + nb):
+                for i in self._order:
+                    rows.append(pix[y, :, i].tobytes())
+            raw = b"".join(rows)
+            if self._comp == _COMP_NONE:
+                data = raw
+            else:
+                z = _zip_compress(raw)
+                data = z if len(z) < len(raw) else raw
+            self._offsets.append(self._f.tell())
+            self._f.write(struct.pack("<ii", y0 + b0, len(data)))
+            self._f.write(data)
+        self._next_y = y0 + ny
+
+    def close(self) -> None:
+        if self._next_y != self.h:
+            raise ValueError(f"only {self._next_y}/{self.h} rows written")
+        self._f.seek(self._table_pos)
+        self._f.write(struct.pack(f"<{self._n_blocks}Q", *self._offsets))
+        self._f.close()
+
+    def __enter__(self):
+        return self
+
+    def __exit__(self, exc_type, *a):
+        if exc_type is None:
+            self.close()
+        else:
+            self._f.close()
+        return False
+
+
 def write_exr(path: str, img: np.ndarray, *, half: bool = True,
               compression: str = "zip") -> None:
     """Write [H, W] or [H, W, C] float data as scanline EXR.
@@ -80,69 +187,9 @@ def write_exr(path: str, img: np.ndarray, *, half: bool = True,
     if img.ndim == 2:
         img = img[..., None]
     h, w, c = img.shape
-    names = {1: ["Y"], 3: ["R", "G", "B"], 4: ["R", "G", "B", "A"]}[c]
-    comp = {"none": _COMP_NONE, "zips": _COMP_ZIPS, "zip": _COMP_ZIP}[
-        compression]
-    pt = _PT_HALF if half else _PT_FLOAT
-    dtype = np.float16 if half else np.float32
-    psize = 2 if half else 4
-
-    # channel list, sorted by name (EXR requirement)
-    order = np.argsort(names)  # alphabetical channel order in the file
-    chans = b""
-    for i in order:
-        chans += names[i].encode() + b"\0" + struct.pack(
-            "<iBBBBii", pt, 0, 0, 0, 0, 1, 1)
-    chans += b"\0"
-
-    box = struct.pack("<4i", 0, 0, w - 1, h - 1)
-    header = b"".join([
-        _attr("channels", "chlist", chans),
-        _attr("compression", "compression", struct.pack("<B", comp)),
-        _attr("dataWindow", "box2i", box),
-        _attr("displayWindow", "box2i", box),
-        _attr("lineOrder", "lineOrder", struct.pack("<B", 0)),
-        _attr("pixelAspectRatio", "float", struct.pack("<f", 1.0)),
-        _attr("screenWindowCenter", "v2f", struct.pack("<2f", 0.0, 0.0)),
-        _attr("screenWindowWidth", "float", struct.pack("<f", 1.0)),
-        b"\0",
-    ])
-
-    lpb = _LINES_PER_BLOCK[comp]
-    n_blocks = (h + lpb - 1) // lpb
-    pix = img.astype(dtype)
-
-    chunks = []
-    for blk in range(n_blocks):
-        y0 = blk * lpb
-        ny = min(lpb, h - y0)
-        # raw layout: per scanline, channels in file (alphabetical) order
-        rows = []
-        for y in range(y0, y0 + ny):
-            for i in order:
-                rows.append(pix[y, :, i].tobytes())
-        raw = b"".join(rows)
-        if comp == _COMP_NONE:
-            data = raw
-        else:
-            z = _zip_compress(raw)
-            data = z if len(z) < len(raw) else raw
-        chunks.append((y0, data))
-
-    with open(path, "wb") as f:
-        f.write(struct.pack("<ii", _MAGIC, 2))
-        f.write(header)
-        # scanline offset table placeholder
-        table_pos = f.tell()
-        f.write(b"\0" * (8 * n_blocks))
-        offsets = []
-        for y0, data in chunks:
-            offsets.append(f.tell())
-            f.write(struct.pack("<ii", y0, len(data)))
-            f.write(data)
-        f.seek(table_pos)
-        f.write(struct.pack(f"<{n_blocks}Q", *offsets))
-    del w, psize  # (w used via img shape; kept for clarity)
+    with ExrScanlineWriter(path, h, w, c, half=half,
+                           compression=compression) as out:
+        out.write_band(0, img)
 
 
 # ---------------------------------------------------------------------------
