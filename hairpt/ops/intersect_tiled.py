@@ -254,13 +254,13 @@ def tiled_closest_hit(sw: SweptHair, ray: Ray, n_clusters: int, K: int,
     slots, cnt, tmin, tscale, overflow = _tile_slots(mask, te, q_max)
 
     from .pallas_tiled import tiled_phase_b
-    # early exit pays only for any-hit queries (a shadow ray stops at its
-    # first occluder); for closest-hit the per-iteration scalar check
-    # costs more than the saved clusters (measured on v5e)
+    # ordered traversal: slots are sorted by tile entry-t with suffix-min
+    # bounds, so both query modes check the exit condition every slot
+    # (re-measured a net win for closest-hit too after the miter hoist)
     t_tiles, p_tiles = tiled_phase_b(
         slots, cnt, tmin, tscale, rays8, t_pmax_t, sw.seg_rows_t, K, q_max,
         any_hit=(mode == "any"), interpret=(impl == "interpret"),
-        exit_every=(1 if mode == "any" else 10 ** 6))
+        exit_every=1)
     t = t_tiles.reshape(Np)[:N]
     p = p_tiles.reshape(Np)[:N]
     if order is not None:

@@ -83,11 +83,18 @@ def _cyl_test(rows, rays):
     t_near = t_mid - dt
     t_far = t_mid + dt
 
+    # miter-plane tests hoisted to t-linear form: h0(t) = (o + t·d − p0)·n0
+    # = r·n0 + t·(d·n0); h1(t) = (r − (p1−p0))·n1 + t·(d·n1). Reuses the
+    # r = o − p0 components computed above — saves ~15 [CH, K] VPU ops per
+    # test vs re-evaluating the hit point for each root.
+    on0 = rx * n0x + ry * n0y + rz * n0z
+    dn0 = dx * n0x + dy * n0y + dz * n0z
+    sn1 = sx * n1x + sy * n1y + sz * n1z          # (p1−p0)·n1, [1, K]
+    on1 = rx * n1x + ry * n1y + rz * n1z - sn1
+    dn1 = dx * n1x + dy * n1y + dz * n1z
+
     def miter_ok(t):
-        px, py, pz = ox + dx * t, oy + dy * t, oz + dz * t
-        h0 = (px - p0x) * n0x + (py - p0y) * n0y + (pz - p0z) * n0z
-        h1 = (px - p1x) * n1x + (py - p1y) * n1y + (pz - p1z) * n1z
-        return (h0 >= 0.0) & (h1 <= 0.0)
+        return (on0 + t * dn0 >= 0.0) & (on1 + t * dn1 <= 0.0)
 
     near_ok = ok & (t_near >= mint2) & (t_near <= maxt2) & miter_ok(t_near)
     far_ok = ok & (t_far >= mint2) & (t_far <= maxt2) & miter_ok(t_far)
@@ -359,29 +366,36 @@ def _cull_kernel(rays_ref,     # VMEM [GROUP_T, TILE, 8] (ray-major)
         # dead rays (maxt <= mint, incl. tile padding) must never hit
         maxt_eff = jnp.where(maxt > mint, maxt, -inf)
 
-        tpmax = jnp.full(mint.shape, -1.0, jnp.float32)   # [TILE, 1]
-        for c0 in range(0, c_pad, CULL_CH):
-            tn = None
-            tf = None
-            for ax in range(3):
-                lo = bounds_ref[ax:ax + 1, c0:c0 + CULL_CH]      # [1, CH]
-                hi = bounds_ref[ax + 3:ax + 4, c0:c0 + CULL_CH]
-                a0 = (lo - o[ax]) * inv_d[ax]                    # [TILE, CH]
-                a1 = (hi - o[ax]) * inv_d[ax]
-                lo_ax = jnp.minimum(a0, a1)
-                hi_ax = jnp.maximum(a0, a1)
-                tn = lo_ax if tn is None else jnp.maximum(tn, lo_ax)
-                tf = hi_ax if tf is None else jnp.minimum(tf, hi_ax)
-            tf = tf * 1.00000024 + 1e-7
-            hit = (tn <= tf) & (tf >= mint) & (tn <= maxt_eff)
-            tn0 = jnp.maximum(tn, 0.0)
-            t_in = jnp.where(hit, tn0, inf)            # [TILE, CH]
-            te_ref[g:g + 1, c0:c0 + CULL_CH] = \
-                jnp.min(t_in, axis=0, keepdims=True)
-            tpmax = jnp.maximum(
-                tpmax, jnp.max(jnp.where(hit, tn0, -1.0), axis=1,
-                               keepdims=True))
-        tpmax_ref[g] = tpmax
+        # fully-dead tiles (common at deep bounces — the Morton resort
+        # groups dead lanes last) skip the slab math entirely
+        te_ref[g:g + 1, :] = jnp.full((1, c_pad), inf, jnp.float32)
+        tpmax_ref[g] = jnp.full(mint.shape, -1.0, jnp.float32)
+
+        @pl.when(jnp.any(maxt > mint))
+        def _(o=o, inv_d=inv_d, mint=mint, maxt_eff=maxt_eff):
+            tpmax = jnp.full(mint.shape, -1.0, jnp.float32)   # [TILE, 1]
+            for c0 in range(0, c_pad, CULL_CH):
+                tn = None
+                tf = None
+                for ax in range(3):
+                    lo = bounds_ref[ax:ax + 1, c0:c0 + CULL_CH]  # [1, CH]
+                    hi = bounds_ref[ax + 3:ax + 4, c0:c0 + CULL_CH]
+                    a0 = (lo - o[ax]) * inv_d[ax]               # [TILE, CH]
+                    a1 = (hi - o[ax]) * inv_d[ax]
+                    lo_ax = jnp.minimum(a0, a1)
+                    hi_ax = jnp.maximum(a0, a1)
+                    tn = lo_ax if tn is None else jnp.maximum(tn, lo_ax)
+                    tf = hi_ax if tf is None else jnp.minimum(tf, hi_ax)
+                tf = tf * 1.00000024 + 1e-7
+                hit = (tn <= tf) & (tf >= mint) & (tn <= maxt_eff)
+                tn0 = jnp.maximum(tn, 0.0)
+                t_in = jnp.where(hit, tn0, inf)            # [TILE, CH]
+                te_ref[g:g + 1, c0:c0 + CULL_CH] = \
+                    jnp.min(t_in, axis=0, keepdims=True)
+                tpmax = jnp.maximum(
+                    tpmax, jnp.max(jnp.where(hit, tn0, -1.0), axis=1,
+                                   keepdims=True))
+            tpmax_ref[g] = tpmax
 
 
 @functools.partial(jax.jit, static_argnames=("interpret",))
