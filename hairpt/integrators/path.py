@@ -45,6 +45,9 @@ D_BSDF_LOBE = 3
 D_BSDF_U2 = 4
 D_BSDF_U2B = 6
 D_RR = 8
+D_SSS_DIST = 9              # single-scatter interior distance
+D_SSS_SEL = 10              # single-scatter light selection
+D_SSS_POS = 11              # +12: single-scatter light position
 
 
 def _swept_params(cfg):
@@ -185,6 +188,86 @@ def _pdf_emitter_hit(arr, cfg, hit: Hit, d):
         on = hit.valid & (hit.emitter_id >= 0) & (cos_l > 1e-6)
         pdf = jnp.where(on, pdf_area * p_area, pdf)
     return pdf
+
+
+def _single_scatter(arr, cfg, p, n, wo_world, params, sel,
+                    u_dist, u_sel, u_pos):
+    """Single scattering through the refractive boundary (capability
+    counterpart of src/subsurface/singlescatter.cpp LoSingle, using the
+    classical Jensen et al. 2001 estimator rather than Holzschuch's exact
+    point-line construction): refract the view ray into the medium, sample
+    one scatter point along it (truncated-exponential in the interior
+    chord), connect to a light through the boundary with the Snell-
+    corrected inside distance s'_i = s_i·|ω·n| / sqrt(1 − (1/η)²(1−|ω·n|²))
+    (Jensen eq. 13), attenuate by both interior path lengths and both
+    Fresnel transmittances. Returns [N, 3] radiance; lanes with sel=False
+    trace degenerate rays and return 0."""
+    from ..models.bsdf.fresnel import fresnel_dielectric
+
+    eta = params.eta
+    cos_o = jnp.maximum(dot(wo_world, n), 0.0)
+    r_o, _ = fresnel_dielectric(cos_o, eta)
+    sin2_t = (1.0 - cos_o * cos_o) / (eta * eta)
+    cos_t = jnp.sqrt(jnp.maximum(1.0 - sin2_t, 0.0))
+    w_in = -wo_world / eta + ((cos_o / eta - cos_t))[..., None] * n
+
+    # interior chord length along the refracted ray
+    o_in = p - n * cfg.ray_eps
+    nray = p.shape[0]
+    r0 = Ray(o=o_in, d=w_in, mint=jnp.zeros(nray),
+             maxt=jnp.where(sel, jnp.inf, 0.0))
+    hx0 = scene_intersect(arr, r0, cfg.traversal, cfg.block,
+                          _swept_params(cfg), sort_rays=True)
+    s_max = jnp.where(hx0.valid, hx0.t, 0.0)
+
+    sig_s = params.sigma_s * params.scale
+    sig_t = sig_s + params.sigma_a * params.scale
+    sig_bar = jnp.mean(sig_t)
+    cdf_max = 1.0 - jnp.exp(-sig_bar * s_max)
+    s = -jnp.log1p(-u_dist * cdf_max) / sig_bar
+    pdf_s = sig_bar * jnp.exp(-sig_bar * s) / jnp.maximum(cdf_max, 1e-12)
+    x_s = o_in + w_in * s[..., None]
+
+    ok = sel & hx0.valid & (cdf_max > 1e-6)
+    d_nee, dist_nee, le, pdf_nee, _ = _sample_emitter_direct(
+        arr, cfg, x_s, u_sel, u_pos)
+    ok = ok & (pdf_nee > 0)
+
+    # boundary exit point towards the light
+    r1 = Ray(o=x_s, d=d_nee, mint=jnp.zeros(nray),
+             maxt=jnp.where(ok, jnp.inf, 0.0))
+    hx1 = scene_intersect(arr, r1, cfg.traversal, cfg.block,
+                          _swept_params(cfg), sort_rays=True)
+    ok = ok & hx1.valid
+    si = jnp.where(hx1.valid, hx1.t, 0.0)
+    cos_exit = jnp.abs(dot(d_nee, hx1.geo_n))
+    denom = jnp.sqrt(jnp.maximum(
+        1.0 - (1.0 - cos_exit * cos_exit) / (eta * eta), 1e-6))
+    s_i = si * cos_exit / denom                      # Jensen eq. 13
+    r_i, _ = fresnel_dielectric(cos_exit, eta)
+
+    # shadow ray from the exit point onward to the light
+    n_out = jnp.where(dot(hx1.geo_n, d_nee)[..., None] > 0,
+                      hx1.geo_n, -hx1.geo_n)
+    sh = Ray(o=hx1.p + n_out * cfg.ray_eps, d=d_nee,
+             mint=jnp.zeros(nray),
+             maxt=jnp.where(ok, dist_nee - si - 2 * cfg.ray_eps, 0.0))
+    occ = scene_occluded(arr, sh, cfg.traversal, cfg.block,
+                         _swept_params(cfg), sort_rays=True)
+    ok = ok & ~occ
+
+    # HG phase between the interior propagation dir and the light dir
+    g = jnp.float32(params.g)
+    cos_ph = dot(w_in, d_nee)
+    ph = (1.0 - g * g) / (4.0 * jnp.pi * jnp.maximum(
+        1.0 + g * g + 2.0 * g * cos_ph, 1e-6) ** 1.5)
+
+    tr = jnp.exp(-sig_t[None, :] * (s + s_i)[..., None])
+    lo = sig_s[None, :] * tr * le \
+        * (ph * (1.0 - r_o) * (1.0 - r_i)
+           / (jnp.maximum(pdf_nee, 1e-20)
+              * jnp.maximum(pdf_s, 1e-20)))[..., None]
+    return jnp.where(ok[..., None], lo, 0.0)
 
 
 def make_li_fn(scene: Scene, differentiable: bool = False,
@@ -335,7 +418,16 @@ def make_li_fn(scene: Scene, differentiable: bool = False,
                     and arr.sss is not None:
                 from ..models import subsurface as sss_mod
                 is_sss = active & (gm.kind == mat.DIPOLE)
-                lo_sss = sss_mod.sss_radiance(arr.sss, hit.p, wi[..., 2])
+                if cfg.sss_single:
+                    lo_sss = _single_scatter(
+                        arr, cfg, hit.p, sh_n, wi_world, arr.sss.params,
+                        is_sss,
+                        s1(pixel_idx, sample_idx, dims + D_SSS_DIST),
+                        s1(pixel_idx, sample_idx, dims + D_SSS_SEL),
+                        s2(pixel_idx, sample_idx, dims + D_SSS_POS))
+                else:
+                    lo_sss = sss_mod.sss_radiance(arr.sss, hit.p,
+                                                  wi[..., 2])
                 li_acc = li_acc + jnp.where(is_sss[..., None],
                                             st.throughput * lo_sss, 0.0)
                 active = active & ~is_sss

@@ -66,19 +66,29 @@ def attach_dipole(scene: Scene, n_samples: int = 4096,
     sel = kinds[mids] == mat.DIPOLE
     if not sel.any():
         return scene
-    p0 = np.asarray(arr.tri.p0)[sel]
-    e1 = np.asarray(arr.tri.e1)[sel]
-    e2 = np.asarray(arr.tri.e2)[sel]
-    pos, nrm, area = sss_mod.sample_surface_points((p0, e1, e2), n_samples,
-                                                   seed)
-    irr = compute_irradiance(scene, pos, nrm, k_light_samples, seed)
     # dipole parameters from the first dipole material row
     row = int(np.nonzero(kinds == mat.DIPOLE)[0][0])
     params = sss_mod.SSSParams(
         sigma_s=arr.materials.transmit[row],
         sigma_a=arr.materials.sigma_a[row],
         eta=arr.materials.eta[row],
-        scale=arr.materials.mix_w[row])
+        scale=arr.materials.mix_w[row],
+        g=scene.config.sss_g)
+    if scene.config.sss_single:
+        # single scattering needs no irradiance prepass — the path tracer
+        # marches the refracted view ray at shading time (reference:
+        # src/subsurface/singlescatter.cpp LoSingle); a 1-sample pool
+        # carries just the parameters
+        z1 = jnp.zeros((1, 3), jnp.float32)
+        sss = sss_mod.build_sss(z1, z1, jnp.zeros((1,), jnp.float32),
+                                params)
+        return scene._replace(arrays=arr._replace(sss=sss))
+    p0 = np.asarray(arr.tri.p0)[sel]
+    e1 = np.asarray(arr.tri.e1)[sel]
+    e2 = np.asarray(arr.tri.e2)[sel]
+    pos, nrm, area = sss_mod.sample_surface_points((p0, e1, e2), n_samples,
+                                                   seed)
+    irr = compute_irradiance(scene, pos, nrm, k_light_samples, seed)
     sss = sss_mod.build_sss(jnp.asarray(pos), irr, jnp.asarray(area),
                             params)
     return scene._replace(arrays=arr._replace(sss=sss))

@@ -29,6 +29,7 @@ class SSSParams(NamedTuple):
     sigma_a: jnp.ndarray   # [3]
     eta: jnp.ndarray       # []
     scale: jnp.ndarray     # [] global density scale
+    g: float = 0.0         # HG anisotropy (single-scatter term only)
 
 
 class SSSSamples(NamedTuple):

@@ -99,6 +99,8 @@ class RenderConfig:
     nee_probs: tuple = (1.0, 0.0, 0.0)  # (env, area, delta) selection probs
     integrator: str = "path"   # scene-XML integrator type (CLI default)
     tiled_film: bool = False   # tiledhdrfilm: stream bands to disk
+    sss_single: bool = False   # subsurface: single scattering (vs dipole)
+    sss_g: float = 0.0         # HG anisotropy for single scattering
 
 
 class Scene(NamedTuple):

@@ -529,6 +529,8 @@ def load_scene(path: str, defines: dict | None = None,
 
     # shapes
     shape_groups = {}
+    sss_single = False
+    sss_g = 0.0
     for shape in root.findall("shape"):
         stype = shape.get("type")
         p = _collect_props(shape, defines)
@@ -545,7 +547,8 @@ def load_scene(path: str, defines: dict | None = None,
         # subsurface dipole attached to the shape → DIPOLE material
         ss_el = shape.find("subsurface")
         dipole_mat = None
-        if ss_el is not None and ss_el.get("type") == "dipole":
+        if ss_el is not None and ss_el.get("type") in ("dipole",
+                                                       "singlescatter"):
             sp2 = _collect_props(ss_el, defines)
             int_ior = sp2.get("intIOR", 1.5)
             if isinstance(int_ior, str):
@@ -555,6 +558,11 @@ def load_scene(path: str, defines: dict | None = None,
                 transmit=sp2.get("sigmaS", (2.6, 3.2, 3.9)),
                 sigma_a=sp2.get("sigmaA", (0.0021, 0.0041, 0.0071)),
                 eta=float(int_ior), mix_w=float(sp2.get("scale", 1.0)))
+            if ss_el.get("type") == "singlescatter":
+                # single scattering through the refractive boundary
+                # (reference: src/subsurface/singlescatter.cpp)
+                sss_single = True
+                sss_g = float(sp2.get("g", 0.0))
         # material: <ref id> or inline bsdf
         mid = None
         ref = shape.find("ref")
@@ -808,4 +816,5 @@ def load_scene(path: str, defines: dict | None = None,
 
     return b.build(cam, film, spp=int(spp), max_depth=int(max_depth),
                    sampler=sampler_kind, gamma=film.gamma,
-                   integrator=integrator_type, tiled_film=tiled_film)
+                   integrator=integrator_type, tiled_film=tiled_film,
+                   sss_single=sss_single, sss_g=sss_g)
