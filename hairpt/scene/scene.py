@@ -101,6 +101,7 @@ class RenderConfig:
     tiled_film: bool = False   # tiledhdrfilm: stream bands to disk
     sss_single: bool = False   # subsurface: single scattering (vs dipole)
     sss_g: float = 0.0         # HG anisotropy for single scattering
+    motion_config: str = "d"   # motion integrator path config (d | rd)
 
 
 class Scene(NamedTuple):

@@ -434,6 +434,7 @@ def load_scene(path: str, defines: dict | None = None,
     max_depth = 65
     integrator_type = "path"
     motion_time = 1.0
+    motion_cfg = "d"
     for integ in root.findall("integrator"):
         p = _collect_props(integ, defines)
         max_depth = p.get("maxDepth", 65)
@@ -441,8 +442,14 @@ def load_scene(path: str, defines: dict | None = None,
         if integrator_type == "direct":
             max_depth = 2
         elif integrator_type == "motion":
-            # target-frame time of the motion vectors (motion.cpp docs)
-            motion_time = float(p.get("time", 1.0))
+            # the reference overloads `time`: a float is the target-frame
+            # time, a string is the path configuration (motion.cpp docs)
+            t = p.get("time", 1.0)
+            if isinstance(t, str) and not t.replace(".", "", 1).isdigit():
+                motion_cfg = t
+            else:
+                motion_time = float(t)
+            motion_cfg = p.get("config", motion_cfg)
     if max_depth_override is not None:
         max_depth = max_depth_override
 
@@ -817,4 +824,5 @@ def load_scene(path: str, defines: dict | None = None,
     return b.build(cam, film, spp=int(spp), max_depth=int(max_depth),
                    sampler=sampler_kind, gamma=film.gamma,
                    integrator=integrator_type, tiled_film=tiled_film,
-                   sss_single=sss_single, sss_g=sss_g)
+                   sss_single=sss_single, sss_g=sss_g,
+                   motion_config=motion_cfg)

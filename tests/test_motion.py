@@ -93,3 +93,29 @@ def test_motion_xml_animation():
     v = img[16, 16]
     assert abs(v[0] - (-0.5 * 32 * 0.3 / 3.0)) < 1e-2
     assert abs(v[1]) < 1e-2
+
+
+def test_motion_rd_mirror():
+    """'rd' config: a quad behind the camera moves +dx, observed through a
+    plane mirror at z=3. The virtual image sits at the mirrored depth
+    (6 - z_quad = 8 from the camera), so the apparent pixel shift is
+    −0.5·W·dx/8 — the manifold walk must re-solve the mirror vertex."""
+    from hairpt.models.bsdf import registry as mat
+    W, dx = 64, 0.4
+    b = SceneBuilder()
+    mirror = b.add_material(kind=mat.CONDUCTOR, diffuse=(1.0, 1.0, 1.0))
+    diff = b.add_material(kind=mat.DIFFUSE, diffuse=(0.5, 0.5, 0.5))
+    m3 = _translate([0, 0, 3.0])
+    m3[0, 0] = m3[1, 1] = 3.0          # large mirror
+    b.add_mesh(shp.rectangle(), mirror, to_world=m3)
+    mq = _translate([0, 0, -2.0])
+    b.add_mesh(shp.rectangle(), diff, to_world=mq,
+               motion=_translate([dx, 0, 0]))
+    cam = Camera.perspective(np.eye(4), 90.0, W, W)
+    scene = b.build(cam, Film.make(W, W, "box"), spp=1, max_depth=3)
+    img = np.asarray(render_motion(scene, config="rd"))
+    v = img[W // 2, W // 2]
+    z_virtual = 8.0
+    assert np.isfinite(v).all()
+    assert abs(v[0] - (-0.5 * W * dx / z_virtual)) < 0.05, v
+    assert abs(v[1]) < 0.05
