@@ -109,8 +109,8 @@ def _env_emit(scene: Scene, n: int, seed: int):
         d = jnp.where(m, d_a, d)
         power = jnp.where(m, pw_a / p_area, power)
     if arr.delta is not None and p_delta > 0:
-        o_d, d_d, pw_d = em.delta_emit(arr.delta, u_sel, u_dir, center,
-                                       radius)
+        o_d, d_d, pw_d, _ = em.delta_emit(arr.delta, u_sel, u_dir, center,
+                                          radius)
         m = (grp == 2)[..., None]
         origin = jnp.where(m, o_d, origin)
         d = jnp.where(m, d_d, d)

@@ -199,7 +199,7 @@ def delta_emit(dl: DeltaLights, u_sel, u_dir, center, radius):
     pw = jnp.where(is_coll, inten,
                    jnp.where(is_dir, pw_dir,
                              jnp.where(is_spot, pw_spot, pw_point)))
-    return o, d, pw / prob[..., None]
+    return o, d, pw / prob[..., None], (l, prob)
 
 
 def area_emit(al: AreaLights, u_sel, u_tri, u_dir):

@@ -129,3 +129,34 @@ def test_irrcache_matches_path_tracer():
     # irradiance caching is an approximation: 1-bounce indirect only
     assert abs(m_ic - m_pt) / m_pt < 0.35, (m_pt, m_ic)
     assert m_ic > 0
+
+
+def test_ptracer_point_light_matches_path_tracer():
+    """Particle tracing from a POINT light (Emitter::sampleRay parity —
+    no area light in the scene) must converge to the PT/NEE image."""
+    from hairpt.integrators import ptracer
+    from hairpt.models import emitters as em
+    from hairpt.models import shapes as shp
+    from hairpt.models.bsdf import registry as mat
+    from hairpt.models.sensors import Camera
+    from hairpt.film.film import Film
+    from hairpt.scene.scene import SceneBuilder
+
+    b = SceneBuilder()
+    mid = b.add_material(kind=mat.DIFFUSE, diffuse=(0.6, 0.5, 0.4),
+                         twosided=True)
+    t = np.eye(4)
+    t[:3, 3] = [0, 0, 3]
+    t[0, 0] = t[1, 1] = 2.0
+    b.add_mesh(shp.rectangle(), mid, to_world=t)
+    b.delta_lights.append(dict(kind=em.POINT, position=(0.5, 0.5, 0.5),
+                               intensity=(3.0, 3.0, 3.0)))
+    cam = Camera.perspective(np.eye(4), 70.0, 16, 16)
+    scene = b.build(cam, Film.make(16, 16, "box"), spp=32, max_depth=3)
+    img_pt = np.asarray(path_int.render(scene, spp=32))
+    img_lt = np.asarray(ptracer.render_ptracer(scene, n_paths=1 << 14,
+                                               s_max=3, seed=4))
+    assert np.isfinite(img_lt).all() and (img_lt >= 0).all()
+    m_pt, m_lt = img_pt.mean(), img_lt.mean()
+    assert m_pt > 1e-4
+    assert abs(m_lt - m_pt) / m_pt < 0.15, (m_pt, m_lt)

@@ -16,7 +16,7 @@ def test_point_emit_energy():
                                     intensity=(2.0, 1.0, 0.5))])
     n = 4096
     u = np.random.RandomState(0).rand(n, 3).astype(np.float32)
-    o, d, pw = em.delta_emit(dl, jnp.asarray(u[:, 0]),
+    o, d, pw, _ = em.delta_emit(dl, jnp.asarray(u[:, 0]),
                              jnp.asarray(u[:, 1:3]),
                              jnp.zeros(3), jnp.float32(1.0))
     assert np.allclose(np.asarray(o), [1, 2, 3])
@@ -33,7 +33,7 @@ def test_collimated_emit_exact_and_nee_zero():
                                     direction=(0, -1, 0), intensity=phi)])
     n = 16
     u = np.random.RandomState(1).rand(n, 3).astype(np.float32)
-    o, d, pw = em.delta_emit(dl, jnp.asarray(u[:, 0]),
+    o, d, pw, _ = em.delta_emit(dl, jnp.asarray(u[:, 0]),
                              jnp.asarray(u[:, 1:3]),
                              jnp.zeros(3), jnp.float32(1.0))
     assert np.allclose(np.asarray(o), [0, 5, 0])
@@ -56,7 +56,7 @@ def test_spot_emit_energy():
     n = 1 << 15
     rs = np.random.RandomState(3)
     u = rs.rand(n, 3).astype(np.float32)
-    o, d, pw = em.delta_emit(dl, jnp.asarray(u[:, 0]),
+    o, d, pw, _ = em.delta_emit(dl, jnp.asarray(u[:, 0]),
                              jnp.asarray(u[:, 1:3]),
                              jnp.zeros(3), jnp.float32(1.0))
     d = np.asarray(d)
