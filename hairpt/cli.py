@@ -32,6 +32,14 @@ def main(argv=None):
     r.add_argument("--stats", action="store_true",
                    help="print the render-statistics table at exit "
                         "(Statistics::printStats parity)")
+    r.add_argument("-v", "--verbose", action="count", default=0,
+                   help="-v debug, -vv trace (mitsuba -v parity)")
+    r.add_argument("-q", "--quiet", action="store_true",
+                   help="warnings and errors only")
+    r.add_argument("-l", "--log", default=None,
+                   help="also append the log to this file")
+    r.add_argument("-w", "--warn-error", action="store_true",
+                   help="treat warnings as errors (mitsuba -w)")
     r.add_argument("--cpu", action="store_true",
                    help="force the CPU backend")
     r.add_argument("--bands", type=int, default=0,
@@ -42,6 +50,11 @@ def main(argv=None):
                         "(field names: distance, position, geoNormal, "
                         "shNormal, uv, albedo, primIndex)")
     args = ap.parse_args(argv)
+
+    from .utils import log as log_mod
+    logger = log_mod.setup(verbosity=args.verbose, quiet=args.quiet,
+                           logfile=args.log,
+                           warnings_as_errors=args.warn_error)
 
     import jax
     if args.cpu:
@@ -62,15 +75,15 @@ def main(argv=None):
                        hair_quality=args.hair_quality,
                        max_depth_override=args.depth)
     t1 = time.time()
-    print(f"[hairpt] scene built in {t1 - t0:.2f}s "
-          f"({scene.config.width}x{scene.config.height} @ {scene.config.spp}"
-          f"spp, depth {scene.config.max_depth})", file=sys.stderr)
+    logger.info("scene built in %.2fs (%dx%d @ %dspp, depth %d)",
+                t1 - t0, scene.config.width, scene.config.height,
+                scene.config.spp, scene.config.max_depth)
 
     from .models.bsdf import registry as _mat
     if _mat.DIPOLE in scene.active_kinds:
         from .integrators.sss import attach_dipole
         scene = attach_dipole(scene)
-        print("[hairpt] dipole irradiance prepass done", file=sys.stderr)
+        logger.info("dipole irradiance prepass done")
 
     # no CLI override → the scene XML's integrator type (mitsuba parity)
     integ = args.integrator or scene.config.integrator or "path"
@@ -128,17 +141,15 @@ def main(argv=None):
         base = out.rsplit(".", 1)[0]
         render_tiled_exr(scene, base + ".exr",
                          band_rows=args.bands or 64, seed=args.seed)
-        print(f"[hairpt] streamed {base}.exr "
-              f"({scene.config.width}x{scene.config.height})",
-              file=sys.stderr)
+        logger.info("streamed %s.exr (%dx%d)", base,
+                    scene.config.width, scene.config.height)
         return
     else:
         img = np.asarray(path_int.render(scene, seed=args.seed))
     t2 = time.time()
     n_rays_lb = scene.config.width * scene.config.height * scene.config.spp
-    print(f"[hairpt] rendered in {t2 - t1:.2f}s "
-          f"(≥{n_rays_lb / max(t2 - t1, 1e-9) / 1e6:.2f} Mprimary-rays/s)",
-          file=sys.stderr)
+    logger.info("rendered in %.2fs (≥%.2f Mprimary-rays/s)", t2 - t1,
+                n_rays_lb / max(t2 - t1, 1e-9) / 1e6)
     if getattr(args, "stats", False):
         # counter report at exit (reference: Statistics::printStats,
         # mitsuba.cpp:408)
@@ -157,7 +168,7 @@ def main(argv=None):
         exr_utils.write_exr(base + ".exr", img)
     io_utils.write_npy(base + ".npy", img)
     io_utils.write_pfm(base + ".pfm", img)
-    print(f"[hairpt] wrote {base}.{{png,exr,npy,pfm}}", file=sys.stderr)
+    logger.info("wrote %s.{png,exr,npy,pfm}", base)
 
 
 if __name__ == "__main__":

@@ -260,7 +260,7 @@ def tiled_closest_hit(sw: SweptHair, ray: Ray, n_clusters: int, K: int,
     t_tiles, p_tiles = tiled_phase_b(
         slots, cnt, tmin, tscale, rays8, t_pmax_t, sw.seg_rows_t, K, q_max,
         any_hit=(mode == "any"), interpret=(impl == "interpret"),
-        exit_every=1)
+        exit_every=1, unroll=2)
     t = t_tiles.reshape(Np)[:N]
     p = p_tiles.reshape(Np)[:N]
     if order is not None:

@@ -220,7 +220,7 @@ def _tiled_kernel(slots_ref,            # scalar prefetch [T * q_max] packed
                   sems=None,            # DMA semaphores [n_buf]
                   *, q_max: int, any_hit: bool, exit_every: int = 1,
                   nop: bool = False, mxu: bool = False, n_buf: int = 2,
-                  resident: bool = False):
+                  resident: bool = False, unroll: int = 1):
     i = pl.program_id(0)
 
     t_out_ref[...] = jnp.full(t_out_ref.shape, jnp.inf, jnp.float32)
@@ -277,6 +277,31 @@ def _tiled_kernel(slots_ref,            # scalar prefetch [T * q_max] packed
 
             def body(carry):
                 q, _ = carry
+                if resident and unroll > 1 and not nop and not mxu:
+                    # k-slot unroll: independent cylinder tests per
+                    # iteration interleave their dependency chains (the
+                    # sqrt→cmp→select tail otherwise leaves the VPU idle;
+                    # measured 34→23 ms on the furball camera wave at k=2)
+                    t_u, p_u = None, None
+                    for k in range(unroll):
+                        qk = jnp.minimum(q + k, n_q - 1)
+                        tqk, pqk = _cyl_test(seg_rows_hbm[cid(qk)], rays)
+                        if k > 0:
+                            # drop duplicates past the end of the list
+                            tqk = jnp.where(q + k < n_q, tqk, jnp.inf)
+                        if t_u is None:
+                            t_u, p_u = tqk, pqk
+                        else:
+                            take = tqk < t_u
+                            t_u = jnp.where(take, tqk, t_u)
+                            p_u = jnp.where(take, pqk, p_u)
+                    prev_t = t_out_ref[g]
+                    better = t_u < prev_t
+                    t_out_ref[g] = jnp.where(better, t_u, prev_t)
+                    pid_out_ref[g] = jnp.where(better, p_u,
+                                               pid_out_ref[g])
+                    q_next = jnp.minimum(q + unroll, n_q)
+                    return q_next, resolved(q_next - 1)
                 if resident:
                     rows = seg_rows_hbm[cid(q)]      # VMEM dynamic slice
                 else:
@@ -441,12 +466,12 @@ VMEM_RESIDENT_BYTES = 10 * 1024 * 1024
 @functools.partial(jax.jit,
                    static_argnames=("K", "q_max", "any_hit", "interpret",
                                     "exit_every", "nop", "mxu", "n_buf",
-                                    "resident"))
+                                    "resident", "unroll"))
 def tiled_phase_b(slots, cnt, tmin, tscale, rays8, t_pmax, seg_rows,
                   K: int, q_max: int, any_hit: bool = False,
                   interpret: bool = False, exit_every: int = 1,
                   nop: bool = False, mxu: bool = False, n_buf: int = 2,
-                  resident: bool | None = None):
+                  resident: bool | None = None, unroll: int = 1):
     """Run the tiled kernel. slots [T, q_max] (packed cluster|bound),
     cnt/tmin/tscale [T], rays8 [T, 8, TILE], t_pmax [T, TILE],
     seg_rows [C, PRIM_F, K] → (t [T, TILE], pid [T, TILE]).
@@ -503,7 +528,7 @@ def tiled_phase_b(slots, cnt, tmin, tscale, rays8, t_pmax, seg_rows,
     t, pid = pl.pallas_call(
         functools.partial(_tiled_kernel, q_max=q_max, any_hit=any_hit,
                           exit_every=exit_every, nop=nop, mxu=mxu,
-                          n_buf=n_buf, resident=resident),
+                          n_buf=n_buf, resident=resident, unroll=unroll),
         out_shape=(jax.ShapeDtypeStruct((T_pad, TILE), jnp.float32),
                    jax.ShapeDtypeStruct((T_pad, TILE), jnp.int32)),
         grid_spec=grid_spec,

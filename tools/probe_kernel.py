@@ -52,6 +52,8 @@ for label, kw in [
     ("full exit=1", dict(nop=False, exit_every=1)),
     ("full exit=4", dict(nop=False, exit_every=4)),
     ("nop exit=4", dict(nop=True, exit_every=4)),
+    ("full exit=1 unroll=2", dict(nop=False, exit_every=1, unroll=2)),
+    ("full exit=1 unroll=4", dict(nop=False, exit_every=1, unroll=4)),
 ]:
     f = jax.jit(lambda s, c, tm, ts, r8, tp, rows, kw=kw: tiled_phase_b(
         s, c, tm, ts, r8, tp, rows, K, q_max, **kw))
