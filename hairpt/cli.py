@@ -17,6 +17,56 @@ import time
 import numpy as np
 
 
+def _read_any(path):
+    from .utils import io as io_utils
+    p = path.lower()
+    if p.endswith(".npy"):
+        return np.load(path).astype(np.float32)
+    if p.endswith(".pfm"):
+        return io_utils.read_pfm(path)
+    if p.endswith(".hdr"):
+        return io_utils.read_hdr(path)
+    if p.endswith(".exr"):
+        from .utils import exr as exr_utils
+        return exr_utils.read_exr(path)[..., :3]
+    raise ValueError(f"unsupported input format: {path}")
+
+
+def _write_any(path, img):
+    from .utils import io as io_utils
+    p = path.lower()
+    if p.endswith(".npy"):
+        np.save(path, img)
+    elif p.endswith(".pfm"):
+        io_utils.write_pfm(path, img)
+    elif p.endswith(".exr"):
+        from .utils import exr as exr_utils
+        exr_utils.write_exr(path, img)
+    else:
+        io_utils.write_png(path, img)
+
+
+def _util_main(args):
+    """mtsutil-parity image tools: tonemap (HDR→gamma PNG), addimages
+    (weighted blend), joinrgb (three single-channel images → RGB)."""
+    from .utils import io as io_utils
+    imgs = [_read_any(p) for p in args.inputs]
+    if args.tool == "tonemap":
+        out = io_utils.tonemap_srgb(imgs[0], args.gamma)
+        io_utils.write_png(args.output, out)
+    elif args.tool == "addimages":
+        w = [float(x) for x in args.weights.split(",")] \
+            if args.weights else [1.0] * len(imgs)
+        out = sum(wi * im for wi, im in zip(w, imgs))
+        _write_any(args.output, np.asarray(out, np.float32))
+    else:  # joinrgb
+        assert len(imgs) == 3, "joinrgb needs R, G, B inputs"
+        chans = [im if im.ndim == 2 else im[..., 0] for im in imgs]
+        _write_any(args.output, np.stack(chans, -1).astype(np.float32))
+    print(f"[hairpt] wrote {args.output}", file=sys.stderr)
+    return 0
+
+
 def main(argv=None):
     ap = argparse.ArgumentParser(prog="hairpt")
     sub = ap.add_subparsers(dest="cmd", required=True)
@@ -49,7 +99,20 @@ def main(argv=None):
                    help="override: path | direct | ao | field:<name> "
                         "(field names: distance, position, geoNormal, "
                         "shNormal, uv, albedo, primIndex)")
+    # utility subcommands (reference: mtsutil plugins src/utils/{tonemap,
+    # addimages,joinrgb}.cpp)
+    u = sub.add_parser("util")
+    u.add_argument("tool", choices=["tonemap", "addimages", "joinrgb"])
+    u.add_argument("inputs", nargs="+",
+                   help="input images (.npy/.pfm/.exr/.hdr)")
+    u.add_argument("-o", "--output", required=True)
+    u.add_argument("--gamma", type=float, default=2.2)
+    u.add_argument("--weights", default=None,
+                   help="comma-separated blend weights (addimages)")
+
     args = ap.parse_args(argv)
+    if args.cmd == "util":
+        return _util_main(args)
 
     from .utils import log as log_mod
     logger = log_mod.setup(verbosity=args.verbose, quiet=args.quiet,
