@@ -33,6 +33,22 @@ def default_mesh(n_devices: int | None = None) -> Mesh:
     return Mesh(np.array(devs), ("tiles",))
 
 
+def multihost_mesh(n_hosts: int, chips_per_host: int,
+                   devices=None) -> Mesh:
+    """2-D (hosts × chips) mesh: pixels shard over BOTH axes, so the film
+    reduction becomes a hierarchical psum — XLA rides ICI within a host
+    and DCN across hosts (the TPU-native replacement for the reference's
+    node tree of RemoteWorkers, sched_remote.cpp). Under
+    jax.distributed the device array is globally ordered host-major, so
+    rows of the mesh align with physical hosts."""
+    devs = list(devices) if devices is not None else jax.devices()
+    need = n_hosts * chips_per_host
+    if len(devs) < need:
+        raise RuntimeError(f"need {need} devices, have {len(devs)}")
+    return Mesh(np.array(devs[:need]).reshape(n_hosts, chips_per_host),
+                ("hosts", "chips"))
+
+
 def _padded_pixels(n_pix: int, n_dev: int):
     pad = (-n_pix) % n_dev
     return n_pix + pad
@@ -48,9 +64,10 @@ def make_sharded_wave(scene: Scene, mesh: Mesh, differentiable: bool = False):
     li = path_int.make_li_fn(scene, differentiable=differentiable)
     fl = scene.film
     arr_specs = jax.tree.map(lambda _: P(), scene.arrays)
+    axes = tuple(mesh.axis_names)   # 1-D ("tiles",) or 2-D (hosts, chips)
 
     @partial(jax.shard_map, mesh=mesh,
-             in_specs=(arr_specs, P("tiles"), P("tiles")),
+             in_specs=(arr_specs, P(axes), P(axes)),
              out_specs=(P(), P()), check_vma=False)
     def wave_shard(arr, pixel_idx, sample_idx):
         radiance, pos, _ = li(arr, pixel_idx, sample_idx)
@@ -62,8 +79,8 @@ def make_sharded_wave(scene: Scene, mesh: Mesh, differentiable: bool = False):
         image, weight = film_mod.zeros(fl)
         image, weight = film_mod.splat_samples(fl, pos, radiance, image,
                                                weight)
-        image = jax.lax.psum(image, "tiles")
-        weight = jax.lax.psum(weight, "tiles")
+        image = jax.lax.psum(image, axes)
+        weight = jax.lax.psum(weight, axes)
         return image, weight
 
     def wave(sample_id, image, weight):
@@ -103,12 +120,13 @@ def make_train_step(scene: Scene, mesh: Mesh, target, spp: int = 1,
 
     li = path_int.make_li_fn(scene, differentiable=True)
     arr_specs = jax.tree.map(lambda _: P(), scene.arrays)
+    axes = tuple(mesh.axis_names)
 
     def loss(params, seed):
         arrays = inverse_mod.apply_params(scene, params)
 
         @partial(jax.shard_map, mesh=mesh,
-                 in_specs=(arr_specs, P("tiles"), P("tiles")),
+                 in_specs=(arr_specs, P(axes), P(axes)),
                  out_specs=(P(), P()), check_vma=False)
         def wave_shard(arr, pixel_idx, sample_idx):
             radiance, pos, _ = li(arr, pixel_idx, sample_idx)
@@ -118,7 +136,7 @@ def make_train_step(scene: Scene, mesh: Mesh, target, spp: int = 1,
             image, weight = film_mod.zeros(fl)
             image, weight = film_mod.splat_samples(fl, pos, radiance, image,
                                                    weight)
-            return jax.lax.psum(image, "tiles"), jax.lax.psum(weight, "tiles")
+            return jax.lax.psum(image, axes), jax.lax.psum(weight, axes)
 
         image, weight = film_mod.zeros(fl)
         for s in range(spp):

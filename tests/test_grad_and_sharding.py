@@ -118,3 +118,27 @@ def test_sharded_train_step_runs():
     params, loss = step(params, jnp.uint32(0))
     assert np.isfinite(float(loss))
     assert np.isfinite(np.asarray(params["sigma_a"])).all()
+
+
+def test_multihost_mesh_parity():
+    """2-D (hosts × chips) mesh on 8 virtual devices (2×4): the
+    hierarchically psum-reduced render must match the 1-device image, and
+    the sharded train step must run (the multi-host code path, minus real
+    DCN)."""
+    import jax
+    import jax.numpy as jnp
+    from hairpt.parallel import mesh as pmesh
+
+    scene = _diffuse_scene()
+    ref = np.asarray(path_int.render(scene, spp=2))
+    m = pmesh.multihost_mesh(2, 4)
+    got = np.asarray(pmesh.render_sharded(scene, mesh=m, spp=2))
+    np.testing.assert_allclose(got, ref, rtol=2e-4, atol=2e-5)
+
+    hs = _hair_scene(8, 8)
+    target = jnp.zeros((8, 8, 3), jnp.float32)
+    step = pmesh.make_train_step(hs, m, target, spp=1, lr=0.05)
+    params = {"sigma_a": hs.arrays.materials.sigma_a,
+              "beta_r": hs.arrays.materials.beta_r}
+    params, loss = step(params, jnp.uint32(0))
+    assert np.isfinite(float(loss))
