@@ -611,8 +611,20 @@ def render(scene: Scene, seed: int = 0, spp: int | None = None,
     image, weight = film_mod.zeros(fl)
     total_rays = 0.0
     stats.start_timer("render")
+    # motion blur: sample index s gets the stratified shutter time t_s and
+    # the geometry re-posed host-side — identical array shapes, so the one
+    # jitted wave serves every time (reference: per-ray time drawn in
+    # [shutterOpen, shutterClose), sensor.cpp; here time is stratified
+    # over sample indices instead, equivalent at spp samples/pixel)
+    blur = scene.rebuild_geo is not None \
+        and scene.shutter[1] > scene.shutter[0]
     for s in range(spp):
-        image, weight, n_rays = wave(scene.arrays,
+        arrs = scene.arrays
+        if blur:
+            t_s = scene.shutter[0] + (s + 0.5) / spp \
+                * (scene.shutter[1] - scene.shutter[0])
+            arrs = scene.rebuild_geo(t_s)
+        image, weight, n_rays = wave(arrs,
                                      jnp.uint32(s + seed * 65536), image,
                                      weight)
         total_rays += float(n_rays)

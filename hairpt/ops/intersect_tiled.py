@@ -251,11 +251,22 @@ def tiled_closest_hit(sw: SweptHair, ray: Ray, n_clusters: int, K: int,
     from .pallas_tiled import tiled_phase_b
     # ordered traversal: slots are sorted by tile entry-t with suffix-min
     # bounds, so both query modes check the exit condition every slot
-    # (re-measured a net win for closest-hit too after the miter hoist)
-    t_tiles, p_tiles = tiled_phase_b(
-        slots, cnt, tmin, tscale, rays8, t_pmax_t, sw.seg_rows_t, K, q_max,
-        any_hit=(mode == "any"), interpret=(impl == "interpret"),
-        exit_every=1, unroll=2)
+    # (re-measured a net win for closest-hit too after the miter hoist).
+    # The packed slot table is scalar-prefetched into SMEM (1 MB budget)
+    # → chunk the call over tiles at high resolutions.
+    t_chunk = max(1, (1 << 17) // q_max)     # ≤ 0.5 MB of int32 slots
+    tt, pp = [], []
+    for c0_ in range(0, T, t_chunk):
+        sl = slice(c0_, min(c0_ + t_chunk, T))
+        t_c, p_c = tiled_phase_b(
+            slots[sl], cnt[sl], tmin[sl], tscale[sl], rays8[sl],
+            t_pmax_t[sl], sw.seg_rows_t, K, q_max,
+            any_hit=(mode == "any"), interpret=(impl == "interpret"),
+            exit_every=1, unroll=2)
+        tt.append(t_c)
+        pp.append(p_c)
+    t_tiles = tt[0] if len(tt) == 1 else jnp.concatenate(tt)
+    p_tiles = pp[0] if len(pp) == 1 else jnp.concatenate(pp)
     t = t_tiles.reshape(Np)[:N]
     p = p_tiles.reshape(Np)[:N]
     if order is not None:

@@ -114,6 +114,10 @@ class Scene(NamedTuple):
     has_normal_maps: bool = False  # static: any normal/bump-mapped material
     medium: object = None      # Medium/HeteroMedium for volpath (optional)
     motion: object = None      # MotionTables (motion-vector integrator)
+    rebuild_geo: object = None  # callable t → SceneArrays (motion blur);
+    #                             shapes match `arrays`, so one jit serves
+    #                             every shutter time
+    shutter: tuple = (0.0, 0.0)  # (open, close) — close > open ⇒ blur
 
 
 def _uv_density(uv0, uv1, uv2, e1, e2):
@@ -162,6 +166,8 @@ class SceneBuilder:
         self.medium = None         # optional Medium/HeteroMedium (volpath)
         self.mesh_motion = {}      # mesh index → 4x4 relative motion (world)
         self.camera1 = None        # Camera at the motion target time
+        self.animated_meshes = {}  # mesh index → AnimatedTransform
+        self.shutter = (0.0, 0.0)  # (open, close); close > open ⇒ blur
         self.curvature_mats = set()  # mat ids whose texture is curvature
         self.curvature_scale = 1.0
         self.config_kwargs = {}
@@ -517,6 +523,34 @@ class SceneBuilder:
         marschner_rows = tuple(
             i for i, r in enumerate(self.materials)
             if r["kind"] == mat.MARSCHNER)
+        # motion blur: a host-side geometry re-pose for an arbitrary
+        # shutter time. Meshes are stored in shutter-open world space, so
+        # time t applies the relative rigid motion T(t)·T(open)⁻¹; the
+        # rebuilt arrays have identical shapes, letting one jitted wave
+        # serve every shutter time (reference counterpart: per-ray
+        # AnimatedTransform evaluation during traversal, trimesh/instance
+        # animation — here time is stratified per sample index instead).
+        rebuild = None
+        if self.animated_meshes:
+            cam_b, film_b = camera, film
+            kwargs_b = dict(config_kwargs)
+            t_open = float(self.shutter[0])
+
+            def rebuild(t, _b=self):
+                import copy
+                b2 = copy.copy(_b)
+                b2.tri_meshes = list(_b.tri_meshes)
+                b2.animated_meshes = {}
+                b2.mesh_motion = {}
+                b2.camera1 = None
+                for k, anim in _b.animated_meshes.items():
+                    rel = (anim.eval(float(t))
+                           @ np.linalg.inv(anim.eval(t_open)))
+                    mesh0, mid, eid = _b.tri_meshes[k]
+                    b2.tri_meshes[k] = (shp.transform_mesh(mesh0, rel),
+                                        mid, eid)
+                return b2.build(cam_b, film_b, **kwargs_b).arrays
+
         motion = None
         if self.mesh_motion or self.camera1 is not None:
             n_obj = max(len(self.tri_meshes), 1)
@@ -535,4 +569,5 @@ class SceneBuilder:
                          int(r.get("nrm_tex_id", -1)) >= 0
                          for r in self.materials),
                      medium=getattr(self, "medium", None),
-                     motion=motion)
+                     motion=motion, rebuild_geo=rebuild,
+                     shutter=tuple(self.shutter))

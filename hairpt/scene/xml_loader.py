@@ -465,6 +465,8 @@ def load_scene(path: str, defines: dict | None = None,
         p = _collect_props(sensor, defines)
         fov = p.get("fov", 35.0)
         shutter_open = float(p.get("shutterOpen", 0.0))
+        b.shutter = (shutter_open,
+                     float(p.get("shutterClose", shutter_open)))
         to_world = np.eye(4)
         tr = sensor.find("transform")
         if tr is not None:
@@ -710,6 +712,9 @@ def load_scene(path: str, defines: dict | None = None,
         if motion_m is not None:
             for k in range(pre_mesh_count, len(b.tri_meshes)):
                 b.mesh_motion[k] = motion_m
+                # animated shapes also drive shutter-time re-posing
+                # (motion blur when shutterClose > shutterOpen)
+                b.animated_meshes[k] = shape_anim
 
     # emitters
     for emit in root.findall("emitter"):
