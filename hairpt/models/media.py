@@ -180,6 +180,61 @@ def sample_distance(medium: Medium, u_channel, u_dist, t_max):
 
 
 # ---------------------------------------------------------------------------
+# shape-bounded media: a table of homogeneous media indexed per lane.
+# Row 0 is always vacuum. The reference attaches Medium objects to shapes
+# as interior/exterior references (Shape::setInteriorMedium,
+# src/librender/shape.cpp; scene XML <medium name="interior">) and the
+# integrator tracks the current medium across refractive/null boundaries
+# (volpath.cpp rRec.medium handling). Here that becomes a per-lane int32
+# medium id indexing this table.
+# ---------------------------------------------------------------------------
+
+class MediumTable(NamedTuple):
+    sigma_t: jnp.ndarray   # [M, 3] extinction (row 0 = vacuum = 0)
+    albedo: jnp.ndarray    # [M, 3]
+    g: jnp.ndarray         # [M] HG asymmetry (0 = isotropic)
+
+
+def make_medium_table(entries) -> MediumTable:
+    """entries: list of dicts with sigma_s/sigma_a/g. A vacuum row is
+    prepended, so medium ids in the scene are 1-based (0 = no medium)."""
+    import numpy as np
+    rows_t, rows_a, rows_g = [np.zeros(3, np.float32)], \
+        [np.zeros(3, np.float32)], [0.0]
+    for e in entries:
+        ss = np.asarray(e.get("sigma_s", (0.5,) * 3), np.float32)
+        sa = np.asarray(e.get("sigma_a", (0.1,) * 3), np.float32)
+        st = ss + sa
+        rows_t.append(st)
+        rows_a.append(ss / np.maximum(st, 1e-8))
+        rows_g.append(float(e.get("g", 0.0)))
+    return MediumTable(sigma_t=jnp.asarray(np.stack(rows_t)),
+                       albedo=jnp.asarray(np.stack(rows_a)),
+                       g=jnp.asarray(np.asarray(rows_g, np.float32)))
+
+
+def sample_distance_lane(sig_t, albedo, u_channel, u_dist, t_max):
+    """Per-lane spectral-MIS free flight: sig_t/albedo are [N, 3] gathered
+    from a MediumTable. Same estimator as sample_distance; vacuum lanes
+    (σ=0) always reach the surface with weight 1."""
+    c = jnp.clip((u_channel * 3).astype(jnp.int32), 0, 2)
+    sig_c = jnp.take_along_axis(sig_t, c[:, None], axis=1)[:, 0]
+    d = -jnp.log(jnp.maximum(1.0 - u_dist, 1e-20)) \
+        / jnp.maximum(sig_c, 1e-8)
+    d = jnp.where(sig_c > 0, d, jnp.inf)
+    is_medium = d < t_max
+    d = jnp.minimum(d, t_max)
+
+    tr = jnp.exp(-sig_t * jnp.minimum(d, 1e30)[..., None])   # [N, 3]
+    pdf_med = jnp.mean(sig_t * tr, axis=-1)
+    pdf_surf = jnp.mean(tr, axis=-1)
+    sigma_s = sig_t * albedo
+    w_med = tr * sigma_s / jnp.maximum(pdf_med, 1e-20)[..., None]
+    w_surf = tr / jnp.maximum(pdf_surf, 1e-20)[..., None]
+    return d, is_medium, jnp.where(is_medium[..., None], w_med, w_surf)
+
+
+# ---------------------------------------------------------------------------
 # heterogeneous media: grid volumes + Woodcock (delta) tracking
 # (reference: src/volume/gridvolume.cpp, src/medium/heterogeneous.cpp)
 # ---------------------------------------------------------------------------

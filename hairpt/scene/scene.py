@@ -73,6 +73,9 @@ class SceneArrays(NamedTuple):
     area: Optional[em.AreaLights]
     delta: Optional[em.DeltaLights]
     sss: object = None      # Optional[subsurface.SSSSamples] (dipole)
+    tri_med: object = None  # Optional [Ntri, 2] int32 (interior, exterior)
+    #                         medium ids per triangle (0 = vacuum)
+    media: object = None    # Optional med.MediumTable (shape-bounded)
 
 
 @dataclasses.dataclass(frozen=True)
@@ -168,6 +171,8 @@ class SceneBuilder:
         self.camera1 = None        # Camera at the motion target time
         self.animated_meshes = {}  # mesh index → AnimatedTransform
         self.shutter = (0.0, 0.0)  # (open, close); close > open ⇒ blur
+        self.media_rows = []       # shape-bounded media (1-based ids)
+        self.mesh_media = {}       # mesh index → (interior_id, exterior_id)
         self.curvature_mats = set()  # mat ids whose texture is curvature
         self.curvature_scale = 1.0
         self.config_kwargs = {}
@@ -299,6 +304,12 @@ class SceneBuilder:
     def add_fibers(self, fs: hairgen.FiberSet, mat_id: int):
         self.fibers.append((fs, mat_id))
 
+    def add_medium(self, sigma_s, sigma_a, g=0.0) -> int:
+        """Register a shape-boundable homogeneous medium; returns its
+        1-based id (0 = vacuum) for add_mesh-era mesh_media entries."""
+        self.media_rows.append(dict(sigma_s=sigma_s, sigma_a=sigma_a, g=g))
+        return len(self.media_rows)
+
     # -- finalize ----------------------------------------------------------
 
     def build(self, camera: Camera, film: Film, **config_kwargs) -> Scene:
@@ -323,6 +334,7 @@ class SceneBuilder:
         # triangles
         tri = tri_shading = tri_bvh = tri_packed = None
         tri_obj_sorted = None
+        tri_med_sorted = None
         if self.tri_meshes:
             v0l, v1l, v2l, n0l, n1l, n2l = [], [], [], [], [], []
             uv0l, uv1l, uv2l, midl, eidl = [], [], [], [], []
@@ -392,6 +404,12 @@ class SceneBuilder:
                     [np.full(len(mesh.faces), k, np.int32)
                      for k, (mesh, _, _) in enumerate(self.tri_meshes)])
                 tri_obj_sorted = obj[o]
+            if self.mesh_media:
+                tm = np.concatenate(
+                    [np.tile(np.asarray(self.mesh_media.get(k, (0, 0)),
+                                        np.int32), (len(mesh.faces), 1))
+                     for k, (mesh, _, _) in enumerate(self.tri_meshes)])
+                tri_med_sorted = tm[o]
 
         # hair segments
         hair = hair_mat_id = hair_bvh = hair_packed = hair_swept = None
@@ -511,6 +529,11 @@ class SceneBuilder:
         probs = tuple((1.0 / n_src) if p else 0.0 for p in present)
         cfg = dataclasses.replace(cfg, nee_probs=probs)
 
+        media_table = None
+        if self.media_rows and tri_med_sorted is not None:
+            from ..models import media as med_mod
+            media_table = med_mod.make_medium_table(self.media_rows)
+
         arrays = SceneArrays(tri=tri, tri_shading=tri_shading,
                              tri_bvh=tri_bvh, tri_packed=tri_packed,
                              hair=hair,
@@ -518,7 +541,11 @@ class SceneBuilder:
                              hair_packed=hair_packed, hair_swept=hair_swept,
                              materials=materials, checkers=checkers,
                              hair_tables=hair_tables, env=self.env,
-                             area=area, delta=delta)
+                             area=area, delta=delta,
+                             tri_med=(jnp.asarray(tri_med_sorted)
+                                      if tri_med_sorted is not None
+                                      else None),
+                             media=media_table)
         active = tuple(sorted({int(r["kind"]) for r in self.materials}))
         marschner_rows = tuple(
             i for i, r in enumerate(self.materials)

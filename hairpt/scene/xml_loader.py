@@ -585,6 +585,22 @@ def load_scene(path: str, defines: dict | None = None,
                                               scene_dir))
         if dipole_mat is not None:
             mid = dipole_mat  # subsurface overrides the surface BSDF
+        # shape-bounded participating media (reference:
+        # Shape::setInterior/ExteriorMedium; <medium name="interior">)
+        med_int = med_ext = 0
+        for md_el in shape.findall("medium"):
+            mp2 = _collect_props(md_el, defines)
+            med_id = b.add_medium(mp2.get("sigmaS", (0.5, 0.5, 0.5)),
+                                  mp2.get("sigmaA", (0.1, 0.1, 0.1)),
+                                  g=float(mp2.get("g", 0.0)))
+            if md_el.get("name") == "exterior":
+                med_ext = med_id
+            else:
+                med_int = med_id
+        if mid is None and (med_int or med_ext):
+            # medium boundary without a BSDF = index-matched transparent
+            # interface (the reference's implicit null boundary)
+            mid = b.add_material(kind=mat.NULL)
         if mid is None:
             mid = b.add_material(kind=mat.DIFFUSE)
         # emissive?
@@ -715,6 +731,9 @@ def load_scene(path: str, defines: dict | None = None,
                 # animated shapes also drive shutter-time re-posing
                 # (motion blur when shutterClose > shutterOpen)
                 b.animated_meshes[k] = shape_anim
+        if med_int or med_ext:
+            for k in range(pre_mesh_count, len(b.tri_meshes)):
+                b.mesh_media[k] = (med_int, med_ext)
 
     # emitters
     for emit in root.findall("emitter"):
