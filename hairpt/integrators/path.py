@@ -316,16 +316,20 @@ def make_li_fn(scene: Scene, differentiable: bool = False,
                              axis=-1)
         return rng.next_2d(smode, pix, smp, dim)
 
-    def li(arr, pixel_idx, sample_idx, uniforms=None):
+    def li(arr, pixel_idx, sample_idx, uniforms=None, cam_to_world=None):
         if n_uniform_dims > 0:
             _U[0] = uniforms
+        # camera motion blur: the per-wave shutter-time pose arrives as a
+        # traced [4,4] (shapes identical → one compile for all times)
+        cam_l = cam if cam_to_world is None \
+            else cam._replace(to_world=cam_to_world)
         n = pixel_idx.shape[0]
         px = (pixel_idx % cfg.width).astype(jnp.float32)
         py = (pixel_idx // cfg.width).astype(jnp.float32)
         jitter = s2(pixel_idx, sample_idx, DIM_CAM_POS)
         pos = jnp.stack([px + jitter[..., 0], py + jitter[..., 1]], axis=-1)
         ap = s2(pixel_idx, sample_idx, DIM_CAM_APERTURE)
-        ray = sensors.sample_ray(cam, pos, ap)
+        ray = sensors.sample_ray(cam_l, pos, ap)
 
         hit0 = scene_intersect(arr, ray, cfg.traversal, cfg.block,
                                _swept_params(cfg))
@@ -595,13 +599,14 @@ def render(scene: Scene, seed: int = 0, spp: int | None = None,
     swz = block_swizzle(cfg.width, cfg.height)
 
     @jax.jit
-    def wave(arr, sample_id, image, weight):
+    def wave(arr, ctw, sample_id, image, weight):
         # 8×8-block pixel order keeps each 64-ray intersector tile
         # spatially tight (see block_swizzle)
         pixel_idx = swz if swz is not None \
             else jnp.arange(n_pix, dtype=jnp.uint32)
         sample_idx = jnp.full((n_pix,), sample_id, jnp.uint32)
-        radiance, pos, n_rays = li_fn(arr, pixel_idx, sample_idx)
+        radiance, pos, n_rays = li_fn(arr, pixel_idx, sample_idx,
+                                      cam_to_world=ctw)
         radiance = jnp.nan_to_num(radiance, nan=0.0, posinf=0.0, neginf=0.0)
         image, weight = film_mod.splat_samples(fl, pos, radiance, image,
                                                weight)
@@ -616,15 +621,19 @@ def render(scene: Scene, seed: int = 0, spp: int | None = None,
     # jitted wave serves every time (reference: per-ray time drawn in
     # [shutterOpen, shutterClose), sensor.cpp; here time is stratified
     # over sample indices instead, equivalent at spp samples/pixel)
-    blur = scene.rebuild_geo is not None \
-        and scene.shutter[1] > scene.shutter[0]
+    blur = scene.shutter[1] > scene.shutter[0] \
+        and (scene.rebuild_geo is not None or scene.camera_anim is not None)
     for s in range(spp):
         arrs = scene.arrays
+        ctw = scene.camera.to_world
         if blur:
             t_s = scene.shutter[0] + (s + 0.5) / spp \
                 * (scene.shutter[1] - scene.shutter[0])
-            arrs = scene.rebuild_geo(t_s)
-        image, weight, n_rays = wave(arrs,
+            if scene.rebuild_geo is not None:
+                arrs = scene.rebuild_geo(t_s)
+            if scene.camera_anim is not None:
+                ctw = jnp.asarray(scene.camera_anim.eval(t_s), jnp.float32)
+        image, weight, n_rays = wave(arrs, ctw,
                                      jnp.uint32(s + seed * 65536), image,
                                      weight)
         total_rays += float(n_rays)

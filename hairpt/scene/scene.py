@@ -121,6 +121,7 @@ class Scene(NamedTuple):
     #                             shapes match `arrays`, so one jit serves
     #                             every shutter time
     shutter: tuple = (0.0, 0.0)  # (open, close) — close > open ⇒ blur
+    camera_anim: object = None  # AnimatedTransform of the sensor (blur)
 
 
 def _uv_density(uv0, uv1, uv2, e1, e2):
@@ -597,4 +598,5 @@ class SceneBuilder:
                          for r in self.materials),
                      medium=getattr(self, "medium", None),
                      motion=motion, rebuild_geo=rebuild,
-                     shutter=tuple(self.shutter))
+                     shutter=tuple(self.shutter),
+                     camera_anim=getattr(self, "camera_anim", None))

@@ -474,6 +474,8 @@ def load_scene(path: str, defines: dict | None = None,
         sensor_anim = _parse_animation(sensor.find("animation"))
         if sensor_anim is not None:
             to_world = sensor_anim.eval(shutter_open)
+            b.camera_anim = sensor_anim  # camera motion blur when the
+            #                              shutter is open for a duration
         sam = sensor.find("sampler")
         if sam is not None:
             sp = _collect_props(sam, defines)

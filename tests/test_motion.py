@@ -182,3 +182,57 @@ def test_motion_blur_accumulation():
     img_static = np.asarray(path_int.render(build((0.0, 0.0), pose_t=0.0),
                                             seed=0))
     assert not np.allclose(img_blur, img_static, atol=5e-3)
+
+
+def test_camera_motion_blur():
+    """Animated sensor + open shutter: the render equals the average of
+    static renders with the camera posed at the stratified times."""
+    from hairpt.core.track import AnimatedTransform
+    from hairpt.integrators import path as path_int
+    from hairpt.models import emitters as em
+
+    W = 24
+    cam_anim = AnimatedTransform([(0.0, _translate([0, 0, 0])),
+                                  (1.0, _translate([0.8, 0, 0]))])
+
+    def build(animated):
+        b = SceneBuilder()
+        b.env = em.make_constant((0.6, 0.7, 0.8))
+        mid = b.add_material(kind=mat.DIFFUSE, diffuse=(0.5, 0.4, 0.3))
+        b.add_mesh(shp.rectangle(), mid, to_world=_translate([0, 0, 3.0]))
+        cam = Camera.perspective(cam_anim.eval(0.0), 90.0, W, W)
+        if animated:
+            b.camera_anim = cam_anim
+            b.shutter = (0.0, 1.0)
+        return b.build(cam, Film.make(W, W, "box"), spp=4, max_depth=2)
+
+    img_blur = np.asarray(path_int.render(build(True), seed=0))
+    # oracle: per-time static renders, sample s only, averaged via film
+    import jax.numpy as jnp
+    acc_ref = None
+    for s in range(4):
+        t_s = (s + 0.5) / 4
+        b = SceneBuilder()
+        b.env = em.make_constant((0.6, 0.7, 0.8))
+        mid = b.add_material(kind=mat.DIFFUSE, diffuse=(0.5, 0.4, 0.3))
+        b.add_mesh(shp.rectangle(), mid, to_world=_translate([0, 0, 3.0]))
+        cam = Camera.perspective(cam_anim.eval(t_s), 90.0, W, W)
+        sc = b.build(cam, Film.make(W, W, "box"), spp=4, max_depth=2)
+        # single-sample render at sample index s
+        from hairpt.film import film as film_mod
+        from hairpt.integrators.common import block_swizzle
+        import jax
+        li = path_int.make_li_fn(sc)
+        swz = block_swizzle(W, W)
+        pix = swz if swz is not None else jnp.arange(W * W,
+                                                     dtype=jnp.uint32)
+        rad, pos, _ = jax.jit(li)(sc.arrays, pix,
+                                  jnp.full((W * W,), s, jnp.uint32))
+        image, weight = film_mod.zeros(sc.film)
+        image, weight = film_mod.splat_samples(sc.film, pos, rad, image,
+                                               weight)
+        acc_ref = (image, weight) if acc_ref is None else \
+            (acc_ref[0] + image, acc_ref[1] + weight)
+    from hairpt.film import film as film_mod
+    oracle = np.asarray(film_mod.develop(*acc_ref))
+    assert np.allclose(img_blur, oracle, rtol=2e-5, atol=2e-6)
