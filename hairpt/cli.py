@@ -92,6 +92,19 @@ def main(argv=None):
                    help="treat warnings as errors (mitsuba -w)")
     r.add_argument("--cpu", action="store_true",
                    help="force the CPU backend")
+    r.add_argument("-r", "--refresh", type=float, default=0.0,
+                   help="write the partial image every N seconds "
+                        "(mitsuba -r parity)")
+    r.add_argument("--checkpoint", default=None,
+                   help="npz film checkpoint: saved per wave, resumed if "
+                        "present (exact accumulator resume)")
+    r.add_argument("-x", "--skip-existing", action="store_true",
+                   help="skip the render if the output exists "
+                        "(mitsuba -x)")
+    r.add_argument("--progress", action="store_true",
+                   help="per-wave progress + ETA (ProgressReporter)")
+    r.add_argument("--profile", default=None,
+                   help="write a jax.profiler trace to this directory")
     r.add_argument("--bands", type=int, default=0,
                    help="out-of-core: render N-row bands streamed to the "
                         "output EXR (tiledhdrfilm parity; path only)")
@@ -208,7 +221,34 @@ def main(argv=None):
                     scene.config.width, scene.config.height)
         return
     else:
-        img = np.asarray(path_int.render(scene, seed=args.seed))
+        out_path = args.output or "output.png"
+        if args.skip_existing and os.path.exists(out_path):
+            logger.info("output %s exists, skipping (-x)", out_path)
+            return
+
+        def _progress(done, total, elapsed):
+            eta = elapsed / max(done, 1) * (total - done)
+            logger.info("wave %d/%d (%.1fs elapsed, ETA %.1fs)",
+                        done, total, elapsed, eta)
+
+        def _flush(partial):
+            base_p = out_path.rsplit(".", 1)[0]
+            io_utils.write_png(base_p + ".partial.png",
+                               io_utils.tonemap_srgb(np.asarray(partial),
+                                                     scene.film.gamma))
+            logger.info("flushed partial image (-r)")
+
+        kw = dict(seed=args.seed,
+                  progress=_progress if args.progress else None,
+                  flush_every=args.refresh,
+                  flush_cb=_flush if args.refresh > 0 else None,
+                  checkpoint=args.checkpoint)
+        if args.profile:
+            import jax.profiler
+            with jax.profiler.trace(args.profile):
+                img = np.asarray(path_int.render(scene, **kw))
+        else:
+            img = np.asarray(path_int.render(scene, **kw))
     t2 = time.time()
     n_rays_lb = scene.config.width * scene.config.height * scene.config.spp
     logger.info("rendered in %.2fs (≥%.2f Mprimary-rays/s)", t2 - t1,

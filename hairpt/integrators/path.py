@@ -585,9 +585,24 @@ def make_li_fn(scene: Scene, differentiable: bool = False,
 
 
 def render(scene: Scene, seed: int = 0, spp: int | None = None,
-           wave_size: int | None = None, return_stats: bool = False):
+           wave_size: int | None = None, return_stats: bool = False,
+           progress=None, flush_every: float = 0.0, flush_cb=None,
+           checkpoint: str | None = None):
     """Full-frame render: loops sample waves, accumulates on the film.
-    Returns the developed [H, W, 3] image (linear radiance)."""
+    Returns the developed [H, W, 3] image (linear radiance).
+
+    progress:    callable(done_spp, total_spp, elapsed_s) invoked per wave
+                 (ProgressReporter parity, statistics.h:287)
+    flush_every: seconds between flush_cb(partial_image) calls — the
+                 reference's `-r sec` periodic partial-image flush
+                 (mitsuba.cpp:107-127 FlushThread)
+    checkpoint:  path to an .npz holding (image, weight, next_sample);
+                 loaded if present, saved after every wave — crash/preempt
+                 resume for long renders (the accumulators are explicit
+                 values, so resume is exact)
+    """
+    import os
+    import time as _time
     cfg = scene.config
     spp = spp if spp is not None else cfg.spp
     fl = scene.film
@@ -615,6 +630,16 @@ def render(scene: Scene, seed: int = 0, spp: int | None = None,
     from ..utils import stats
     image, weight = film_mod.zeros(fl)
     total_rays = 0.0
+    s_start = 0
+    if checkpoint and os.path.exists(checkpoint):
+        import numpy as _np
+        ck = _np.load(checkpoint)
+        if int(ck["spp"]) == spp and ck["image"].shape == image.shape:
+            image = jnp.asarray(ck["image"])
+            weight = jnp.asarray(ck["weight"])
+            s_start = int(ck["next_sample"])
+    t_begin = _time.time()
+    t_flush = t_begin
     stats.start_timer("render")
     # motion blur: sample index s gets the stratified shutter time t_s and
     # the geometry re-posed host-side — identical array shapes, so the one
@@ -623,7 +648,7 @@ def render(scene: Scene, seed: int = 0, spp: int | None = None,
     # over sample indices instead, equivalent at spp samples/pixel)
     blur = scene.shutter[1] > scene.shutter[0] \
         and (scene.rebuild_geo is not None or scene.camera_anim is not None)
-    for s in range(spp):
+    for s in range(s_start, spp):
         arrs = scene.arrays
         ctw = scene.camera.to_world
         if blur:
@@ -637,6 +662,18 @@ def render(scene: Scene, seed: int = 0, spp: int | None = None,
                                      jnp.uint32(s + seed * 65536), image,
                                      weight)
         total_rays += float(n_rays)
+        now = _time.time()
+        if progress is not None:
+            progress(s + 1, spp, now - t_begin)
+        if checkpoint:
+            import numpy as _np
+            _np.savez(checkpoint, image=_np.asarray(image),
+                      weight=_np.asarray(weight), next_sample=s + 1,
+                      spp=spp)
+        if flush_every > 0 and flush_cb is not None \
+                and now - t_flush >= flush_every:
+            flush_cb(film_mod.develop(image, weight))
+            t_flush = now
     img = film_mod.develop(image, weight)
     # StatsCounter parity (statistics.h / path.cpp:24 avgPathLength):
     # integrators return counters as values; the host records them

@@ -50,3 +50,36 @@ def test_banded_band_larger_than_image():
         render_tiled_exr(scene, path, band_rows=64, seed=0, half=False)
         got = read_exr(path)[..., :3]
     assert np.allclose(got, ref, rtol=2e-5, atol=2e-6)
+
+
+def test_checkpoint_resume_exact():
+    """Film checkpointing (reference analogs: -r partial flush +
+    InstanceManager state shipping): resuming from a mid-render
+    accumulator checkpoint reproduces the uninterrupted render exactly."""
+    import jax.numpy as jnp
+    from hairpt.integrators.common import block_swizzle
+
+    scene = _scene(W=24, H=20)
+    ref = np.asarray(path_int.render(scene, seed=0, spp=4))
+    with tempfile.TemporaryDirectory() as td:
+        ck = os.path.join(td, "film.npz")
+        # accumulate waves 0-1 out-of-band, store as a checkpoint,
+        # then resume waves 2-3 through render()
+        from hairpt.film import film as film_mod
+        li = path_int.make_li_fn(scene)
+        swz = block_swizzle(24, 20)
+        npix = 24 * 20
+        img_acc, w_acc = film_mod.zeros(scene.film)
+        for s in range(2):
+            pix = swz if swz is not None else jnp.arange(npix,
+                                                         dtype=jnp.uint32)
+            rad, pos, _ = li(scene.arrays, pix,
+                             jnp.full((npix,), s, jnp.uint32))
+            rad = jnp.nan_to_num(rad, nan=0.0, posinf=0.0, neginf=0.0)
+            img_acc, w_acc = film_mod.splat_samples(scene.film, pos, rad,
+                                                    img_acc, w_acc)
+        np.savez(ck, image=np.asarray(img_acc), weight=np.asarray(w_acc),
+                 next_sample=2, spp=4)
+        resumed = np.asarray(path_int.render(scene, seed=0, spp=4,
+                                             checkpoint=ck))
+    assert np.allclose(resumed, ref, rtol=1e-6, atol=1e-6)
