@@ -44,10 +44,11 @@ def sample_pdf_consistency(kind, n=1 << 15, seed=0, atol=0.05, **mat_over):
     return gm, wi, wo, w, pdf, is_delta
 
 
-def chi2_direction_test(kind, n=1 << 16, n_theta=10, n_phi=10, **mat_over):
+def chi2_direction_test(kind, n=1 << 16, n_theta=10, n_phi=10,
+                        theta_deg=40.0, **mat_over):
     """Histogram sampled wo against numerically integrated pdf()."""
     gm = make_gm(n, kind=kind, **mat_over)
-    wi = fixed_wi(n)
+    wi = fixed_wi(n, theta_deg=theta_deg)
     pix = jnp.arange(n, dtype=jnp.uint32)
     ul = rng.uniform_1d(pix, 0, 1)
     u2 = rng.uniform_2d(pix, 0, 2)
@@ -55,7 +56,10 @@ def chi2_direction_test(kind, n=1 << 16, n_theta=10, n_phi=10, **mat_over):
     wo, w, pdf, is_delta, _ = R.sample([kind], gm, wi, ul, u2, u2b)
     keep = np.asarray(pdf > 0) & ~np.asarray(is_delta)
     s = np.asarray(wo)[keep]
-    n_eff = len(s)
+    # normalize by ALL drawn samples: pdf() integrates to the sampling
+    # success probability for rejection-prone lobes (e.g. below-horizon
+    # microfacet reflections), so rejected draws are part of the measure
+    n_eff = int((~np.asarray(is_delta)).sum())
     cos_t = np.clip(s[:, 2], -1, 1)
     phi = np.arctan2(s[:, 1], s[:, 0]) + np.pi
     bi = np.minimum(((cos_t + 1) / 2 * n_theta).astype(int), n_theta - 1)
@@ -66,7 +70,6 @@ def chi2_direction_test(kind, n=1 << 16, n_theta=10, n_phi=10, **mat_over):
     m = 8
     exp = np.zeros(n_theta * n_phi)
     gm1 = make_gm(m * m, kind=kind, **mat_over)
-    wi1 = fixed_wi(m * m)
     for i in range(n_theta):
         for j in range(n_phi):
             c = -1 + 2 * (i + (np.arange(m) + 0.5) / m) / n_theta
@@ -75,7 +78,9 @@ def chi2_direction_test(kind, n=1 << 16, n_theta=10, n_phi=10, **mat_over):
             S = np.sqrt(np.maximum(1 - C ** 2, 0))
             dirs = np.stack([S * np.cos(P), S * np.sin(P), C],
                             axis=-1).reshape(-1, 3).astype(np.float32)
-            _, pd = R.eval_pdf([kind], gm1, wi1, jnp.asarray(dirs))
+            _, pd = R.eval_pdf([kind], gm1,
+                               fixed_wi(m * m, theta_deg=theta_deg),
+                               jnp.asarray(dirs))
             exp[i * n_phi + j] = np.mean(np.asarray(pd)) \
                 * (2 / n_theta) * (2 * np.pi / n_phi) * n_eff
     mask = exp > 8
@@ -93,9 +98,19 @@ def test_sample_pdf_consistency(kind):
 
 @pytest.mark.parametrize("kind,over", [
     (R.DIFFUSE, {}),
+    (R.DIFFUSE, dict(theta_deg=75.0)),
+    (R.ROUGHDIFFUSE, dict(alpha=0.4)),
     (R.PHONG, dict(exponent=12.0, spec_weight=0.4)),
+    (R.PHONG, dict(exponent=40.0, spec_weight=0.6, theta_deg=70.0)),
+    (R.WARD, dict(alpha=0.25, spec_weight=0.5)),
+    (R.ROUGHCONDUCTOR, dict(alpha=0.3)),
+    # sharp lobes need finer bins or the per-bin midpoint integration
+    # of the expected pdf under-resolves the peak
+    (R.ROUGHCONDUCTOR, dict(alpha=0.12, dist=1, theta_deg=65.0,
+                            n=1 << 18, n_theta=24, n_phi=24)),
     (R.KAJIYAKAY, dict(exponent=10.0, spec_weight=0.3)),
     (R.ROUGHPLASTIC, dict(alpha=0.3, eta=1.55)),
+    (R.ROUGHPLASTIC, dict(alpha=0.15, eta=1.5, theta_deg=70.0)),
 ])
 def test_chi2_sampling(kind, over):
     if kind == R.ROUGHPLASTIC:
@@ -179,6 +194,7 @@ def test_marschner_sample_eval_runs():
 
 @pytest.mark.parametrize("kind,over", [
     (R.ROUGHDIELECTRIC, dict(alpha=0.3, eta=1.5)),
+    (R.ROUGHDIELECTRIC, dict(alpha=0.2, eta=1.33, theta_deg=72.0)),
     (R.DIFFTRANS, {}),
 ])
 def test_chi2_sampling_transmissive(kind, over):
