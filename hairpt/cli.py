@@ -185,6 +185,9 @@ def main(argv=None):
     elif integ == "pssmlt":
         from .integrators import pssmlt as pssmlt_int
         img = np.asarray(pssmlt_int.render_pssmlt(scene, seed=args.seed))
+    elif integ == "mlt":
+        from .integrators import mlt as mlt_int
+        img = np.asarray(mlt_int.render_mlt(scene, seed=args.seed))
     elif integ == "bdpt":
         from .integrators import bdpt as bdpt_int
         img = np.asarray(bdpt_int.render_bdpt(scene, spp=scene.config.spp,

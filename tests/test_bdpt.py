@@ -14,7 +14,7 @@ from hairpt.integrators import path as path_int
 from hairpt.integrators import bdpt as bdpt_int
 
 
-def _box_scene(res=24):
+def _box_scene(res=24, lamp_scale=0.4, radiance=(12.0, 11.0, 9.0)):
     b = SceneBuilder()
     white = b.add_material(kind=R.DIFFUSE, diffuse=(0.7, 0.7, 0.7))
     red = b.add_material(kind=R.DIFFUSE, diffuse=(0.7, 0.15, 0.1))
@@ -32,9 +32,10 @@ def _box_scene(res=24):
                      [0, 0, 0, 1]], np.float64)
     b.add_mesh(floor, red, to_world=left @ sc)
     # emissive quad near the top, facing down
-    lamp = np.array([[0.4, 0, 0, 0], [0, 0, 0.4, 2.2], [0, -0.4, 0, 1.0],
+    s_l = lamp_scale
+    lamp = np.array([[s_l, 0, 0, 0], [0, 0, s_l, 2.2], [0, -s_l, 0, 1.0],
                      [0, 0, 0, 1]], np.float64)
-    b.add_mesh(floor, white, to_world=lamp, radiance=(12.0, 11.0, 9.0))
+    b.add_mesh(floor, white, to_world=lamp, radiance=radiance)
     cam = Camera.perspective(matrix_lookat((0.3, 1.2, -2.6), (0, 0.8, 1.0),
                                            (0, 1, 0)), 55.0, res, res)
     return b.build(cam, Film.make(res, res, "box"), spp=1, max_depth=5,
@@ -160,3 +161,59 @@ def test_ptracer_point_light_matches_path_tracer():
     m_pt, m_lt = img_pt.mean(), img_lt.mean()
     assert m_pt > 1e-4
     assert abs(m_lt - m_pt) / m_pt < 0.15, (m_pt, m_lt)
+
+
+def test_mlt_matches_path_tracer():
+    """Path-space MLT (lens perturbation + large steps) converges to the
+    PT image. The lamp is enlarged vs the default box so the
+    unidirectional seeding pool hits it often enough for the b = ∫lum f
+    normalization to be statistically tight (MLT\'s classic weakness with
+    tiny lights; the reference throws a large luminance pass at it too)."""
+    from hairpt.integrators import mlt as mlt_int
+    scene = _box_scene(res=16, lamp_scale=1.1, radiance=(2.0, 1.8, 1.5))
+    img_pt = np.asarray(path_int.render(scene, spp=96))
+    img_ml = np.asarray(mlt_int.render_mlt(scene, n_chains=1 << 13,
+                                           n_mutations=128, seed=1))
+    assert np.isfinite(img_ml).all() and (img_ml >= 0).all()
+    m_pt, m_ml = img_pt.mean(), img_ml.mean()
+    assert abs(m_ml - m_pt) / m_pt < 0.12, (m_pt, m_ml)
+    # distribution agreement after mean alignment (normalization-free;
+    # tolerance reflects the heavy-tailed sticky-chain noise of finite
+    # Metropolis runs, which shrinks with n_mutations)
+    a = img_pt.reshape(4, 4, 4, 4, 3).mean((1, 3))
+    c = img_ml.reshape(4, 4, 4, 4, 3).mean((1, 3))
+    c = c * (a.mean() / max(c.mean(), 1e-9))
+    rel = np.abs(a - c) / np.maximum(a, 0.25 * a.mean())
+    assert np.percentile(rel, 85) < 0.35, np.percentile(rel, 85)
+
+
+def test_ptracer_point_light_matches_path_tracer():
+    """Particle tracing from a POINT light (Emitter::sampleRay parity —
+    no area light in the scene) must converge to the PT/NEE image."""
+    from hairpt.integrators import ptracer
+    from hairpt.models import emitters as em
+    from hairpt.models import shapes as shp
+    from hairpt.models.bsdf import registry as mat
+    from hairpt.models.sensors import Camera
+    from hairpt.film.film import Film
+    from hairpt.scene.scene import SceneBuilder
+
+    b = SceneBuilder()
+    mid = b.add_material(kind=mat.DIFFUSE, diffuse=(0.6, 0.5, 0.4),
+                         twosided=True)
+    t = np.eye(4)
+    t[:3, 3] = [0, 0, 3]
+    t[0, 0] = t[1, 1] = 2.0
+    b.add_mesh(shp.rectangle(), mid, to_world=t)
+    b.delta_lights.append(dict(kind=em.POINT, position=(0.5, 0.5, 0.5),
+                               intensity=(3.0, 3.0, 3.0)))
+    cam = Camera.perspective(np.eye(4), 70.0, 16, 16)
+    scene = b.build(cam, Film.make(16, 16, "box"), spp=32, max_depth=3)
+    img_pt = np.asarray(path_int.render(scene, spp=32))
+    img_lt = np.asarray(ptracer.render_ptracer(scene, n_paths=1 << 14,
+                                               s_max=3, seed=4))
+    assert np.isfinite(img_lt).all() and (img_lt >= 0).all()
+    m_pt, m_lt = img_pt.mean(), img_lt.mean()
+    assert m_pt > 1e-4
+    assert abs(m_lt - m_pt) / m_pt < 0.15, (m_pt, m_lt)
+
