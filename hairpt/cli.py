@@ -209,6 +209,20 @@ def main(argv=None):
     elif integ == "motion":
         from .integrators import motion as motion_int
         img = np.asarray(motion_int.render_motion(scene))
+    elif integ == "adaptive":
+        from .integrators import aux_integrators as aux
+        img = np.asarray(aux.render_adaptive(scene, seed=args.seed))
+    elif integ == "multichannel":
+        from .integrators import aux_integrators as aux
+        chans = aux.render_multichannel(scene, spp=scene.config.spp,
+                                        seed=args.seed)
+        out = args.output or "output.png"
+        base_m = out.rsplit(".", 1)[0]
+        for name, im in chans.items():
+            if name != "radiance":
+                io_utils.write_npy(f"{base_m}.{name}.npy",
+                                   np.asarray(im))
+        img = np.asarray(chans["radiance"])
     elif integ.startswith("field"):
         from .integrators import aux_integrators as aux
         name = integ.split(":", 1)[1] if ":" in integ else "shNormal"

@@ -53,7 +53,7 @@ for label, kw in [
     ("full exit=4", dict(nop=False, exit_every=4)),
     ("nop exit=4", dict(nop=True, exit_every=4)),
     ("full exit=1 unroll=2", dict(nop=False, exit_every=1, unroll=2)),
-    ("full exit=1 unroll=4", dict(nop=False, exit_every=1, unroll=4)),
+    ("full exit=1 unroll=3", dict(nop=False, exit_every=1, unroll=3)),
 ]:
     f = jax.jit(lambda s, c, tm, ts, r8, tp, rows, kw=kw: tiled_phase_b(
         s, c, tm, ts, r8, tp, rows, K, q_max, **kw))
