@@ -262,7 +262,7 @@ def tiled_closest_hit(sw: SweptHair, ray: Ray, n_clusters: int, K: int,
             slots[sl], cnt[sl], tmin[sl], tscale[sl], rays8[sl],
             t_pmax_t[sl], sw.seg_rows_t, K, q_max,
             any_hit=(mode == "any"), interpret=(impl == "interpret"),
-            exit_every=1, unroll=2)
+            exit_every=1, unroll=3)
         tt.append(t_c)
         pp.append(p_c)
     t_tiles = tt[0] if len(tt) == 1 else jnp.concatenate(tt)
