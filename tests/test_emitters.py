@@ -131,3 +131,31 @@ def test_sunsky_hosek_bake():
                   -np.sin(theta) * np.cos(phi)])
     sd = sun_dir / np.linalg.norm(sun_dir)
     assert d @ sd > 0.99, (d, sd)
+
+
+def test_envmap_chi2_histogram():
+    """χ² GOF: the histogram of env-sampled directions must match the
+    exact per-texel selection probabilities of the importance tables
+    (the reference's test_chisquare emitter tier). Texel-aligned bins
+    make the expected counts exact (the pdf is piecewise constant)."""
+    rng_np = np.random.default_rng(3)
+    h, w = 24, 48
+    img = (rng_np.random((h, w, 3)).astype(np.float32) ** 3) * 4.0
+    env = em.make_envmap(img)
+    n = 1 << 17
+    u = rng.uniform_2d(jnp.arange(n, dtype=jnp.uint32), 7, 11)
+    d, _, _ = em.env_sample(env, u)
+    uu, vv = em.env_uv_from_dir(env, d)
+    xi = np.minimum((np.asarray(uu) * w).astype(int), w - 1)
+    yi = np.minimum((np.asarray(vv) * h).astype(int), h - 1)
+    counts = np.bincount(yi * w + xi, minlength=h * w)
+
+    lum = img @ np.array([0.212671, 0.715160, 0.072169])
+    theta = (np.arange(h) + 0.5) / h * np.pi
+    wgt = lum * np.sin(theta)[:, None] + 1e-12
+    exp = (wgt / wgt.sum()).reshape(-1) * n
+    mask = exp > 10
+    chi2 = np.sum((counts[mask] - exp[mask]) ** 2 / exp[mask])
+    dof = mask.sum() - 1
+    assert dof > 200
+    assert chi2 < dof + 5 * np.sqrt(2 * dof), (chi2, dof)
