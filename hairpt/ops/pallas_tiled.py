@@ -74,10 +74,11 @@ def _cyl_test(rows, rays):
     b = pox * pdx + poy * pdy + poz * pdz
     ok = a > 1e-18
     a_safe = jnp.where(ok, a, 1.0)
-    t_mid = -b / a_safe
+    inv_a = 1.0 / a_safe          # one reciprocal replaces two divisions
+    t_mid = -b * inv_a
     qx, qy, qz = pox + pdx * t_mid, poy + pdy * t_mid, poz + pdz * t_mid
     c_mid = qx * qx + qy * qy + qz * qz - rr * rr
-    disc = -c_mid / a_safe
+    disc = -c_mid * inv_a
     ok = ok & (disc >= 0.0)
     dt = jnp.sqrt(jnp.maximum(disc, 0.0))
     t_near = t_mid - dt
