@@ -50,7 +50,9 @@ def build_scene(quality: float, res: int, spp: int, depth: int):
     return b.build(cam, Film.make(res, res, "tent"), spp=spp,
                    max_depth=depth, sampler=1,
                    traversal=os.environ.get("BENCH_TRAVERSAL", "tiled"),
-                   swept_k=128, swept_pmax=24, swept_chunk=64)
+                   swept_k=int(os.environ.get("BENCH_K", "128")),
+                   swept_pmax=24, swept_chunk=64,
+                   tiled_q=int(os.environ.get("BENCH_Q", "128")))
 
 
 def main():

@@ -194,7 +194,8 @@ def _morton_sort_rays(sw: SweptHair, ray: Ray):
 def tiled_closest_hit(sw: SweptHair, ray: Ray, n_clusters: int, K: int,
                       tile: int = 64, q_max: int = 128, impl: str = "auto",
                       return_overflow: bool = False, mode: str = "closest",
-                      sort_rays: bool = False, subcull: bool = False):
+                      sort_rays: bool = False, subcull: bool = False,
+                      two_round: int = 0):
     """Closest hit over the cluster layout. Returns (t [N], prim_id [N]).
 
     n_clusters, K are the static cluster-layout ints; tile and q_max are
@@ -229,44 +230,67 @@ def tiled_closest_hit(sw: SweptHair, ray: Ray, n_clusters: int, K: int,
         ray_p.mint.reshape(T, tile), ray_p.maxt.reshape(T, tile),
     ], axis=1)                                             # [T, 8, tile]
 
-    cull_bounds = (sw.sub_lo, sw.sub_hi) if subcull else (sw.cl_lo, sw.cl_hi)
-    if impl == "pallas":
-        # phase A as a Pallas kernel: the jnp form streams [N, C]
-        # temporaries through HBM (profiled at 51 of 60 ms per query)
-        te_s, t_pmax_t = _cull_pallas(rays8, cull_bounds[0], cull_bounds[1])
-        mask_s = jnp.isfinite(te_s)
-        t_pmax = t_pmax_t.reshape(Np)
-    else:
-        mask_s, te_s, t_pmax = _tile_cluster_mask(sw, ray_p, tile,
-                                                  bounds=cull_bounds)
-        t_pmax_t = t_pmax.reshape(T, tile)
-    if subcull:
-        n_sub = K // 32  # sub-clusters per cluster row (build asserts %32)
-        mask = mask_s.reshape(T, n_clusters, n_sub).any(-1)
-        te = te_s.reshape(T, n_clusters, n_sub).min(-1)
-    else:
-        mask, te = mask_s, te_s
-    slots, cnt, tmin, tscale, overflow = _tile_slots(mask, te, q_max)
+    def one_pass(ray_q, rays8_q, q_cap):
+        """phase A cull → slot routing → phase B, at slot cap q_cap.
+        Returns (t_tiles [T, tile], p_tiles [T, tile], overflow)."""
+        cull_bounds = (sw.sub_lo, sw.sub_hi) if subcull \
+            else (sw.cl_lo, sw.cl_hi)
+        if impl == "pallas":
+            # phase A as a Pallas kernel: the jnp form streams [N, C]
+            # temporaries through HBM (profiled at 51 of 60 ms per query)
+            te_s, t_pmax_t = _cull_pallas(rays8_q, cull_bounds[0],
+                                          cull_bounds[1])
+            mask_s = jnp.isfinite(te_s)
+        else:
+            mask_s, te_s, t_pmax = _tile_cluster_mask(sw, ray_q, tile,
+                                                      bounds=cull_bounds)
+            t_pmax_t = t_pmax.reshape(T, tile)
+        if subcull:
+            n_sub = K // 32   # sub-clusters per row (build asserts %32)
+            mask = mask_s.reshape(T, n_clusters, n_sub).any(-1)
+            te = te_s.reshape(T, n_clusters, n_sub).min(-1)
+        else:
+            mask, te = mask_s, te_s
+        slots, cnt, tmin, tscale, overflow = _tile_slots(mask, te, q_cap)
 
-    from .pallas_tiled import tiled_phase_b
-    # ordered traversal: slots are sorted by tile entry-t with suffix-min
-    # bounds, so both query modes check the exit condition every slot
-    # (re-measured a net win for closest-hit too after the miter hoist).
-    # The packed slot table is scalar-prefetched into SMEM (1 MB budget)
-    # → chunk the call over tiles at high resolutions.
-    t_chunk = max(1, (1 << 17) // q_max)     # ≤ 0.5 MB of int32 slots
-    tt, pp = [], []
-    for c0_ in range(0, T, t_chunk):
-        sl = slice(c0_, min(c0_ + t_chunk, T))
-        t_c, p_c = tiled_phase_b(
-            slots[sl], cnt[sl], tmin[sl], tscale[sl], rays8[sl],
-            t_pmax_t[sl], sw.seg_rows_t, K, q_max,
-            any_hit=(mode == "any"), interpret=(impl == "interpret"),
-            exit_every=1, unroll=3)
-        tt.append(t_c)
-        pp.append(p_c)
-    t_tiles = tt[0] if len(tt) == 1 else jnp.concatenate(tt)
-    p_tiles = pp[0] if len(pp) == 1 else jnp.concatenate(pp)
+        from .pallas_tiled import tiled_phase_b
+        # ordered traversal: slots are sorted by tile entry-t with
+        # suffix-min bounds, so both query modes check the exit condition
+        # every slot. The packed slot table is scalar-prefetched into SMEM
+        # (1 MB budget) → chunk the call over tiles at high resolutions.
+        t_chunk = max(1, (1 << 17) // q_cap)   # ≤ 0.5 MB of int32 slots
+        tt, pp = [], []
+        for c0_ in range(0, T, t_chunk):
+            sl = slice(c0_, min(c0_ + t_chunk, T))
+            t_c, p_c = tiled_phase_b(
+                slots[sl], cnt[sl], tmin[sl], tscale[sl], rays8_q[sl],
+                t_pmax_t[sl], sw.seg_rows_t, K, q_cap,
+                any_hit=(mode == "any"), interpret=(impl == "interpret"),
+                exit_every=1, unroll=3)
+            tt.append(t_c)
+            pp.append(p_c)
+        t_tiles = tt[0] if len(tt) == 1 else jnp.concatenate(tt)
+        p_tiles = pp[0] if len(pp) == 1 else jnp.concatenate(pp)
+        return t_tiles, p_tiles, overflow
+
+    if two_round > 0 and mode == "closest":
+        # round 1: only each tile's nearest two_round clusters — most rays
+        # find their closest hit immediately; round 2 re-culls with the
+        # tightened per-ray maxt (a cluster whose entry t exceeds the
+        # round-1 hit cannot contain a closer one), so the surviving
+        # candidate unions collapse. Exact: the true closest hit's cluster
+        # entry t is ≤ its distance ≤ the round-1 bound.
+        t1_t, p1_t, _ = one_pass(ray_p, rays8, two_round)
+        t1_flat = t1_t.reshape(Np)
+        maxt2 = jnp.minimum(ray_p.maxt, t1_flat)
+        ray_r2 = ray_p._replace(maxt=maxt2)
+        rays8_r2 = rays8.at[:, 7, :].set(maxt2.reshape(T, tile))
+        t2_t, p2_t, overflow = one_pass(ray_r2, rays8_r2, q_max)
+        better = t2_t < t1_t
+        t_tiles = jnp.where(better, t2_t, t1_t)
+        p_tiles = jnp.where(better, p2_t, p1_t)
+    else:
+        t_tiles, p_tiles, overflow = one_pass(ray_p, rays8, q_max)
     t = t_tiles.reshape(Np)[:N]
     p = p_tiles.reshape(Np)[:N]
     if order is not None:
