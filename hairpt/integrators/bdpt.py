@@ -173,12 +173,16 @@ def generate_paths(scene: Scene, arr, pixel_idx, sample_idx, t_max: int,
     jit2 = rng.next_2d(smode, pixel_idx, sample_idx, 0)
     pos = jnp.stack([px + jit2[..., 0], py + jit2[..., 1]], -1)
     ray = sensors.sample_ray(cam, pos, None)
-    # pinhole direction pdf: 1/(A cos³θ)
+    # pinhole direction pdf. One eye path is traced PER PIXEL, so the
+    # direction density is W·H/(A cos³θ) — the per-pixel convention; the
+    # per-film 1/(A cos³θ) under-counts by W·H and crushes every MIS
+    # weight against the t=1 splat hypothetical.
     R = cam.to_world[:3, :3]
     fwd = R[:, 2]
     cos_cam = jnp.sum(ray.d * fwd, -1)
     area = 4.0 * cam.tan_half_fov ** 2 / cam.aspect
-    pdf_cam_w = 1.0 / jnp.maximum(area * cos_cam ** 3, 1e-9)
+    pdf_cam_w = (cfg.width * cfg.height) \
+        / jnp.maximum(area * cos_cam ** 3, 1e-9)
 
     ev = _trace_subpath(scene, arr, ray.o, ray.d,
                         jnp.ones((n, 3), jnp.float32), pdf_cam_w,
@@ -296,8 +300,12 @@ def _light_origin_pdfs(scene, arr, p_from, light_p, light_n, emitter_id):
 
 
 def render_bdpt(scene: Scene, spp: int = 8, seed: int = 0, s_max: int = 4,
-                t_max: int = 4):
-    """Full BDPT render. Returns the developed [H, W, 3] image."""
+                t_max: int = 4, strategies=None):
+    """Full BDPT render. Returns the developed [H, W, 3] image.
+
+    strategies: optional set of (s, t) pairs — when given, only those
+    strategies contribute (diagnostics / per-strategy tests); MIS
+    weights are unchanged."""
     cfg = scene.config
     arr = scene.arrays
     cam = scene.camera
@@ -322,20 +330,27 @@ def render_bdpt(scene: Scene, spp: int = 8, seed: int = 0, s_max: int = 4,
 
         # ---------- s = 0: eye path hits an emitter ----------
         for t in range(2, t_max + 1):
+            if t - 1 > cfg.max_depth:   # path edges = t-1 (mitsuba depth)
+                continue
+            if strategies is not None and (0, t) not in strategies:
+                continue
             zi = t - 1
             em_id = eye.emitter_id[zi]
             on = eye.valid[zi] & (em_id >= 0)
             facing = dot(eye.ng[zi], -eye.wi[zi]) > 0
             le = arr.area.radiance[jnp.maximum(em_id, 0)]
             c = eye.beta[zi] * le
-            w = _mis_weight(scene, arrs, eye, light, 0, t)
+            w = _mis_weight(scene, arrs, eye, light, 0, t,
+                            s_max=s_max, t_max=t_max)
             li_acc = li_acc + jnp.where((on & facing)[..., None],
                                         c * w[..., None], 0.0)
 
         # ---------- s >= 1, t >= 2: connections ----------
         for s in range(1, s_max + 1):
             for t in range(2, t_max + 1):
-                if s + t - 2 > cfg.max_depth:
+                if s + t - 1 > cfg.max_depth:   # edges = s+t-1
+                    continue
+                if strategies is not None and (s, t) not in strategies:
                     continue
                 ys = s - 1
                 zi = t - 1
@@ -366,12 +381,17 @@ def render_bdpt(scene: Scene, spp: int = 8, seed: int = 0, s_max: int = 4,
                 occ = scene_occluded(arrs, shadow, cfg.traversal,
                                      cfg.block, _swept_params(cfg))
                 w = _mis_weight(scene, arrs, eye, light, s, t,
-                                conn_dir=dirn, conn_dist=dist)
+                                conn_dir=dirn, conn_dist=dist,
+                                s_max=s_max, t_max=t_max)
                 li_acc = li_acc + jnp.where(
                     (ok & ~occ)[..., None], c * w[..., None], 0.0)
 
         # ---------- t = 1: light path → camera splats ----------
         for s in range(2, s_max + 1):
+            if s > cfg.max_depth:        # edges = s
+                continue
+            if strategies is not None and (s, 1) not in strategies:
+                continue
             ys = s - 1
             film_pos, we, dist, d_cam, vis_ok = sensors.camera_importance(
                 cam, light.p[ys])
@@ -388,7 +408,8 @@ def render_bdpt(scene: Scene, spp: int = 8, seed: int = 0, s_max: int = 4,
             occ = scene_occluded(arrs, shadow, cfg.traversal, cfg.block,
                                  _swept_params(cfg))
             w = _mis_weight(scene, arrs, eye, light, s, 1,
-                            conn_dir=-d_cam, conn_dist=dist)
+                            conn_dir=-d_cam, conn_dist=dist,
+                            s_max=s_max, t_max=t_max)
             val = jnp.where((ok & ~occ)[..., None], c * w[..., None], 0.0)
             splat_pos.append(film_pos)
             splat_val.append(val)
@@ -414,11 +435,20 @@ def render_bdpt(scene: Scene, spp: int = 8, seed: int = 0, s_max: int = 4,
 
 
 def _mis_weight(scene, arr, eye: VPath, light: VPath, s: int, t: int,
-                conn_dir=None, conn_dist=None):
+                conn_dir=None, conn_dist=None, s_max=None, t_max=None):
     """Balance-heuristic MIS weight for strategy (s, t) — the pdf-ratio
     walk of Veach 10.2 with the four scoped pdfRev overrides at the
     connection (mirrors the reference's Path::miWeight and PBRT's
-    MISWeight). conn_dir points eye-vertex → light-vertex."""
+    MISWeight). conn_dir points eye-vertex → light-vertex.
+
+    The denominator counts ONLY strategies the sampling loops actually
+    generate under (s_max, t_max): t'=1 needs 2 <= s' <= s_max, s'=0
+    needs t' <= t_max, connections need s' <= s_max and t' <= t_max.
+    Counting an unsampled partition (e.g. (1,1) for a directly-visible
+    emitter, or deep partitions beyond s_max/t_max) leaks its share of
+    the weight and biases the estimate low — this is the generalized
+    form of PBRT's `if (s + t == 2) return 1` special case, required
+    because s_max/t_max here may be below max_depth."""
     n = eye.p.shape[1]
     zi = t - 1
     ys = s - 1
@@ -477,13 +507,15 @@ def _mis_weight(scene, arr, eye: VPath, light: VPath, s: int, t: int,
                                     eye.uv[zi], gm, wi_l, wo_l,
                                     arr.hair_tables)
         if t == 1:
-            # camera endpoint: directional importance pdf
+            # camera endpoint: directional importance pdf (per-pixel
+            # convention, matching generate_paths' pdf_cam_w)
             cam = scene.camera
             R = cam.to_world[:3, :3]
             fwd = R[:, 2]
             cosc = jnp.abs(jnp.sum(conn_dir * fwd, -1))
             area = 4.0 * cam.tan_half_fov ** 2 / cam.aspect
-            pdf_w = 1.0 / jnp.maximum(area * cosc ** 3, 1e-9)
+            pdf_w = (scene.config.width * scene.config.height) \
+                / jnp.maximum(area * cosc ** 3, 1e-9)
         qs_rev = _to_area(pdf_w, eye.p[zi], light.p[ys], light.ns[ys])
         if s >= 2:
             fr_l = _vertex_frame(light, ys)
@@ -502,18 +534,25 @@ def _mis_weight(scene, arr, eye: VPath, light: VPath, s: int, t: int,
     def remap(x):
         return jnp.where(x > 0, x, 1.0)
 
+    s_cap = s_max if s_max is not None else 10 ** 9
+    t_cap = t_max if t_max is not None else 10 ** 9
+
     sum_ri = jnp.zeros((n,), jnp.float32)
-    # eye side: i = zi down to 1
+    # eye side: i = zi down to 1 — hypothetical strategy (s+t-i, i)
     ri = jnp.ones((n,), jnp.float32)
     for i in range(zi, 0, -1):
         rev = pt_rev if i == zi else (ptm_rev if i == zi - 1
                                       else eye.pdf_rev[i])
         ri = ri * remap(rev) / remap(eye.pdf_fwd[i])
+        sp = s + t - i
+        sampled = (sp <= s_cap) and (i >= 2 or sp >= 2)
+        if not sampled:
+            continue
         nodelta = ~eye.delta[i] & ~(eye.delta[i - 1] if i - 1 > 0
                                     else jnp.zeros((n,), bool))
         live = eye.valid[i]
         sum_ri = sum_ri + jnp.where(nodelta & live, ri, 0.0)
-    # light side: i = ys down to 0
+    # light side: i = ys down to 0 — hypothetical strategy (i, s+t-i)
     if s >= 1:
         ri = jnp.ones((n,), jnp.float32)
         for i in range(ys, -1, -1):
@@ -524,6 +563,8 @@ def _mis_weight(scene, arr, eye: VPath, light: VPath, s: int, t: int,
             else:
                 rev = light.pdf_rev[i]
             ri = ri * remap(rev) / remap(light.pdf_fwd[i])
+            if s + t - i > t_cap:
+                continue
             nodelta = ~light.delta[i] & ~(light.delta[i - 1] if i >= 1
                                           else jnp.zeros((n,), bool))
             live = light.valid[i]

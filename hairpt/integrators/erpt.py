@@ -1,15 +1,20 @@
 """Energy-redistribution path tracing (Cline et al. 2005).
 
 Capability counterpart of the reference `erpt` plugin
-(src/integrators/erpt/*): ordinary path-traced seed samples have their
-energy redistributed by short Metropolis chains of small primary-space
-mutations. One seed/chain per lane; every mutation deposits the seed's
-share of energy at the chain's current image position.
+(src/integrators/erpt/*): path-traced seed samples have their energy
+redistributed by short Metropolis chains of small primary-space
+mutations, depositing EQUAL energy quanta (Cline §5: chains are started
+proportionally to seed energy and every deposit carries the same fixed
+amount — this, not per-seed shares, is what kills the fat tail of
+bright seeds such as directly-visible emitters).
 
-Estimator (per seed with luminance L_seed, K mutations):
-  deposit at each visited state x_i:  (C(x_i)/L(x_i)) · L_seed / K
-which preserves the seed's expected energy while spreading it over the
-path-space neighbourhood (lower variance on caustic-like features).
+Estimator: a pool of m uniform primary samples estimates the mean image
+luminance b = E[l]; n chains start at pool entries resampled ∝ l
+(stratified CDF pick, the Kelemen bootstrap); each of the K mutation
+steps Rao-Blackwellizes the accept decision by splatting both states
+  (1-a) · (C(x)/L(x)) · b/K   and   a · (C(y)/L(y)) · b/K
+so every deposit has luminance exactly b/K. Final scale W·H/n makes the
+image total-luminance-exact against the pool estimate.
 """
 from __future__ import annotations
 
@@ -40,9 +45,31 @@ def render_erpt(scene: Scene, n_seeds: int = 1 << 14,
     @jax.jit
     def run(arr):
         u0 = fresh(jnp.uint32(0), 1)
+        # stratify the image-plane dims over pixels (lane i covers pixel
+        # i mod W·H, jittered): the normalization b = mean(l) is otherwise
+        # dominated by Poisson noise in the count of uniform samples that
+        # land on small bright features (a directly-visible lamp shifts
+        # b — and the whole render's scale — by ±20% at 8k samples)
+        npix = cfg.width * cfg.height
+        pix = idx % npix
+        ux = ((pix % cfg.width).astype(jnp.float32) + u0[:, 0]) \
+            / cfg.width
+        uy = ((pix // cfg.width).astype(jnp.float32) + u0[:, 1]) \
+            / cfg.height
+        u0 = u0.at[:, 0].set(ux).at[:, 1].set(uy)
         pos0, rgb0, l0 = eval_u(arr, u0)
         splat = jnp.zeros((cfg.height, cfg.width, 3), jnp.float32)
-        l_seed = l0
+        # equal-quanta chain starts: resample the pool ∝ luminance
+        b = jnp.mean(l0)
+        cdf = jnp.cumsum(l0) / jnp.maximum(jnp.sum(l0), 1e-20)
+        u_r = rng.uniform_1d(idx, jnp.uint32(seed * 131 + 3), 0)
+        strat = (idx.astype(jnp.float32) + u_r) / n
+        pick = jnp.clip(jnp.searchsorted(cdf, strat), 0, n - 1)
+        u0 = u0[pick]
+        pos0 = pos0[pick]
+        rgb0 = rgb0[pick]
+        l0 = l0[pick]
+        l_seed = jnp.broadcast_to(b, l0.shape)
 
         def step(carry, it):
             u, pos, rgb, l, splat = carry
@@ -57,16 +84,25 @@ def render_erpt(scene: Scene, n_seeds: int = 1 << 14,
             u_prop = jnp.mod(u + sigma * gauss, 1.0)
             pos_p, rgb_p, l_p = eval_u(arr, u_prop)
             a = jnp.clip(l_p / jnp.maximum(l, 1e-12), 0.0, 1.0)
+            # Rao-Blackwellized equal-deposition (Cline et al. §5.1):
+            # integrate out the accept decision by splatting BOTH states,
+            # weighted (1-a) / a — same expectation as depositing at the
+            # post-transition state, much lower variance near bright
+            # features (e.g. directly-visible emitters).
+            share = l_seed / n_mutations
+            dep_c = jnp.where((l > 1e-12)[:, None],
+                              rgb / jnp.maximum(l, 1e-12)[:, None]
+                              * ((1.0 - a) * share)[:, None], 0.0)
+            dep_p = jnp.where((l_p > 1e-12)[:, None],
+                              rgb_p / jnp.maximum(l_p, 1e-12)[:, None]
+                              * (a * share)[:, None], 0.0)
+            splat = film_mod.splat_add_only(fl, pos, dep_c, splat)
+            splat = film_mod.splat_add_only(fl, pos_p, dep_p, splat)
             acc = rng.uniform_1d(idx, jnp.uint32(seed + 6), it) < a
             u = jnp.where(acc[:, None], u_prop, u)
             pos = jnp.where(acc[:, None], pos_p, pos)
             rgb = jnp.where(acc[:, None], rgb_p, rgb)
             l = jnp.where(acc, l_p, l)
-            # equal-deposition: the current state deposits the seed's share
-            dep = jnp.where((l > 1e-12)[:, None],
-                            rgb / jnp.maximum(l, 1e-12)[:, None]
-                            * (l_seed / n_mutations)[:, None], 0.0)
-            splat = film_mod.splat_add_only(fl, pos, dep, splat)
             return (u, pos, rgb, l, splat), None
 
         carry = (u0, pos0, rgb0, l0, splat)

@@ -36,16 +36,32 @@ from .aux_integrators import _swept_params
 
 
 def _constraint(a, b, x, n, eta):
-    """Tangential components of the generalized half vector at x."""
+    """Specular constraint at x: tangential components of the DIFFERENCE
+    between the actual direction to b and the mirror/Snell-predicted
+    direction of the ray a→x. Same zero set as Jakob & Marschner's
+    generalized-half-vector form c = tang(ŵa + η·ŵb), but conditioned
+    uniformly in η: the half-vector form degenerates as η→1 for
+    transmission (‖ŵa + η·ŵb‖ → 0, so normalizing amplifies the error by
+    1/|1−η|), while the direction difference is always O(angular error).
+
+    eta convention (matches the callers): η = n_dest/n_src as seen from
+    the a-side; η == 1 means mirror reflection."""
     wa = normalize(a - x)
     wb = normalize(b - x)
-    h = wa + eta[..., None] * wb
-    h = normalize(h)
-    # flip into the upper hemisphere so reflection/refraction share a sign
-    h = jnp.where(dot(h, n)[..., None] < 0, -h, h)
+    cos_s = dot(wa, n)
+    n_o = jnp.where(cos_s[..., None] < 0, -n, n)   # oriented toward a
+    cosi = jnp.abs(cos_s)
+    refl = 2.0 * cosi[..., None] * n_o - wa
+    inv_eta = 1.0 / jnp.maximum(eta, 1e-6)         # = n_src/n_dest
+    k = 1.0 - inv_eta ** 2 * (1.0 - cosi ** 2)
+    cost = jnp.sqrt(jnp.maximum(k, 0.0))           # TIR lanes never pass tol
+    refr = -inv_eta[..., None] * wa \
+        + (inv_eta * cosi - cost)[..., None] * n_o
+    d_pred = jnp.where((eta == 1.0)[..., None], refl, refr)
+    diff = wb - d_pred
     from ..core.math import coordinate_system
     s, t = coordinate_system(n)
-    return jnp.stack([dot(s, h), dot(t, h)], -1), (s, t)
+    return jnp.stack([dot(s, diff), dot(t, diff)], -1), (s, t)
 
 
 def walk(arr, cfg, a, b, hit0, eta=None, n_iters: int = 16,
@@ -72,11 +88,13 @@ def walk(arr, cfg, a, b, hit0, eta=None, n_iters: int = 16,
 
     def reproject(x_new):
         """Trace a→x′ to put the displaced point back on the geometry
-        (manifold.cpp project()); returns (x, n, hit_ok)."""
+        (manifold.cpp project()); returns (x, n, hit_ok). The ray skips
+        the first 1% of the chord so an endpoint that itself lies ON
+        scene geometry (an interior path vertex) does not self-hit."""
         d = x_new - a
         dist = jnp.linalg.norm(d, axis=-1)
         d = d / jnp.maximum(dist, 1e-12)[..., None]
-        ray = Ray(o=a, d=d, mint=jnp.zeros(n_l),
+        ray = Ray(o=a, d=d, mint=0.01 * dist,
                   maxt=jnp.where(valid, jnp.inf, 0.0))
         h = scene_intersect(arr, ray, cfg.traversal, cfg.block,
                             _swept_params(cfg))

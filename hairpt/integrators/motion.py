@@ -11,15 +11,19 @@ the target time. Channel semantics follow the reference exactly
   B    — change in distance from the observed 3D point to the camera
   untrackable pixels (no primary hit) → +inf
 
-Path configurations (the reference's ``time`` string parameter):
-  "d"  — motion of primary non-specular hit points (default)
-  "rd" — a non-specular point seen through ONE mirror reflection: the
-         reflected endpoint is advanced by its object's motion and the
-         specular vertex is re-solved with the manifold walk
-         (integrators/manifold.py), exactly the reference's use of
-         SpecularManifold in motion.cpp. The mirror itself is treated as
-         static; longer chains (ttd/trtd) are not implemented. Hair
-         segments are treated as static.
+Path configurations (the reference's ``config`` string parameter,
+motion.cpp: d / rd / ttd / trtd / trrtd ...):
+  "d"   — motion of primary non-specular hit points (default)
+  "rd"  — a non-specular point seen through ONE mirror reflection
+  "ttd" — seen through a pair of refractions (through a glass object)
+  "trtd"/"trrtd"/... — arbitrary delta chains: each config char names
+          the delta branch (r = reflection, t = transmission) followed
+          from the camera; the diffuse endpoint is advanced by its
+          object's motion and EVERY chain vertex is re-solved with
+          Gauss-Seidel sweeps of the batched manifold walk
+          (integrators/manifold.py) — the reference's use of
+          SpecularManifold in motion.cpp. Specular geometry is treated
+          as static; hair segments are treated as static.
 
 TPU design notes: one jitted wave over all pixels; the per-hit motion
 matrix is a [4,4] gather from a tiny per-object table (O(#shapes) rows in
@@ -52,7 +56,7 @@ def _advance(motion, hit):
 
 def render_motion(scene: Scene, spp: int = 1, config: str | None = None):
     """Returns an [H, W, 3] float32 image of (dx_px, dy_px, d_dist)."""
-    from ..core.math import dot, Ray
+    from ..core.math import dot, Ray, normalize
     from ..models.bsdf import registry as mat
 
     cfg = scene.config
@@ -77,32 +81,101 @@ def render_motion(scene: Scene, spp: int = 1, config: str | None = None):
         hit = scene_intersect(arrs, ray, cfg.traversal, cfg.block,
                               _swept_params(cfg))
 
-        if config == "rd":
-            from .manifold import walk
-            # specular-flow: primary hit must be a mirror (conductor)
-            kind = arrs.materials.kind[jnp.maximum(hit.mat_id, 0)]
-            spec = hit.valid & (kind == mat.CONDUCTOR) & ~hit.is_hair
-            # reflect and find the non-specular endpoint
-            d_r = ray.d - 2.0 * dot(ray.d, hit.sh_n)[..., None] * hit.sh_n
-            o_r = hit.p + hit.geo_n * jnp.where(
-                dot(d_r, hit.geo_n) > 0, cfg.ray_eps,
-                -cfg.ray_eps)[..., None]
-            r2 = Ray(o=o_r, d=d_r, mint=jnp.zeros(n_pix),
-                     maxt=jnp.where(spec, jnp.inf, 0.0))
-            hit2 = scene_intersect(arrs, r2, cfg.traversal, cfg.block,
-                                   _swept_params(cfg))
-            ok = spec & hit2.valid
-            x2_t1 = _advance(motion, hit2)
-            # re-solve the specular vertex for (camera@t1 → x → x2@t1)
-            cam1_o = jnp.broadcast_to(cam1.to_world[:3, 3], (n_pix, 3))
-            hit_w = hit._replace(valid=ok)
-            x1_t1, _, walked = walk(arrs, cfg, cam1_o, x2_t1, hit_w,
-                                    n_iters=12)
-            ok = ok & walked
-            pos1, _, _, _, vis1 = sensors.camera_importance(cam1, x1_t1)
-            dist1 = jnp.linalg.norm(x2_t1 - cam1.to_world[:3, 3], axis=-1)
-            dist0 = jnp.linalg.norm(hit2.p - cam0.to_world[:3, 3], axis=-1)
-            ok = ok & vis1
+        if config != "d":
+            # specular chain config ('rd', 'ttd', 'trtd', 'trrtd', ...):
+            # follow the chain of delta events named by the config chars
+            # (r = reflection branch, t = transmission branch), advance
+            # the diffuse endpoint, then solve for the t1 image point
+            # that sees the advanced endpoint through the SAME delta
+            # chain — the reference's use of SpecularManifold
+            # (motion.cpp). TPU formulation: 2-D Newton directly on the
+            # image position, retracing the whole chain per probe (the
+            # chain map is deterministic); this converges quadratically
+            # where per-vertex Gauss-Seidel relaxation contracts only
+            # geometrically (~0.77/sweep for a thin slab).
+            from .mlt import _delta_bounce, _hit_to_vertex
+            from ..core.math import coordinate_system
+            chars = config[:-1]
+
+            def chain_trace(pos, cam):
+                """Trace the delta chain from image pos. Returns the ray
+                leaving the LAST chain vertex, the endpoint hit, ok."""
+                r = sensors.sample_ray(cam, pos, None)
+                okc = jnp.ones((n_pix,), bool)
+                for c in chars:
+                    h = scene_intersect(arrs, r, cfg.traversal,
+                                        cfg.block, _swept_params(cfg))
+                    kind = arrs.materials.kind[jnp.maximum(h.mat_id, 0)]
+                    is_delta = (kind == mat.CONDUCTOR) \
+                        | (kind == mat.DIELECTRIC) \
+                        | (kind == mat.THINDIELECTRIC)
+                    if c == "t":
+                        is_delta = is_delta & (kind != mat.CONDUCTOR)
+                    okc = okc & h.valid & is_delta & ~h.is_hair
+                    choice = jnp.full((n_pix,), 1 if c == "t" else 0,
+                                      jnp.int32)
+                    v_i = _hit_to_vertex(h, okc)
+                    d_n, _, _ = _delta_bounce(
+                        arrs, scene.active_kinds, v_i, -r.d, choice)
+                    o_n = h.p + h.geo_n * jnp.where(
+                        dot(d_n, h.geo_n) > 0, cfg.ray_eps,
+                        -cfg.ray_eps)[..., None]
+                    r = Ray(o=o_n, d=d_n, mint=jnp.zeros(n_pix),
+                            maxt=jnp.where(okc, jnp.inf, 0.0))
+                h_end = scene_intersect(arrs, r, cfg.traversal,
+                                        cfg.block, _swept_params(cfg))
+                return r, h_end, okc
+
+            r_end, end_hit, ok = chain_trace(pos0, cam0)
+            ok = ok & end_hit.valid & ~end_hit.is_hair
+            xd_t1 = _advance(motion, end_hit)
+
+            # Newton on the t1 image position: drive the perpendicular
+            # miss of the last-vertex ray past xd_t1 to zero.
+            def miss(r_, sB, tB):
+                e = xd_t1 - r_.o
+                ep = e - dot(e, r_.d)[..., None] * r_.d
+                return jnp.stack([dot(ep, sB), dot(ep, tB)], -1)
+
+            pos = pos0
+            d_px = 0.25
+            for _ in range(7):
+                rC, _, okC = chain_trace(pos, cam1)
+                sB, tB = coordinate_system(rC.d)
+                f0 = miss(rC, sB, tB)
+                rU, _, okU = chain_trace(
+                    pos + jnp.array([d_px, 0.0], jnp.float32), cam1)
+                rV, _, okV = chain_trace(
+                    pos + jnp.array([0.0, d_px], jnp.float32), cam1)
+                fU = (miss(rU, sB, tB) - f0) / d_px
+                fV = (miss(rV, sB, tB) - f0) / d_px
+                det = fU[..., 0] * fV[..., 1] - fV[..., 0] * fU[..., 1]
+                good = okC & okU & okV & (jnp.abs(det) > 1e-20)
+                inv = 1.0 / jnp.where(good, det, 1.0)
+                du = (-fV[..., 1] * f0[..., 0]
+                      + fV[..., 0] * f0[..., 1]) * inv
+                dv = (fU[..., 1] * f0[..., 0]
+                      - fU[..., 0] * f0[..., 1]) * inv
+                # trust region: at most 4 px per iteration
+                mag = jnp.sqrt(du * du + dv * dv)
+                sc = jnp.minimum(1.0, 4.0 / jnp.maximum(mag, 1e-12))
+                step = jnp.stack([du * sc, dv * sc], -1)
+                pos = jnp.where(good[..., None], pos + step, pos)
+
+            rF, _, okF = chain_trace(pos, cam1)
+            sB, tB = coordinate_system(rF.d)
+            fF = miss(rF, sB, tB)
+            dist1 = jnp.linalg.norm(xd_t1 - cam1.to_world[:3, 3],
+                                    axis=-1)
+            dist0 = jnp.linalg.norm(end_hit.p - cam0.to_world[:3, 3],
+                                    axis=-1)
+            chord = jnp.linalg.norm(xd_t1 - rF.o, axis=-1)
+            converged = jnp.linalg.norm(fF, axis=-1) \
+                < 1e-3 * jnp.maximum(chord, 1e-3)
+            in_img = (pos[..., 0] >= 0) & (pos[..., 0] <= cfg.width) \
+                & (pos[..., 1] >= 0) & (pos[..., 1] <= cfg.height)
+            ok = ok & okF & converged & in_img
+            pos1 = pos
         else:
             p1 = _advance(motion, hit)
             pos1, _, dist1, _, vis1 = sensors.camera_importance(cam1, p1)

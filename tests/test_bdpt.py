@@ -31,9 +31,9 @@ def _box_scene(res=24, lamp_scale=0.4, radiance=(12.0, 11.0, 9.0)):
     left = np.array([[0, 0, 1, -1.8], [0, 1, 0, 1.0], [-1, 0, 0, 1.0],
                      [0, 0, 0, 1]], np.float64)
     b.add_mesh(floor, red, to_world=left @ sc)
-    # emissive quad near the top, facing down
+    # emissive quad near the top, facing down (rotation maps +z -> -y)
     s_l = lamp_scale
-    lamp = np.array([[s_l, 0, 0, 0], [0, 0, s_l, 2.2], [0, -s_l, 0, 1.0],
+    lamp = np.array([[s_l, 0, 0, 0], [0, 0, -s_l, 2.2], [0, s_l, 0, 1.0],
                      [0, 0, 0, 1]], np.float64)
     b.add_mesh(floor, white, to_world=lamp, radiance=radiance)
     cam = Camera.perspective(matrix_lookat((0.3, 1.2, -2.6), (0, 0.8, 1.0),
@@ -110,8 +110,10 @@ def test_erpt_matches_path_tracer():
     from hairpt.integrators import erpt
     scene = _box_scene(res=16)
     img_pt = np.asarray(path_int.render(scene, spp=64))
-    img_er = np.asarray(erpt.render_erpt(scene, n_seeds=1 << 13,
-                                         n_mutations=12, seed=5))
+    # the directly-visible lamp dominates the mean with a fat-tailed
+    # per-seed contribution; 32k seeds keep the 12% gate reliable
+    img_er = np.asarray(erpt.render_erpt(scene, n_seeds=1 << 15,
+                                         n_mutations=16, seed=5))
     assert np.isfinite(img_er).all() and (img_er >= 0).all()
     m_pt, m_er = img_pt.mean(), img_er.mean()
     assert abs(m_er - m_pt) / m_pt < 0.12, (m_pt, m_er)

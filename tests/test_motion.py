@@ -236,3 +236,89 @@ def test_camera_motion_blur():
     from hairpt.film import film as film_mod
     oracle = np.asarray(film_mod.develop(*acc_ref))
     assert np.allclose(img_blur, oracle, rtol=2e-5, atol=2e-6)
+
+
+def test_motion_ttd_thin_glass():
+    """'ttd' config: a moving quad seen through a glass slab. With IOR
+    ~1 the pair of refractions is the identity, so the ttd vectors must
+    match the 'd' vectors of the same scene WITHOUT the slab. With a
+    real IOR the flow must stay finite and similar in direction."""
+    from hairpt.models.bsdf import registry as mat
+    from hairpt.integrators.motion import render_motion
+    W, dx = 64, 0.3
+
+    def build(ior):
+        b = SceneBuilder()
+        diff = b.add_material(kind=mat.DIFFUSE, diffuse=(0.5, 0.5, 0.5))
+        if ior is not None:
+            glass = b.add_material(kind=mat.DIELECTRIC, eta=ior)
+            for z in (1.4, 1.6):     # slab = front + back faces
+                mg = _translate([0, 0, z])
+                mg[0, 0] = mg[1, 1] = 3.0
+                b.add_mesh(shp.rectangle(), glass, to_world=mg)
+        mq = _translate([0, 0, 3.0])
+        mq[0, 0] = mq[1, 1] = 2.0
+        b.add_mesh(shp.rectangle(), diff, to_world=mq,
+                   motion=_translate([dx, 0, 0]))
+        cam = Camera.perspective(np.eye(4), 90.0, W, W)
+        return b.build(cam, Film.make(W, W, "box"), spp=1, max_depth=4)
+
+    img_d = np.asarray(render_motion(build(None), config="d"))
+    img_ttd = np.asarray(render_motion(build(1.0001), config="ttd"))
+    # off-diagonal probe pixel (the exact centre ray grazes the quad
+    # triangles' shared diagonal and can slip between them)
+    c, r = W // 2 + 5, W // 2 + 3
+    vd, vt = img_d[r, c], img_ttd[r, c]
+    assert np.isfinite(vt).all(), vt
+    assert abs(vt[0] - vd[0]) < 0.08, (vd, vt)
+    assert abs(vt[1] - vd[1]) < 0.08, (vd, vt)
+    # real IOR: refraction compresses the apparent motion, same direction
+    img_g = np.asarray(render_motion(build(1.5), config="ttd"))
+    vg = img_g[r, c]
+    assert np.isfinite(vg).all(), vg
+    assert vg[0] * vd[0] > 0, (vd, vg)
+    assert abs(vg[0]) < abs(vd[0]) * 1.2, (vd, vg)
+
+
+def test_motion_trtd_glass_mirror():
+    """'trtd': camera -> glass slab -> mirror -> (back through the slab is
+    NOT re-entered: the chain is t, r, t only when the mirror reflection
+    passes through the slab again). Build: glass slab in front, mirror
+    behind it, moving quad behind the camera; with IOR ~1 the flow must
+    match the pure-mirror 'rd' flow of the slab-free scene."""
+    from hairpt.models.bsdf import registry as mat
+    from hairpt.integrators.motion import render_motion
+    W, dx = 64, 0.4
+
+    def build(with_slab):
+        b = SceneBuilder()
+        mirror = b.add_material(kind=mat.CONDUCTOR,
+                                diffuse=(1.0, 1.0, 1.0))
+        diff = b.add_material(kind=mat.DIFFUSE, diffuse=(0.5, 0.5, 0.5))
+        if with_slab:
+            glass = b.add_material(kind=mat.DIELECTRIC, eta=1.0001)
+            mg = _translate([0, 0, 1.5])
+            mg[0, 0] = mg[1, 1] = 3.0
+            b.add_mesh(shp.rectangle(), glass, to_world=mg)
+        m3 = _translate([0, 0, 3.0])
+        m3[0, 0] = m3[1, 1] = 3.0
+        b.add_mesh(shp.rectangle(), mirror, to_world=m3)
+        mq = _translate([0, 0, -2.0])
+        b.add_mesh(shp.rectangle(), diff, to_world=mq,
+                   motion=_translate([dx, 0, 0]))
+        cam = Camera.perspective(np.eye(4), 90.0, W, W)
+        return b.build(cam, Film.make(W, W, "box"), spp=1, max_depth=5)
+
+    img_rd = np.asarray(render_motion(build(False), config="rd"))
+    img_trtd = np.asarray(render_motion(build(True), config="trtd"))
+    c = W // 2
+    # the mirror image through near-unity glass: compare at an offset
+    # pixel with finite values in both
+    got = False
+    for off in range(1, 12):
+        vr, vt = img_rd[c + 3, c + off], img_trtd[c + 3, c + off]
+        if np.isfinite(vr).all() and np.isfinite(vt).all():
+            assert abs(vt[0] - vr[0]) < 0.1, (off, vr, vt)
+            got = True
+            break
+    assert got, "no trackable trtd pixel found"
