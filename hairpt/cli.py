@@ -123,9 +123,23 @@ def main(argv=None):
     u.add_argument("--weights", default=None,
                    help="comma-separated blend weights (addimages)")
 
+    # converter subcommand (reference: mtsimport, src/converter/collada.cpp
+    # — COLLADA → mesh files + scene XML)
+    imp = sub.add_parser("import")
+    imp.add_argument("dae", help="input COLLADA .dae file")
+    imp.add_argument("output", help="output scene .xml path")
+    imp.add_argument("--obj-dir", default=None,
+                     help="directory for the extracted OBJ meshes "
+                          "(default: next to the XML)")
+
     args = ap.parse_args(argv)
     if args.cmd == "util":
         return _util_main(args)
+    if args.cmd == "import":
+        from .scene.collada import convert
+        out = convert(args.dae, args.output, obj_dir=args.obj_dir)
+        print(f"wrote {out}")
+        return 0
 
     from .utils import log as log_mod
     logger = log_mod.setup(verbosity=args.verbose, quiet=args.quiet,
