@@ -100,7 +100,7 @@ def frame(hit: Hit) -> Frame:
 
 def scene_intersect(arr: SceneArrays, ray: Ray, traversal: str = "packed",
                     block: int = 256, swept=None,
-                    sort_rays: bool = False) -> Hit:
+                    sort_rays: bool = False, compact: bool = True) -> Hit:
     """Closest hit against triangles and hair; builds the shading record."""
     n = ray.o.shape[0]
     inf = jnp.full((n,), jnp.inf, jnp.float32)
@@ -118,7 +118,7 @@ def scene_intersect(arr: SceneArrays, ray: Ray, traversal: str = "packed",
             t_hair, prim_hair = itiled.tiled_closest_hit(
                 arr.hair_swept, hair_ray, c, k, q_max=q_max,
                 subcull=(traversal == "tiled_sub"),
-                sort_rays=sort_rays)
+                sort_rays=sort_rays, compact=compact)
         elif traversal == "swept" and arr.hair_swept is not None:
             c, k, pmax, chunk = swept[:4]
             t_hair, prim_hair = iswept.swept_closest_hit(
@@ -223,7 +223,8 @@ def scene_intersect(arr: SceneArrays, ray: Ray, traversal: str = "packed",
 
 
 def scene_occluded(arr: SceneArrays, ray: Ray, traversal: str = "packed",
-                   block: int = 256, swept=None, sort_rays: bool = False):
+                   block: int = 256, swept=None, sort_rays: bool = False,
+                   compact: bool = True):
     n = ray.o.shape[0]
     occ = jnp.zeros((n,), bool)
     if arr.tri is not None:
@@ -241,7 +242,8 @@ def scene_occluded(arr: SceneArrays, ray: Ray, traversal: str = "packed",
                                              q_max=q_max,
                                              subcull=(traversal
                                                       == "tiled_sub"),
-                                             sort_rays=sort_rays)
+                                             sort_rays=sort_rays,
+                                             compact=compact)
         elif traversal == "swept" and arr.hair_swept is not None:
             c, k, pmax, chunk = swept[:4]
             occ = occ | iswept.swept_any_hit(arr.hair_swept, ray2, c, k,

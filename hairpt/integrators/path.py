@@ -354,7 +354,8 @@ def make_li_fn(scene: Scene, differentiable: bool = False,
             # below) and stops, so bounces happen at depths 1..maxDepth-1
             return jnp.any(st.active) & (st.depth < cfg.max_depth)
 
-        def body(st: PathState):
+        def body(st: PathState, pixel_idx, sample_idx):
+            n = st.active.shape[0]
             dims = DIM_BASE + (st.depth - 1) * DIM_STRIDE
             hit = st.hit
             active = st.active
@@ -462,7 +463,7 @@ def make_li_fn(scene: Scene, differentiable: bool = False,
                 maxt=jnp.where(nee_ok, shadow.maxt, 0.0))
             occluded = scene_occluded(arr, shadow, cfg.traversal,
                                       cfg.block, _swept_params(cfg),
-                                      sort_rays=True)
+                                      sort_rays=True, compact=False)
             vis = nee_ok & ~occluded
             w_nee = jnp.where(is_dl, 1.0,
                               _mi_weight(pdf_nee, bsdf_pdf_nee))
@@ -510,7 +511,7 @@ def make_li_fn(scene: Scene, differentiable: bool = False,
                            maxt=jnp.where(active, jnp.inf, 0.0))
             hit2 = scene_intersect(arr, next_ray, cfg.traversal,
                                    cfg.block, _swept_params(cfg),
-                                   sort_rays=True)
+                                   sort_rays=True, compact=False)
 
             # ---- RR ---- (disabled in differentiable mode: the survival
             # decision is not differentiable and max_depth is small there)
@@ -544,12 +545,65 @@ def make_li_fn(scene: Scene, differentiable: bool = False,
 
         if differentiable:
             # fixed-length, rematerialized per bounce (reverse-mode safe)
-            ckpt_body = jax.checkpoint(lambda st: body(st))
+            ckpt_body = jax.checkpoint(
+                lambda st: body(st, pixel_idx, sample_idx))
             final, _ = jax.lax.scan(lambda st, _: (ckpt_body(st), None),
                                     state, None,
                                     length=max(cfg.max_depth - 1, 0))
         else:
-            final = jax.lax.while_loop(cond, body, state)
+            # staged-width wavefront: under RR most lanes die within a few
+            # bounces, but every full-width bounce still pays full-width
+            # shading + NEE + sorting (measured ~10 ms/bounce of dead-lane
+            # overhead at 256²). Run the SAME body at n → n/4 → n/16
+            # widths: each stage exits once the live count fits the next
+            # width, lanes are gathered live-first (stable, preserving
+            # Morton-ish coherence), and the sub-state is scattered back so
+            # dropped lanes keep their accumulated radiance and any pending
+            # emission (flushed below at full width).
+            stage_caps = [n]
+            if n >= 4096 and n_uniform_dims == 0:
+                for f_ in (4, 16):
+                    m_ = max(256, (-(-n // f_) // 256) * 256)
+                    if m_ < stage_caps[-1]:
+                        stage_caps.append(m_)
+
+            def _lane(a, w):
+                return hasattr(a, "ndim") and a.ndim >= 1 \
+                    and a.shape[0] == w
+
+            st_full = state
+            for si_, w_ in enumerate(stage_caps):
+                next_cap = stage_caps[si_ + 1] \
+                    if si_ + 1 < len(stage_caps) else 0
+                if w_ == n:
+                    order_, sub = None, st_full
+                    spix, ssmp = pixel_idx, sample_idx
+                else:
+                    key_ = jnp.where(st_full.active, jnp.uint32(0),
+                                     jnp.uint32(1))
+                    order_ = jnp.argsort(key_)[:w_]
+                    sub = jax.tree_util.tree_map(
+                        lambda a: a[order_] if _lane(a, n) else a,
+                        st_full)
+                    spix = pixel_idx[order_]
+                    ssmp = sample_idx[order_]
+
+                def cond_s(st, _nc=next_cap):
+                    c = jnp.any(st.active) & (st.depth < cfg.max_depth)
+                    if _nc > 0:
+                        c = c & (jnp.sum(st.active) > _nc)
+                    return c
+
+                sub = jax.lax.while_loop(
+                    cond_s, lambda st, p=spix, q=ssmp: body(st, p, q),
+                    sub)
+                if order_ is None:
+                    st_full = sub
+                else:
+                    st_full = jax.tree_util.tree_map(
+                        lambda f, g: f.at[order_].set(g)
+                        if _lane(f, n) else g, st_full, sub)
+            final = st_full
 
         # paths that terminated by depth but had a pending emitter/env hit:
         # the loop structure above accounts for emission at loop top, so the

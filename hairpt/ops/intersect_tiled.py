@@ -195,7 +195,7 @@ def tiled_closest_hit(sw: SweptHair, ray: Ray, n_clusters: int, K: int,
                       tile: int = 64, q_max: int = 128, impl: str = "auto",
                       return_overflow: bool = False, mode: str = "closest",
                       sort_rays: bool = False, subcull: bool = False,
-                      two_round: int = 0):
+                      two_round: int = 0, compact: bool = True):
     """Closest hit over the cluster layout. Returns (t [N], prim_id [N]).
 
     n_clusters, K are the static cluster-layout ints; tile and q_max are
@@ -218,81 +218,128 @@ def tiled_closest_hit(sw: SweptHair, ray: Ray, n_clusters: int, K: int,
     order = None
     if sort_rays:
         ray, order = _morton_sort_rays(sw, ray)
-    ray_p, N = _pad_rays(ray, tile)
-    Np = ray_p.o.shape[0]
-    T = Np // tile
+    N = ray.o.shape[0]
 
-    rays8 = jnp.stack([
-        ray_p.o[:, 0].reshape(T, tile), ray_p.o[:, 1].reshape(T, tile),
-        ray_p.o[:, 2].reshape(T, tile),
-        ray_p.d[:, 0].reshape(T, tile), ray_p.d[:, 1].reshape(T, tile),
-        ray_p.d[:, 2].reshape(T, tile),
-        ray_p.mint.reshape(T, tile), ray_p.maxt.reshape(T, tile),
-    ], axis=1)                                             # [T, 8, tile]
+    def _run(ray_in):
+        """Full query pipeline on a ray array of ANY static length:
+        pad → phase A cull → slot routing → phase B (+ optional
+        two-round). Returns (t [len], p [len], overflow)."""
+        ray_p, n_in = _pad_rays(ray_in, tile)
+        Np = ray_p.o.shape[0]
+        T = Np // tile
 
-    def one_pass(ray_q, rays8_q, q_cap):
-        """phase A cull → slot routing → phase B, at slot cap q_cap.
-        Returns (t_tiles [T, tile], p_tiles [T, tile], overflow)."""
-        cull_bounds = (sw.sub_lo, sw.sub_hi) if subcull \
-            else (sw.cl_lo, sw.cl_hi)
-        if impl == "pallas":
-            # phase A as a Pallas kernel: the jnp form streams [N, C]
-            # temporaries through HBM (profiled at 51 of 60 ms per query)
-            te_s, t_pmax_t = _cull_pallas(rays8_q, cull_bounds[0],
-                                          cull_bounds[1])
-            mask_s = jnp.isfinite(te_s)
+        rays8 = jnp.stack([
+            ray_p.o[:, 0].reshape(T, tile), ray_p.o[:, 1].reshape(T, tile),
+            ray_p.o[:, 2].reshape(T, tile),
+            ray_p.d[:, 0].reshape(T, tile), ray_p.d[:, 1].reshape(T, tile),
+            ray_p.d[:, 2].reshape(T, tile),
+            ray_p.mint.reshape(T, tile), ray_p.maxt.reshape(T, tile),
+        ], axis=1)                                         # [T, 8, tile]
+
+        def one_pass(ray_q, rays8_q, q_cap):
+            """phase A cull → slot routing → phase B, at slot cap q_cap.
+            Returns (t_tiles [T, tile], p_tiles [T, tile], overflow)."""
+            cull_bounds = (sw.sub_lo, sw.sub_hi) if subcull \
+                else (sw.cl_lo, sw.cl_hi)
+            if impl == "pallas":
+                # phase A as a Pallas kernel: the jnp form streams [N, C]
+                # temporaries through HBM (profiled at 51/60 ms per query)
+                te_s, t_pmax_t = _cull_pallas(rays8_q, cull_bounds[0],
+                                              cull_bounds[1])
+                mask_s = jnp.isfinite(te_s)
+            else:
+                mask_s, te_s, t_pmax = _tile_cluster_mask(
+                    sw, ray_q, tile, bounds=cull_bounds)
+                t_pmax_t = t_pmax.reshape(T, tile)
+            if subcull:
+                n_sub = K // 32   # sub-clusters per row (build asserts %32)
+                mask = mask_s.reshape(T, n_clusters, n_sub).any(-1)
+                te = te_s.reshape(T, n_clusters, n_sub).min(-1)
+            else:
+                mask, te = mask_s, te_s
+            slots, cnt, tmin, tscale, overflow = _tile_slots(mask, te,
+                                                             q_cap)
+
+            from .pallas_tiled import tiled_phase_b
+            # ordered traversal: slots are sorted by tile entry-t with
+            # suffix-min bounds, so both query modes check the exit
+            # condition every slot. The packed slot table is
+            # scalar-prefetched into SMEM (1 MB budget) → chunk the call
+            # over tiles at high resolutions.
+            t_chunk = max(1, (1 << 17) // q_cap)  # ≤ 0.5 MB int32 slots
+            tt, pp = [], []
+            for c0_ in range(0, T, t_chunk):
+                sl = slice(c0_, min(c0_ + t_chunk, T))
+                t_c, p_c = tiled_phase_b(
+                    slots[sl], cnt[sl], tmin[sl], tscale[sl], rays8_q[sl],
+                    t_pmax_t[sl], sw.seg_rows_t, K, q_cap,
+                    any_hit=(mode == "any"),
+                    interpret=(impl == "interpret"),
+                    exit_every=1, unroll=3)
+                tt.append(t_c)
+                pp.append(p_c)
+            t_tiles = tt[0] if len(tt) == 1 else jnp.concatenate(tt)
+            p_tiles = pp[0] if len(pp) == 1 else jnp.concatenate(pp)
+            return t_tiles, p_tiles, overflow
+
+        if two_round > 0 and mode == "closest":
+            # round 1: only each tile's nearest two_round clusters — most
+            # rays find their closest hit immediately; round 2 re-culls
+            # with the tightened per-ray maxt (a cluster whose entry t
+            # exceeds the round-1 hit cannot contain a closer one), so the
+            # surviving candidate unions collapse. Exact: the true closest
+            # hit's cluster entry t is ≤ its distance ≤ the round-1 bound.
+            t1_t, p1_t, _ = one_pass(ray_p, rays8, two_round)
+            t1_flat = t1_t.reshape(Np)
+            maxt2 = jnp.minimum(ray_p.maxt, t1_flat)
+            ray_r2 = ray_p._replace(maxt=maxt2)
+            rays8_r2 = rays8.at[:, 7, :].set(maxt2.reshape(T, tile))
+            t2_t, p2_t, overflow = one_pass(ray_r2, rays8_r2, q_max)
+            better = t2_t < t1_t
+            t_tiles = jnp.where(better, t2_t, t1_t)
+            p_tiles = jnp.where(better, p2_t, p1_t)
         else:
-            mask_s, te_s, t_pmax = _tile_cluster_mask(sw, ray_q, tile,
-                                                      bounds=cull_bounds)
-            t_pmax_t = t_pmax.reshape(T, tile)
-        if subcull:
-            n_sub = K // 32   # sub-clusters per row (build asserts %32)
-            mask = mask_s.reshape(T, n_clusters, n_sub).any(-1)
-            te = te_s.reshape(T, n_clusters, n_sub).min(-1)
-        else:
-            mask, te = mask_s, te_s
-        slots, cnt, tmin, tscale, overflow = _tile_slots(mask, te, q_cap)
+            t_tiles, p_tiles, overflow = one_pass(ray_p, rays8, q_max)
+        return (t_tiles.reshape(Np)[:n_in], p_tiles.reshape(Np)[:n_in],
+                overflow)
 
-        from .pallas_tiled import tiled_phase_b
-        # ordered traversal: slots are sorted by tile entry-t with
-        # suffix-min bounds, so both query modes check the exit condition
-        # every slot. The packed slot table is scalar-prefetched into SMEM
-        # (1 MB budget) → chunk the call over tiles at high resolutions.
-        t_chunk = max(1, (1 << 17) // q_cap)   # ≤ 0.5 MB of int32 slots
-        tt, pp = [], []
-        for c0_ in range(0, T, t_chunk):
-            sl = slice(c0_, min(c0_ + t_chunk, T))
-            t_c, p_c = tiled_phase_b(
-                slots[sl], cnt[sl], tmin[sl], tscale[sl], rays8_q[sl],
-                t_pmax_t[sl], sw.seg_rows_t, K, q_cap,
-                any_hit=(mode == "any"), interpret=(impl == "interpret"),
-                exit_every=1, unroll=3)
-            tt.append(t_c)
-            pp.append(p_c)
-        t_tiles = tt[0] if len(tt) == 1 else jnp.concatenate(tt)
-        p_tiles = pp[0] if len(pp) == 1 else jnp.concatenate(pp)
-        return t_tiles, p_tiles, overflow
+    # liveness-adaptive compaction: after the dead-last sort, mostly-dead
+    # waves (deep bounces under RR) run the WHOLE pipeline — phase A grid,
+    # [T, C] routing sort, phase B grid — on a statically-sliced prefix
+    # whose capacity is picked by the live count. Fixed per-query cost
+    # becomes ~proportional to liveness instead of to the wave width
+    # (measured 10 ms/bounce of dead-wave overhead at 256², §depth-sweep).
+    caps = []
+    if order is not None and N >= 4 * tile and compact:
+        for f in (4, 16):
+            M = max(tile, (-(-N // f) // tile) * tile)   # ceil to tile
+            if M < N and M not in caps:
+                caps.append(M)
+    if caps:
+        live = jnp.sum(ray.maxt > ray.mint)
 
-    if two_round > 0 and mode == "closest":
-        # round 1: only each tile's nearest two_round clusters — most rays
-        # find their closest hit immediately; round 2 re-culls with the
-        # tightened per-ray maxt (a cluster whose entry t exceeds the
-        # round-1 hit cannot contain a closer one), so the surviving
-        # candidate unions collapse. Exact: the true closest hit's cluster
-        # entry t is ≤ its distance ≤ the round-1 bound.
-        t1_t, p1_t, _ = one_pass(ray_p, rays8, two_round)
-        t1_flat = t1_t.reshape(Np)
-        maxt2 = jnp.minimum(ray_p.maxt, t1_flat)
-        ray_r2 = ray_p._replace(maxt=maxt2)
-        rays8_r2 = rays8.at[:, 7, :].set(maxt2.reshape(T, tile))
-        t2_t, p2_t, overflow = one_pass(ray_r2, rays8_r2, q_max)
-        better = t2_t < t1_t
-        t_tiles = jnp.where(better, t2_t, t1_t)
-        p_tiles = jnp.where(better, p2_t, p1_t)
+        def full_branch(ray_b):
+            return _run(ray_b)
+
+        def make_branch(M):
+            def br(ray_b):
+                sub = Ray(o=ray_b.o[:M], d=ray_b.d[:M],
+                          mint=ray_b.mint[:M], maxt=ray_b.maxt[:M])
+                t_m, p_m, ov = _run(sub)
+                t_f = jnp.concatenate(
+                    [t_m, jnp.full((N - M,), jnp.inf, jnp.float32)])
+                p_f = jnp.concatenate(
+                    [p_m, jnp.full((N - M,), -1, jnp.int32)])
+                return t_f, p_f, ov
+            return br
+
+        branches = [full_branch] + [make_branch(M) for M in caps]
+        idx = jnp.int32(0)
+        for k_, M in enumerate(caps):
+            idx = jnp.where(live <= M, jnp.int32(k_ + 1), idx)
+        t, p, overflow = jax.lax.switch(idx, branches, ray)
     else:
-        t_tiles, p_tiles, overflow = one_pass(ray_p, rays8, q_max)
-    t = t_tiles.reshape(Np)[:N]
-    p = p_tiles.reshape(Np)[:N]
+        t, p, overflow = _run(ray)
     if order is not None:
         # inverse permutation via scatter
         inv = jnp.zeros((N,), jnp.int32).at[order].set(
@@ -306,9 +353,10 @@ def tiled_closest_hit(sw: SweptHair, ray: Ray, n_clusters: int, K: int,
 
 def tiled_any_hit(sw: SweptHair, ray: Ray, n_clusters: int, K: int,
                   tile: int = 64, q_max: int = 128, impl: str = "auto",
-                  sort_rays: bool = False, subcull: bool = False):
+                  sort_rays: bool = False, subcull: bool = False,
+                  compact: bool = True):
     degenerate = ray.maxt <= ray.mint
     t, p = tiled_closest_hit(sw, ray, n_clusters, K, tile, q_max, impl,
                              mode="any", sort_rays=sort_rays,
-                             subcull=subcull)
+                             subcull=subcull, compact=compact)
     return (p >= 0) & ~degenerate
