@@ -108,6 +108,12 @@ def main(argv=None):
     r.add_argument("--bands", type=int, default=0,
                    help="out-of-core: render N-row bands streamed to the "
                         "output EXR (tiledhdrfilm parity; path only)")
+    r.add_argument("--spectral", type=int, default=0, metavar="N",
+                   help="render with N spectral bins (multiple of 3) "
+                        "instead of RGB (SPECTRUM_SAMPLES>3 parity)")
+    r.add_argument("--dispersion", type=float, default=0.0,
+                   help="Cauchy B coefficient (um^2) for dielectric "
+                        "dispersion in --spectral mode (e.g. 0.0042=BK7)")
     r.add_argument("--integrator", default=None,
                    help="override: path | direct | ao | field:<name> "
                         "(field names: distance, position, geoNormal, "
@@ -179,7 +185,13 @@ def main(argv=None):
     integ = args.integrator or scene.config.integrator or "path"
     integ = {"volpath_simple": "volpath", "photonmapper": "ppm"}.get(integ,
                                                                      integ)
-    if integ == "ao":
+    if args.spectral:
+        from .integrators.spectral import render_spectral
+        img = np.asarray(render_spectral(scene, n_bins=args.spectral,
+                                         spp=scene.config.spp,
+                                         seed=args.seed,
+                                         cauchy_b=args.dispersion))
+    elif integ == "ao":
         from .integrators import aux_integrators as aux
         img = np.asarray(aux.render_ao(scene, spp=scene.config.spp))
     elif integ == "direct":
