@@ -273,6 +273,21 @@ def _marschner_m3(gm, theta_i, sin_to, cos_to):
     return m_r, m_tt, m_trt
 
 
+def _marschner_diffuse_term(gm, wi, wo):
+    """Roughplastic-style compensated diffuse term, z-axis cosines
+    (marschner_diffuse.cpp:467-479)."""
+    T12 = R.ext_trans_lookup(gm, wi[..., 2])
+    T21 = R.ext_trans_lookup(gm, wo[..., 2])
+    inv_eta2 = 1.0 / (gm.eta * gm.eta)
+    diff = gm.diffuse
+    comp = jnp.where(gm.nonlinear[..., None],
+                     1.0 - diff * gm.int_fdr[..., None],
+                     (1.0 - gm.int_fdr)[..., None])
+    diff = diff / jnp.maximum(comp, 1e-6)
+    return diff * (INV_PI * jnp.maximum(wo[..., 2], 0.0)
+                   * T12 * T21 * inv_eta2)[..., None]
+
+
 class Marschner:
     @staticmethod
     def eval_pdf(gm, wi, wo, aux):
@@ -286,20 +301,7 @@ class Marschner:
         hair = 0.15 * m_r[..., None] * n_r + m_tt[..., None] * n_tt \
             + m_trt[..., None] * n_trt
 
-        # roughplastic-style compensated diffuse term, z-axis cosines
-        # (marschner_diffuse.cpp:467-479)
-        T12 = R.ext_trans_lookup(gm, wi[..., 2])
-        T21 = R.ext_trans_lookup(gm, wo[..., 2])
-        inv_eta2 = 1.0 / (gm.eta * gm.eta)
-        diff = gm.diffuse
-        comp = jnp.where(gm.nonlinear[..., None],
-                         1.0 - diff * gm.int_fdr[..., None],
-                         (1.0 - gm.int_fdr)[..., None])
-        diff = diff / jnp.maximum(comp, 1e-6)
-        diffuse = diff * (INV_PI * jnp.maximum(wo[..., 2], 0.0)
-                          * T12 * T21 * inv_eta2)[..., None]
-
-        f = hair + diffuse
+        f = hair + _marschner_diffuse_term(gm, wi, wo)
         # faithful-mode pdf quirk: pdf() ≡ 1 with diffuse enabled
         pdf = jnp.ones(wi.shape[:-1], jnp.float32)
         return f, pdf
@@ -367,6 +369,123 @@ class Marschner:
         pdf = jnp.ones(n, jnp.float32)
         # specular branch is flagged delta (EDeltaReflection quirk)
         return wo, f, pdf, choose_spec, jnp.ones(n, jnp.float32)
+
+
+# ---------------------------------------------------------------------------
+# Corrected-mode Marschner (the default for the "marschner" plugin name):
+# the fork's *pure* variant semantics (src/bsdfs/marschner.cpp:409-535 —
+# never built upstream, SConscript:30) with the quirks removed:
+#   - eval keeps all three lobes (no TRT-only zeroing, no 0.15·R scale)
+#   - pdf() is the true 3-lobe mixture  Σ_p w_p(cosθi)·M_p(θo)·N_pdf_p(φ)
+#     / Σ w_p  (marschner.cpp:447-410 pdf()), MIS-compatible
+#   - sample() uses fresh decorrelated 2D samples for lobe selection,
+#     longitudinal and azimuthal warps (marschner.cpp:473-474)
+#   - the sampled lobe is smooth (not flagged delta), so NEE + MIS apply
+# The faithful behavior stays available as kind=MARSCHNER (above).
+# ---------------------------------------------------------------------------
+
+def _marschner_p_spec(gm, wi):
+    """Probability of taking the specular (hair-lobe) branch. Matches the
+    faithful spec-vs-diffuse mixture when a diffuse term is present; pure
+    hair materials (diffuse == 0) always sample the hair lobes."""
+    p_base = 1.0 - R.ext_trans_lookup(gm, wi[..., 2])
+    sw = gm.spec_weight
+    p = (p_base * sw) / jnp.maximum(
+        p_base * sw + (1.0 - p_base) * (1.0 - sw), 1e-7)
+    has_diffuse = jnp.sum(gm.diffuse, axis=-1) > 0
+    return jnp.where(has_diffuse, p, 1.0)
+
+
+def _azimuthal_pdf_lanes(weights, k, phi, v_row):
+    """Per-lobe piecewise-constant azimuthal pdf matching
+    _azimuthal_sample_lanes exactly (same lerped weight row, same φ bins).
+    weights: [K, 3, Y, P]; returns [..., 3] pdf over dφ."""
+    v = jnp.clip(v_row, 0.0, AZ_RES - 1 - 1e-4)
+    r0 = jnp.clip(v.astype(jnp.int32), 0, AZ_RES - 2)
+    fv = (v - r0.astype(v.dtype))[..., None]
+    x = jnp.clip((phi * (AZ_RES * INV_TWOPI)).astype(jnp.int32),
+                 0, AZ_RES - 1)
+    out = []
+    for lobe in range(3):
+        w0 = weights[k, lobe, r0]            # [..., P]
+        w1 = weights[k, lobe, r0 + 1]
+        w = w0 * (1.0 - fv) + w1 * fv
+        total = jnp.sum(w, axis=-1)
+        wx = jnp.take_along_axis(w, x[..., None], axis=-1)[..., 0]
+        out.append(wx / jnp.maximum(total, 1e-20) * (AZ_RES * INV_TWOPI))
+    return jnp.stack(out, axis=-1)
+
+
+class MarschnerPure:
+    @staticmethod
+    def eval_pdf(gm, wi, wo, aux):
+        k = jnp.maximum(gm.aux_id, 0)
+        sin_ti, sin_to, cos_to, theta_i, cos_td, phi = \
+            _marschner_angles(gm, wi, wo)
+        cos_ti = jnp.minimum(safe_sqrt(1.0 - sin_ti * sin_ti), 1.0)
+        m_r, m_tt, m_trt = _marschner_m3(gm, theta_i, sin_to, cos_to)
+        n_r, n_tt, n_trt = _azimuthal_eval_lanes(aux.values, k, phi, cos_td)
+        hair = m_r[..., None] * n_r + m_tt[..., None] * n_tt \
+            + m_trt[..., None] * n_trt
+
+        # true mixture pdf over the 3 lobes (marschner.cpp pdf():447-410)
+        lw = _lobe_weight_lanes(aux.lobe_weight, k, (AZ_RES - 1) * cos_ti)
+        npdf = _azimuthal_pdf_lanes(aux.weights, k, phi,
+                                    (AZ_RES - 1) * cos_td)
+        m3 = jnp.stack([m_r, m_tt, m_trt], axis=-1)
+        pdf_hair = jnp.sum(lw * m3 * npdf, axis=-1) \
+            / jnp.maximum(jnp.sum(lw, axis=-1), 1e-20)
+
+        diffuse = _marschner_diffuse_term(gm, wi, wo)
+        p_spec = _marschner_p_spec(gm, wi)
+        pdf = p_spec * pdf_hair + (1.0 - p_spec) \
+            * warps.square_to_cosine_hemisphere_pdf(wo)
+        return hair + diffuse, pdf
+
+    @staticmethod
+    def sample(gm, wi, u_lobe, u2, u2b, aux):
+        n = wi.shape[:-1]
+        k = jnp.maximum(gm.aux_id, 0)
+        sin_ti = wi[..., 1]
+        cos_ti = jnp.minimum(safe_sqrt(1.0 - sin_ti * sin_ti), 1.0)
+        theta_i = jnp.arcsin(jnp.clip(sin_ti, -1.0, 1.0))
+        tilt = gm.scale_tilt
+        th = jnp.stack([theta_i - 2 * tilt, theta_i + tilt,
+                        theta_i + 4 * tilt], axis=-1)
+        v3 = jnp.stack([gm.beta_r ** 2, (gm.beta_r * 0.5) ** 2,
+                        (gm.beta_r * 2.0) ** 2], axis=-1)
+
+        # lobe selection ∝ azimuthal weight at the cosθi row, from a FRESH
+        # sample (u2b.x); longitudinal warp gets its own 2D sample (u2)
+        lw = _lobe_weight_lanes(aux.lobe_weight, k, (AZ_RES - 1) * cos_ti)
+        target = u2b[..., 0] * jnp.sum(lw, axis=-1)
+        c0 = lw[..., 0]
+        c01 = c0 + lw[..., 1]
+        lobe = jnp.where(target < c0, 0, jnp.where(target < c01, 1, 2))
+        v_sel = jnp.take_along_axis(v3, lobe[..., None], axis=-1)[..., 0]
+        th_sel = jnp.take_along_axis(th, lobe[..., None], axis=-1)[..., 0]
+
+        sin_to = jnp.clip(sample_longitudinal(
+            v_sel, jnp.sin(th_sel), jnp.cos(th_sel),
+            u2[..., 0], u2[..., 1]), -1.0, 1.0)
+        cos_to = jnp.minimum(safe_sqrt(1.0 - sin_to * sin_to), 1.0)
+        cos_td = jnp.cos((jnp.arcsin(sin_to) - theta_i) * 0.5)
+        phi = _azimuthal_sample_lanes(aux.weights, k, lobe,
+                                      (AZ_RES - 1) * cos_td, u2b[..., 1])
+        wo_spec = jnp.stack([jnp.sin(phi) * cos_to, sin_to,
+                             jnp.cos(phi) * cos_to], axis=-1)
+
+        p_spec = _marschner_p_spec(gm, wi)
+        choose_spec = u_lobe < p_spec
+        wo_diff = warps.square_to_cosine_hemisphere(u2)
+        wo = jnp.where(choose_spec[..., None], wo_spec, wo_diff)
+
+        f, pdf = MarschnerPure.eval_pdf(gm, wi, wo, aux)
+        ok = pdf > 1e-9
+        weight = jnp.where(ok[..., None],
+                           f / jnp.maximum(pdf, 1e-9)[..., None], 0.0)
+        return wo, weight, jnp.where(ok, pdf, 0.0), jnp.zeros(n, bool), \
+            jnp.ones(n, jnp.float32)
 
 
 def _azimuthal_eval_lanes(values, k, phi, cos_td):
@@ -466,4 +585,5 @@ class MarschnerDielectric:
 
 R.register(R.KAJIYAKAY, KajiyaKay)
 R.register(R.MARSCHNER, Marschner)
+R.register(R.MARSCHNER_PURE, MarschnerPure)
 R.register(R.MARSCHNERDIELECTRIC, MarschnerDielectric)

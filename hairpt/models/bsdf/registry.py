@@ -48,6 +48,10 @@ DIPOLE = 20   # subsurface dipole BSSRDF — resolved at the integrator level
 HK = 21       # Hanrahan-Krueger slab (src/bsdfs/hk.cpp)
 CLOTH = 22    # Irawan & Marschner woven cloth (src/bsdfs/irawan.cpp);
               # weave data in MaterialTable.cloth, resolved in gather()
+MARSCHNER_PURE = 23  # corrected-mode Marschner (true 3-lobe mixture pdf,
+                     # fresh per-decision samples, MIS-compatible) — the
+                     # default for the "marschner" plugin name; the quirky
+                     # MarschnerDiffuse behavior stays at MARSCHNER
 
 # wrapper kinds modify/combine a nested material row (mix_a, mix_b)
 WRAPPER_KINDS = (MIXTURE, MASK, COATING, ROUGHCOATING)

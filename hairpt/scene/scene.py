@@ -184,7 +184,8 @@ class SceneBuilder:
         is_curv = row.pop("__curvature__", False)
         kind = row.get("kind", mat.DIFFUSE)
         # per-material precomputed transmittance slices
-        if kind in (mat.ROUGHPLASTIC, mat.MARSCHNER, mat.ROUGHCOATING):
+        if kind in (mat.ROUGHPLASTIC, mat.MARSCHNER, mat.MARSCHNER_PURE,
+                    mat.ROUGHCOATING):
             dist = row.get("dist", 0)
             eta = row.get("eta", 1.5)
             alpha = row.get("alpha", 0.1)
@@ -203,7 +204,7 @@ class SceneBuilder:
             from ..models.bsdf.fresnel import fresnel_diffuse_reflectance
             row["int_fdr"] = fresnel_diffuse_reflectance(
                 1.0 / row.get("eta", 1.5))
-        if kind == mat.MARSCHNER:
+        if kind in (mat.MARSCHNER, mat.MARSCHNER_PURE):
             row["aux_id"] = len(self.hair_aux)
             self.hair_aux.append((row.get("sigma_a", (0.5, 0.5, 0.5)),
                                   row.get("beta_r", 0.1),
@@ -550,7 +551,7 @@ class SceneBuilder:
         active = tuple(sorted({int(r["kind"]) for r in self.materials}))
         marschner_rows = tuple(
             i for i, r in enumerate(self.materials)
-            if r["kind"] == mat.MARSCHNER)
+            if r["kind"] in (mat.MARSCHNER, mat.MARSCHNER_PURE))
         # motion blur: a host-side geometry re-pose for an arbitrary
         # shutter time. Meshes are stored in shutter-open world space, so
         # time t applies the relative rigid motion T(t)·T(open)⁻¹; the

@@ -44,7 +44,9 @@ BSDF_KINDS = {
     "ward": mat.WARD,
     "null": mat.NULL,
     "kajiyakay": mat.KAJIYAKAY,
-    "marschner": mat.MARSCHNER,  # = the fork's MarschnerDiffuse build
+    # "marschner" = the fork's MarschnerDiffuse build; corrected mode is
+    # the default here, faithful quirks behind <boolean name="faithful">
+    "marschner": mat.MARSCHNER_PURE,
     "marschnerdielectric": mat.MARSCHNERDIELECTRIC,
     "hk": mat.HK,
     "irawan": mat.CLOTH,
@@ -173,6 +175,12 @@ def _material_row_from_bsdf(node, defines, builder: SceneBuilder,
     if kind is None:
         kind = mat.DIFFUSE  # graceful fallback for exotic plugins
     p = _collect_props(node, defines)
+
+    # "marschner" defaults to the corrected mode (true pdf, MIS-compatible,
+    # SURVEY §7.6); the fork's quirky MarschnerDiffuse behavior is kept
+    # behind <boolean name="faithful" value="true"/> for pixel parity runs
+    if btype == "marschner" and bool(p.get("faithful", False)):
+        kind = mat.MARSCHNER
 
     if kind == mat.MIXTURE:
         children = node.findall("bsdf")[:2]

@@ -22,7 +22,16 @@ def fixed_wi(n, theta_deg=40.0, phi_deg=30.0):
     return jnp.broadcast_to(wi, (n, 3))
 
 
-def sample_pdf_consistency(kind, n=1 << 15, seed=0, atol=0.05, **mat_over):
+def make_hair_aux(sigma_a=(0.5, 0.5, 0.5), beta_r=0.1, eta=1.55):
+    vals = hair.precompute_azimuthal(jnp.asarray(sigma_a, jnp.float32),
+                                     beta_r, eta)
+    w, lw = hair.azimuthal_sampling_tables(vals)
+    return R.HairTables(values=vals[None], weights=w[None],
+                        lobe_weight=lw[None])
+
+
+def sample_pdf_consistency(kind, n=1 << 15, seed=0, atol=0.05, aux=None,
+                           **mat_over):
     """sample() then compare its reported pdf with pdf() of the same wo,
     and check weight == eval/pdf. Mirrors the χ² harness intent
     (reference: src/tests/test_chisquare.cpp) in a cheaper form."""
@@ -32,8 +41,8 @@ def sample_pdf_consistency(kind, n=1 << 15, seed=0, atol=0.05, **mat_over):
     ul = rng.uniform_1d(pix, 0, 1)
     u2 = rng.uniform_2d(pix, 0, 2)
     u2b = rng.uniform_2d(pix, 0, 4)
-    wo, w, pdf, is_delta, _ = R.sample([kind], gm, wi, ul, u2, u2b)
-    f, pdf2 = R.eval_pdf([kind], gm, wi, wo)
+    wo, w, pdf, is_delta, _ = R.sample([kind], gm, wi, ul, u2, u2b, aux)
+    f, pdf2 = R.eval_pdf([kind], gm, wi, wo, aux)
     ok = np.asarray(pdf > 1e-6) & ~np.asarray(is_delta)
     if ok.sum() > 0:
         np.testing.assert_allclose(np.asarray(pdf)[ok], np.asarray(pdf2)[ok],
@@ -45,7 +54,7 @@ def sample_pdf_consistency(kind, n=1 << 15, seed=0, atol=0.05, **mat_over):
 
 
 def chi2_direction_test(kind, n=1 << 16, n_theta=10, n_phi=10,
-                        theta_deg=40.0, **mat_over):
+                        theta_deg=40.0, aux=None, **mat_over):
     """Histogram sampled wo against numerically integrated pdf()."""
     gm = make_gm(n, kind=kind, **mat_over)
     wi = fixed_wi(n, theta_deg=theta_deg)
@@ -53,7 +62,7 @@ def chi2_direction_test(kind, n=1 << 16, n_theta=10, n_phi=10,
     ul = rng.uniform_1d(pix, 0, 1)
     u2 = rng.uniform_2d(pix, 0, 2)
     u2b = rng.uniform_2d(pix, 0, 4)
-    wo, w, pdf, is_delta, _ = R.sample([kind], gm, wi, ul, u2, u2b)
+    wo, w, pdf, is_delta, _ = R.sample([kind], gm, wi, ul, u2, u2b, aux)
     keep = np.asarray(pdf > 0) & ~np.asarray(is_delta)
     s = np.asarray(wo)[keep]
     # normalize by ALL drawn samples: pdf() integrates to the sampling
@@ -80,7 +89,7 @@ def chi2_direction_test(kind, n=1 << 16, n_theta=10, n_phi=10,
                             axis=-1).reshape(-1, 3).astype(np.float32)
             _, pd = R.eval_pdf([kind], gm1,
                                fixed_wi(m * m, theta_deg=theta_deg),
-                               jnp.asarray(dirs))
+                               jnp.asarray(dirs), aux)
             exp[i * n_phi + j] = np.mean(np.asarray(pd)) \
                 * (2 / n_theta) * (2 * np.pi / n_phi) * n_eff
     mask = exp > 8
@@ -121,6 +130,51 @@ def test_chi2_sampling(kind, over):
             np.full(R.N_COS, over["alpha"]))
         over["int_fdr"] = 1.0 - rt.eval_diffuse_np(over["alpha"])
     chi2_direction_test(kind, **over)
+
+
+# -- corrected-mode Marschner (MARSCHNER_PURE): the χ² GOF sweep the
+# faithful pdf≡1 quirk makes impossible (VERDICT weak #5 / SURVEY §7.6) ----
+
+def test_marschner_pure_sample_pdf_consistency():
+    sample_pdf_consistency(R.MARSCHNER_PURE, aux=make_hair_aux(),
+                           aux_id=0, diffuse=(0.0, 0.0, 0.0))
+
+
+@pytest.mark.parametrize("beta_r,theta_deg,diffuse", [
+    (0.3, 40.0, (0.0, 0.0, 0.0)),
+    (0.3, 70.0, (0.0, 0.0, 0.0)),
+    (0.45, 25.0, (0.3, 0.2, 0.1)),
+])
+def test_chi2_marschner_pure(beta_r, theta_deg, diffuse):
+    aux = make_hair_aux(beta_r=beta_r)
+    over = dict(aux_id=0, diffuse=diffuse, beta_r=beta_r, eta=1.55)
+    if sum(diffuse) > 0:
+        rt = tables.get(0, 1.55)
+        over["ext_trans"] = rt.eval_np(
+            (np.arange(R.N_COS) + 0.5) / R.N_COS, np.full(R.N_COS, 0.2))
+        over["int_fdr"] = 1.0 - rt.eval_diffuse_np(0.2)
+        over["spec_weight"] = 0.5
+    chi2_direction_test(R.MARSCHNER_PURE, aux=aux, n=1 << 18,
+                        n_theta=24, n_phi=24, theta_deg=theta_deg, **over)
+
+
+def test_marschner_pure_pdf_normalized():
+    # ∫ pdf dω ≈ 1 over the sphere (the quirky mode cannot satisfy this)
+    aux = make_hair_aux()
+    nb = 128
+    th = (np.arange(nb) + 0.5) / nb * np.pi - np.pi / 2
+    ph = (np.arange(nb) + 0.5) / nb * 2 * np.pi
+    T, P = np.meshgrid(th, ph, indexing="ij")
+    dirs = np.stack([np.sin(P) * np.cos(T), np.sin(T),
+                     np.cos(P) * np.cos(T)], -1).reshape(-1, 3)
+    gm = make_gm(dirs.shape[0], kind=R.MARSCHNER_PURE, aux_id=0,
+                 diffuse=(0.0, 0.0, 0.0))
+    _, pd = R.eval_pdf([R.MARSCHNER_PURE], gm,
+                       fixed_wi(dirs.shape[0]),
+                       jnp.asarray(dirs, jnp.float32), aux)
+    integ = (np.asarray(pd).reshape(nb, nb) * np.cos(T)).sum() \
+        * (np.pi / nb) * (2 * np.pi / nb)
+    assert abs(integ - 1.0) < 0.02, integ
 
 
 def test_diffuse_white_furnace():
