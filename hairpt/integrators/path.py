@@ -259,8 +259,9 @@ def _single_scatter(arr, cfg, p, n, wo_world, params, sel,
     # HG phase between the interior propagation dir and the light dir
     g = jnp.float32(params.g)
     cos_ph = dot(w_in, d_nee)
+    # forward scattering (d_nee ≈ w_in, cos_ph = +1) is the HG peak
     ph = (1.0 - g * g) / (4.0 * jnp.pi * jnp.maximum(
-        1.0 + g * g + 2.0 * g * cos_ph, 1e-6) ** 1.5)
+        1.0 + g * g - 2.0 * g * cos_ph, 1e-6) ** 1.5)
 
     tr = jnp.exp(-sig_t[None, :] * (s + s_i)[..., None])
     lo = sig_s[None, :] * tr * le \

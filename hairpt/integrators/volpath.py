@@ -102,7 +102,9 @@ def make_volpath_li(scene: Scene, medium):
             # medium-event scattering value towards the light
             ph_p = getattr(medium, "phase_p", None)
             ph_ori = getattr(medium, "orientation", None)
-            ph = med.phase_eval(pk, medium.g, -d, d_nee, ph_p, ph_ori)
+            ph_mix = getattr(medium, "mix", ())
+            ph = med.phase_eval(pk, medium.g, -d, d_nee, ph_p, ph_ori,
+                                ph_mix)
             # surface-event BSDF value
             wi_world = -d
             two = arr.materials.twosided[jnp.maximum(hit.mat_id, 0)]
@@ -135,11 +137,11 @@ def make_volpath_li(scene: Scene, medium):
             else:
                 tr_shadow = med.transmittance(
                     medium, jnp.minimum(dist_nee, medium.fog_depth))
-            # HG/iso pdf == eval; kkay samples the uniform sphere, so its
-            # pdf is 1/(4π) regardless of eval (kkay.cpp:96-101)
-            ph_pdf_nee = jnp.broadcast_to(jnp.float32(med.INV_FOURPI),
-                                          ph.shape) \
-                if pk == med.KKAY else ph
+            # pdf of the phase sampler at the NEE direction (== eval for
+            # the self-importance-sampled kinds; 1/(4π) for the uniform-
+            # sphere-sampled kkay; its own mixture for KKAY_IS/mixtures)
+            ph_pdf_nee = med.phase_pdf(pk, medium.g, -d, d_nee, ph_p,
+                                       ph_ori, ph_mix)
             scatter_pdf_nee = jnp.where(is_med, ph_pdf_nee, pdf_bs)
             w_mis = jnp.where(is_dl, 1.0,
                               _mi_weight(pdf_nee, scatter_pdf_nee))
@@ -153,17 +155,25 @@ def make_volpath_li(scene: Scene, medium):
             u_lobe = s1(pixel_idx, sample_idx, dims + 3)
             u2b = s2(pixel_idx, sample_idx, dims + 6)
             wo_med, pdf_ph = med.phase_sample(pk, medium.g, -d, u_ph,
-                                              ph_p, ph_ori)
-            # phase throughput weight eval/pdf (1 for HG/iso where they
-            # cancel; eval·4π for the uniform-sphere-sampled kkay)
-            w_ph = med.phase_eval(pk, medium.g, -d, wo_med, ph_p, ph_ori) \
-                / jnp.maximum(pdf_ph, 1e-20) if pk == med.KKAY else 1.0
+                                              ph_p, ph_ori, ph_mix)
+            # phase throughput weight eval/pdf (exactly 1 for HG/iso/
+            # rayleigh where the sampler inverts eval; eval·4π for the
+            # uniform-sphere-sampled kkay; general ratio otherwise)
+            if pk in (med.HG, med.ISOTROPIC, med.RAYLEIGH):
+                w_ph = 1.0
+            else:
+                w_ph = jnp.where(
+                    pdf_ph > 0,
+                    med.phase_eval(pk, medium.g, -d, wo_med, ph_p, ph_ori,
+                                   ph_mix) / jnp.maximum(pdf_ph, 1e-20),
+                    0.0)
             wo_l, w_bsdf, pdf_b, is_delta, _ = mat.sample(
                 active_kinds, gm, wi, u_lobe, u_ph, u2b, arr.hair_tables)
             wo_surf = fr.to_world(wo_l)
             d_next = jnp.where(is_med[..., None], wo_med, wo_surf)
-            w_med3 = w_ph[..., None] * jnp.ones((1, 3)) \
-                if pk == med.KKAY else jnp.ones((n, 3), jnp.float32)
+            w_med3 = jnp.ones((n, 3), jnp.float32) \
+                if pk in (med.HG, med.ISOTROPIC, med.RAYLEIGH) \
+                else w_ph[..., None] * jnp.ones((1, 3))
             w_next = jnp.where(is_med[..., None], w_med3, w_bsdf)
             throughput = throughput * w_next
             dead = jnp.max(jnp.abs(throughput), axis=-1) <= 0

@@ -21,8 +21,17 @@ ISOTROPIC = 0
 HG = 1
 RAYLEIGH = 2
 KKAY = 3
+MICROFLAKE = 4      # Gaussian-fiber micro-flake (src/phase/microflake.cpp)
+MIXTURE_PHASE = 5   # weighted mixture (src/phase/mixturephase.cpp)
+KKAY_IS = 6         # kkay with cone importance sampling (the reference
+                    # samples the uniform sphere; this mode importance-
+                    # samples the specular cone + diffuse floor)
 
 INV_FOURPI = 1.0 / (4.0 * jnp.pi)
+
+_KKAY_LAT_BINS = 64  # latitude CDF resolution for KKAY_IS
+_MF_TRIES = 64       # micro-flake rejection-sampling candidates per lane
+_MF_SIGT_RES = 64    # σ_t(cosθ) lookup resolution
 
 
 class Medium(NamedTuple):
@@ -38,6 +47,9 @@ class Medium(NamedTuple):
     # mRec.orientation, filled by oriented volumes); zero = unoriented,
     # kkay then degrades to kd/(4π) exactly as kkay.cpp:105-106
     orientation: jnp.ndarray = None
+    # MIXTURE_PHASE components: static tuple of (kind, weight, g) per child
+    # (src/phase/mixturephase.cpp; weights may sum to < 1 → absorption)
+    mix: tuple = ()
 
 
 def kkay_normalization(exponent: float) -> float:
@@ -53,9 +65,33 @@ def kkay_normalization(exponent: float) -> float:
     return 1.0 / (integral * 2.0 * np.pi)
 
 
+def _fiber_sigma_t_table(stddev: float, res: int = _MF_SIGT_RES):
+    """σ_t(cosθ) = ∫ D(m)·|ω·m| dm for the Gaussian fiber distribution,
+    tabulated over |cosθ| ∈ [0,1]. The reference ships fitted polynomial
+    coefficients (microflake_fiber.h fiberSigmaTCoeffs); we evaluate the
+    same integral by quadrature at build time instead."""
+    import numpy as np
+    from math import erf
+    norm = 1.0 / ((2.0 * np.pi) ** 1.5 * stddev
+                  * erf(1.0 / (np.sqrt(2.0) * stddev)))
+    zq, wq = np.polynomial.legendre.leggauss(128)      # flake z = cosθ_m
+    phi = (np.arange(256) + 0.5) / 256 * 2.0 * np.pi   # flake azimuth
+    ct = (np.arange(res) + 0.5) / res                  # |cosθ| of ω
+    st = np.sqrt(np.maximum(1.0 - ct * ct, 0.0))
+    # |ω·m| over the (z_m, φ_m) grid for each row
+    sm = np.sqrt(np.maximum(1.0 - zq * zq, 0.0))
+    dots = np.abs(st[:, None, None] * sm[None, :, None]
+                  * np.cos(phi)[None, None, :]
+                  + ct[:, None, None] * zq[None, :, None])
+    d = norm * np.exp(-zq * zq / (2.0 * stddev * stddev))
+    tab = (dots.mean(axis=-1) * d[None, :] * wq[None, :]).sum(-1) * 2 * np.pi
+    return tab.astype(np.float32)
+
+
 def make_medium(sigma_s, sigma_a, g=0.0, phase_kind=HG,
                 fog_depth=1e4, ks=0.4, kd=0.2, exponent=4.0,
-                orientation=(0.0, 0.0, 0.0)) -> Medium:
+                orientation=(0.0, 0.0, 0.0), stddev=0.3,
+                mix=()) -> Medium:
     """Global homogeneous 'fog' of finite optical extent: any ray towards
     the environment traverses `fog_depth` of medium (the bounded-slab
     approximation of the reference's shape-bounded media)."""
@@ -63,14 +99,25 @@ def make_medium(sigma_s, sigma_a, g=0.0, phase_kind=HG,
     sigma_a = jnp.asarray(sigma_a, jnp.float32)
     sigma_t = sigma_s + sigma_a
     albedo = sigma_s / jnp.maximum(sigma_t, 1e-8)
-    phase_p = jnp.asarray([ks, kd, exponent,
-                           kkay_normalization(exponent)], jnp.float32)
+    if phase_kind == MICROFLAKE:
+        import numpy as np
+        from math import erf
+        c1 = 1.0 / erf(1.0 / (np.sqrt(2.0) * stddev))
+        norm = 1.0 / ((2.0 * np.pi) ** 1.5 * stddev
+                      * erf(1.0 / (np.sqrt(2.0) * stddev)))
+        phase_p = jnp.asarray(
+            np.concatenate([[stddev, norm, c1, 0.0],
+                            _fiber_sigma_t_table(stddev)]), jnp.float32)
+    else:
+        phase_p = jnp.asarray([ks, kd, exponent,
+                               kkay_normalization(exponent)], jnp.float32)
     return Medium(sigma_t=sigma_t, albedo=albedo,
                   g=jnp.asarray(g, jnp.float32),
                   fog_depth=jnp.asarray(fog_depth, jnp.float32),
                   phase_kind=phase_kind,
                   phase_p=phase_p,
-                  orientation=jnp.asarray(orientation, jnp.float32))
+                  orientation=jnp.asarray(orientation, jnp.float32),
+                  mix=tuple(mix))
 
 
 # ---------------------------------------------------------------------------
@@ -102,37 +149,281 @@ def _kkay_eval(phase_p, orientation, wi, wo):
     return jnp.where(has_ori, val, kd * INV_FOURPI)
 
 
-def phase_eval(kind: int, g, wi, wo, phase_p=None, orientation=None):
+def _microflake_eval(phase_p, orientation, wi, wo):
+    """Gaussian-fiber micro-flake phase (microflake.cpp:118-125):
+    f = D((wi+wo)/|wi+wo|) / (2·σ_t(cosθ_i)) in the fiber frame; 0 for
+    unoriented lanes (reference keeps the `return 0` branch)."""
+    stddev, norm = phase_p[0], phase_p[1]
+    sig_tab = phase_p[4:4 + _MF_SIGT_RES]
+    ori = jnp.broadcast_to(jnp.asarray(orientation, jnp.float32), wo.shape)
+    has_ori = jnp.sum(ori * ori, axis=-1) > 1e-12
+    n = normalize(jnp.where(has_ori[..., None], ori,
+                            jnp.asarray([0.0, 0.0, 1.0])))
+    fr = frame_from_normal(n)
+    wi_l = fr.to_local(wi)
+    wo_l = fr.to_local(wo)
+    h = wi_l + wo_l
+    hl = jnp.sqrt(jnp.maximum(jnp.sum(h * h, axis=-1), 1e-20))
+    hz = h[..., 2] / hl
+    d = norm * jnp.exp(-hz * hz / (2.0 * stddev * stddev))
+    # bilinear σ_t(|cosθ_i|) lookup
+    x = jnp.abs(wi_l[..., 2]) * _MF_SIGT_RES - 0.5
+    x0 = jnp.clip(jnp.floor(x).astype(jnp.int32), 0, _MF_SIGT_RES - 2)
+    fx = jnp.clip(x - x0.astype(x.dtype), 0.0, 1.0)
+    sig = sig_tab[x0] * (1.0 - fx) + sig_tab[x0 + 1] * fx
+    val = 0.5 * d / jnp.maximum(sig, 1e-8)
+    return jnp.where(has_ori & (jnp.sum(h * h, -1) > 1e-18), val, 0.0)
+
+
+def _hash_u01(u2, salt: int):
+    """Derive fresh decorrelated uniforms from a 2D sample by integer
+    hashing its bit patterns with a salt (for fixed-try rejection loops
+    that only receive one 2D sample)."""
+    a = jax.lax.bitcast_convert_type(u2[..., 0], jnp.uint32)
+    b = jax.lax.bitcast_convert_type(u2[..., 1], jnp.uint32)
+    x = a ^ (b * jnp.uint32(0x9E3779B9)) \
+        ^ jnp.uint32((salt * 0x85EBCA6B) & 0xFFFFFFFF)
+    x = (x ^ (x >> 16)) * jnp.uint32(0x7FEB352D)
+    x = (x ^ (x >> 15)) * jnp.uint32(0x846CA68B)
+    x = x ^ (x >> 16)
+    return x.astype(jnp.float32) * (1.0 / 4294967296.0)
+
+
+def _microflake_sample(phase_p, orientation, wi, u2):
+    """Rejection sampling per microflake.cpp:127-170: draw flake normals
+    H ~ D (exact truncated-Gaussian inversion via erfinv — the reference
+    Brent-solves the same CDF, microflake_fiber.h:259-276), accept with
+    probability |wi·H|, reflect. Fixed _MF_TRIES candidates; lanes with no
+    acceptance return pdf 0 (the reference bails with 0 after its
+    iteration cap)."""
+    from jax.scipy.special import erfinv
+    stddev, c1 = phase_p[0], phase_p[2]
+    ori = jnp.broadcast_to(jnp.asarray(orientation, jnp.float32), wi.shape)
+    has_ori = jnp.sum(ori * ori, axis=-1) > 1e-12
+    nrm = normalize(jnp.where(has_ori[..., None], ori,
+                              jnp.asarray([0.0, 0.0, 1.0])))
+    fr = frame_from_normal(nrm)
+    wi_l = fr.to_local(wi)
+
+    accepted = jnp.zeros(wi.shape[:-1], bool)
+    h_sel = jnp.zeros_like(wi_l)
+    for t in range(_MF_TRIES):
+        xi1 = _hash_u01(u2, 3 * t + 1)
+        xi2 = _hash_u01(u2, 3 * t + 2)
+        xia = _hash_u01(u2, 3 * t + 3)
+        # cosθ = √2·σ·erfinv((1−2ξ)/c1)  (inverts microflake_fiber.h cdf())
+        ct = jnp.clip(jnp.sqrt(2.0) * stddev
+                      * erfinv(jnp.clip((1.0 - 2.0 * xi1) / c1,
+                                        -0.999999, 0.999999)), -1.0, 1.0)
+        st = safe_sqrt(1.0 - ct * ct)
+        ph = 2.0 * jnp.pi * xi2
+        h = jnp.stack([st * jnp.cos(ph), st * jnp.sin(ph), ct], axis=-1)
+        acc = (xia < jnp.abs(jnp.sum(wi_l * h, axis=-1))) & ~accepted
+        h_sel = jnp.where(acc[..., None], h, h_sel)
+        accepted = accepted | acc
+    wo_l = h_sel * (2.0 * jnp.sum(wi_l * h_sel, -1, keepdims=True)) - wi_l
+    wo = fr.to_world(wo_l)
+    ok = accepted & has_ori
+    wo = jnp.where(ok[..., None], wo, -wi)
+    pdf = jnp.where(ok, _microflake_eval(phase_p, orientation, wi, wo), 0.0)
+    return wo, pdf
+
+
+def _kkay_lat_weights(phase_p, lat_m):
+    """Latitude-bin weights cos^e(λ−λ_m)·cos(λ) for the KKAY_IS cone
+    sampler; λ_m is the per-lane mirrored inclination."""
+    exponent = phase_p[2]
+    centers = (jnp.arange(_KKAY_LAT_BINS) + 0.5) / _KKAY_LAT_BINS \
+        * jnp.pi - jnp.pi / 2.0
+    dlt = centers - lat_m[..., None]
+    return jnp.maximum(jnp.cos(dlt), 0.0) ** exponent * jnp.cos(centers)
+
+
+def _kkay_is_pdf(phase_p, orientation, wi, wo):
+    """pdf of the KKAY_IS sampler (cone-latitude CDF × uniform azimuth,
+    mixed with the uniform-sphere diffuse floor)."""
+    ks, kd = phase_p[0], phase_p[1]
+    ori = jnp.broadcast_to(jnp.asarray(orientation, jnp.float32), wo.shape)
+    has_ori = jnp.sum(ori * ori, axis=-1) > 1e-12
+    n = normalize(jnp.where(has_ori[..., None], ori,
+                            jnp.asarray([0.0, 0.0, 1.0])))
+    fr = frame_from_normal(n)
+    z_m = -jnp.sum(wi * n, axis=-1)
+    lat_m = jnp.arcsin(jnp.clip(z_m, -1.0, 1.0))
+    w = _kkay_lat_weights(phase_p, lat_m)                 # [..., B]
+    total = jnp.maximum(jnp.sum(w, axis=-1), 1e-20)
+    z_o = jnp.clip(fr.to_local(wo)[..., 2], -1.0, 1.0)
+    lat_o = jnp.arcsin(z_o)
+    j = jnp.clip(((lat_o / jnp.pi + 0.5) * _KKAY_LAT_BINS).astype(jnp.int32),
+                 0, _KKAY_LAT_BINS - 1)
+    wj = jnp.take_along_axis(w, j[..., None], axis=-1)[..., 0]
+    dlat = jnp.pi / _KKAY_LAT_BINS
+    cos_lat = jnp.maximum(jnp.cos(lat_o), 1e-6)
+    pdf_spec = wj / (total * dlat * 2.0 * jnp.pi * cos_lat)
+    p_spec = jnp.where(has_ori, ks / jnp.maximum(ks + kd, 1e-9), 0.0)
+    return p_spec * pdf_spec + (1.0 - p_spec) * INV_FOURPI
+
+
+def _kkay_is_sample(phase_p, orientation, wi, u2):
+    ks, kd = phase_p[0], phase_p[1]
+    ori = jnp.broadcast_to(jnp.asarray(orientation, jnp.float32), wi.shape)
+    has_ori = jnp.sum(ori * ori, axis=-1) > 1e-12
+    n = normalize(jnp.where(has_ori[..., None], ori,
+                            jnp.asarray([0.0, 0.0, 1.0])))
+    fr = frame_from_normal(n)
+    z_m = -jnp.sum(wi * n, axis=-1)
+    lat_m = jnp.arcsin(jnp.clip(z_m, -1.0, 1.0))
+    p_spec = jnp.where(has_ori, ks / jnp.maximum(ks + kd, 1e-9), 0.0)
+    pick_spec = u2[..., 0] < p_spec
+    u0 = jnp.where(pick_spec,
+                   u2[..., 0] / jnp.maximum(p_spec, 1e-9),
+                   (u2[..., 0] - p_spec) / jnp.maximum(1.0 - p_spec, 1e-9))
+    u0 = jnp.clip(u0, 0.0, 1.0 - 1e-6)
+    # cone branch: invert the latitude-bin CDF, uniform within a bin
+    w = _kkay_lat_weights(phase_p, lat_m)
+    cdf = jnp.cumsum(w, axis=-1)
+    total = jnp.maximum(cdf[..., -1:], 1e-20)
+    cdf = cdf / total
+    j = jnp.clip(jnp.sum((cdf < u0[..., None]).astype(jnp.int32), -1),
+                 0, _KKAY_LAT_BINS - 1)
+    hi = jnp.take_along_axis(cdf, j[..., None], -1)[..., 0]
+    lo = jnp.where(j > 0, jnp.take_along_axis(
+        cdf, jnp.maximum(j - 1, 0)[..., None], -1)[..., 0], 0.0)
+    frac = jnp.clip((u0 - lo) / jnp.maximum(hi - lo, 1e-20), 0.0, 1.0)
+    lat = (j.astype(jnp.float32) + frac) / _KKAY_LAT_BINS * jnp.pi \
+        - jnp.pi / 2.0
+    phi = 2.0 * jnp.pi * u2[..., 1]
+    cl = jnp.cos(lat)
+    wo_spec = fr.to_world(jnp.stack([cl * jnp.cos(phi), cl * jnp.sin(phi),
+                                     jnp.sin(lat)], axis=-1))
+    # diffuse branch: uniform sphere
+    z = 1.0 - 2.0 * u0
+    r = safe_sqrt(1.0 - z * z)
+    wo_diff = jnp.stack([r * jnp.cos(phi), r * jnp.sin(phi), z], axis=-1)
+    wo = jnp.where(pick_spec[..., None], wo_spec, wo_diff)
+    return wo, _kkay_is_pdf(phase_p, orientation, wi, wo)
+
+
+def _mix_norm(mix):
+    tot = sum(w for _, w, _ in mix)
+    return [(k, w / max(tot, 1e-9), gc) for k, w, gc in mix], tot
+
+
+def phase_eval(kind: int, g, wi, wo, phase_p=None, orientation=None,
+               mix=()):
     ct = jnp.sum(wi * (-wo), axis=-1)   # forward scattering: wo ≈ -wi
     if kind == ISOTROPIC:
         return jnp.broadcast_to(jnp.float32(INV_FOURPI), ct.shape)
     if kind == HG:
-        denom = 1.0 + g * g + 2.0 * g * ct
+        # ct = wi·(−wo) = +1 at forward scattering, so the HG denominator
+        # is 1+g²−2g·ct (hg.cpp eval uses +2g·dot(wi,wo) with the mitsuba
+        # wi-towards-source convention; dot(wi,wo) = −ct)
+        denom = 1.0 + g * g - 2.0 * g * ct
         return INV_FOURPI * (1.0 - g * g) \
             / jnp.maximum(denom * jnp.sqrt(jnp.maximum(denom, 1e-8)), 1e-8)
-    if kind == KKAY:
+    if kind in (KKAY, KKAY_IS):
         if phase_p is None:
             phase_p = jnp.asarray([0.4, 0.2, 4.0, kkay_normalization(4.0)],
                                   jnp.float32)
         if orientation is None:
             orientation = jnp.zeros(3, jnp.float32)
         return _kkay_eval(phase_p, orientation, wi, wo)
+    if kind == MICROFLAKE:
+        if orientation is None:
+            orientation = jnp.zeros(3, jnp.float32)
+        return _microflake_eval(phase_p, orientation, wi, wo)
+    if kind == MIXTURE_PHASE:
+        # Σ wᵢ·fᵢ with the raw (possibly < 1) weights
+        # (mixturephase.cpp:119-126)
+        out = 0.0
+        for k, w, gc in mix:
+            out = out + w * phase_eval(k, gc, wi, wo, phase_p, orientation)
+        return out
     # Rayleigh
     return (3.0 / (16.0 * jnp.pi)) * (1.0 + ct * ct)
 
 
-def phase_sample(kind: int, g, wi, u2, phase_p=None, orientation=None):
-    """Sample wo; returns (wo, pdf). HG/isotropic exact; Rayleigh via HG0;
-    kkay samples the uniform sphere exactly like the reference
+def phase_pdf(kind: int, g, wi, wo, phase_p=None, orientation=None,
+              mix=()):
+    """pdf of phase_sample at wo (== eval for the self-importance-sampled
+    kinds; uniform-sphere for the reference-faithful kkay; its own mixture
+    for KKAY_IS / MIXTURE_PHASE)."""
+    if kind == KKAY:
+        return jnp.broadcast_to(jnp.float32(INV_FOURPI), wi.shape[:-1])
+    if kind == KKAY_IS:
+        if phase_p is None:
+            phase_p = jnp.asarray([0.4, 0.2, 4.0, kkay_normalization(4.0)],
+                                  jnp.float32)
+        if orientation is None:
+            orientation = jnp.zeros(3, jnp.float32)
+        return _kkay_is_pdf(phase_p, orientation, wi, wo)
+    if kind == MIXTURE_PHASE:
+        # Σ ŵᵢ·pdfᵢ with the normalized selection weights
+        nmix, _ = _mix_norm(mix)
+        out = 0.0
+        for k, w, gc in nmix:
+            out = out + w * phase_pdf(k, gc, wi, wo, phase_p, orientation)
+        return out
+    return phase_eval(kind, g, wi, wo, phase_p, orientation)
+
+
+def phase_sample(kind: int, g, wi, u2, phase_p=None, orientation=None,
+                 mix=()):
+    """Sample wo; returns (wo, pdf). HG/isotropic/Rayleigh exact inverse-
+    CDF; kkay samples the uniform sphere exactly like the reference
     (kkay.cpp:88-101 — weight = eval·4π is applied by the caller as
-    eval/pdf)."""
-    if kind == ISOTROPIC or kind == RAYLEIGH or kind == KKAY:
+    eval/pdf); KKAY_IS cone-importance-samples; microflake rejection-
+    samples flake normals; mixtures pick a child ∝ weight."""
+    if kind == ISOTROPIC or kind == KKAY:
         z = 1.0 - 2.0 * u2[..., 0]
         r = safe_sqrt(1.0 - z * z)
         phi = 2.0 * jnp.pi * u2[..., 1]
         wo = jnp.stack([r * jnp.cos(phi), r * jnp.sin(phi), z], axis=-1)
         return wo, jnp.broadcast_to(jnp.float32(INV_FOURPI),
                                     u2.shape[:-1])
+    if kind == RAYLEIGH:
+        # exact cubic-root CDF inversion (rayleigh.cpp:104-130):
+        # cosθ³ + 3cosθ = 2z,  z = 2(2ξ−1)
+        z = 2.0 * (2.0 * u2[..., 0] - 1.0)
+        tmp = jnp.sqrt(z * z + 1.0)
+        A = jnp.cbrt(z + tmp)
+        B = jnp.cbrt(z - tmp)
+        cos_theta = jnp.clip(A + B, -1.0, 1.0)
+        sin_theta = safe_sqrt(1.0 - cos_theta * cos_theta)
+        phi = 2.0 * jnp.pi * u2[..., 1]
+        fr = frame_from_normal(normalize(-wi))
+        wo = fr.to_world(jnp.stack([sin_theta * jnp.cos(phi),
+                                    sin_theta * jnp.sin(phi),
+                                    cos_theta], axis=-1))
+        return wo, phase_eval(RAYLEIGH, g, wi, wo)
+    if kind == KKAY_IS:
+        if phase_p is None:
+            phase_p = jnp.asarray([0.4, 0.2, 4.0, kkay_normalization(4.0)],
+                                  jnp.float32)
+        if orientation is None:
+            orientation = jnp.zeros(3, jnp.float32)
+        return _kkay_is_sample(phase_p, orientation, wi, u2)
+    if kind == MICROFLAKE:
+        if orientation is None:
+            orientation = jnp.zeros(3, jnp.float32)
+        return _microflake_sample(phase_p, orientation, wi, u2)
+    if kind == MIXTURE_PHASE:
+        # child selection ∝ normalized weight, first sample dim rescaled
+        nmix, _ = _mix_norm(mix)
+        n = wi.shape[:-1]
+        wo = jnp.zeros(n + (3,), jnp.float32)
+        lo = 0.0
+        u0 = u2[..., 0]
+        for k, w, gc in nmix:
+            hi = lo + w
+            sel = (u0 >= lo) & (u0 < hi)
+            u_r = jnp.clip((u0 - lo) / max(w, 1e-9), 0.0, 1.0 - 1e-7)
+            u2_r = jnp.stack([u_r, u2[..., 1]], axis=-1)
+            wo_k, _ = phase_sample(k, gc, wi, u2_r, phase_p, orientation)
+            wo = jnp.where(sel[..., None], wo_k, wo)
+            lo = hi
+        return wo, phase_pdf(MIXTURE_PHASE, g, wi, wo, phase_p,
+                             orientation, mix)
     # HG inverse-CDF (reference: hg.cpp sample)
     g_safe = jnp.where(jnp.abs(g) < 1e-3, 1e-3, g)
     sqr = (1.0 - g * g) / (1.0 - g + 2.0 * g * u2[..., 0])

@@ -804,16 +804,40 @@ def load_scene(path: str, defines: dict | None = None,
         ph_el = md.find("phase")
         pk = med_mod.HG
         g_val = float(mp.get("g", 0.0))
+        PHASE_KINDS = {"isotropic": med_mod.ISOTROPIC, "hg": med_mod.HG,
+                       "rayleigh": med_mod.RAYLEIGH,
+                       "kkay": med_mod.KKAY,
+                       "kkay_is": med_mod.KKAY_IS,
+                       "microflake": med_mod.MICROFLAKE,
+                       "mixturephase": med_mod.MIXTURE_PHASE}
         if ph_el is not None:
             pp = _collect_props(ph_el, defines)
-            pk = {"isotropic": med_mod.ISOTROPIC, "hg": med_mod.HG,
-                  "rayleigh": med_mod.RAYLEIGH,
-                  "kkay": med_mod.KKAY}.get(
-                      ph_el.get("type", "isotropic"), med_mod.HG)
+            pk = PHASE_KINDS.get(ph_el.get("type", "isotropic"),
+                                 med_mod.HG)
             g_val = float(pp.get("g", g_val))
             kkay_p = dict(ks=float(pp.get("ks", 0.4)),
                           kd=float(pp.get("kd", 0.2)),
                           exponent=float(pp.get("exponent", 4.0)))
+            if pk == med_mod.MICROFLAKE:
+                # src/phase/microflake.cpp: stddev + fiber orientation
+                kkay_p = dict(stddev=float(pp.get("stddev", 0.3)),
+                              orientation=tuple(np.asarray(
+                                  pp.get("orientation", (0.0, 0.0, 1.0)),
+                                  np.float32)))
+            if pk == med_mod.MIXTURE_PHASE:
+                # src/phase/mixturephase.cpp: comma-separated weights +
+                # nested <phase> children (non-nested kinds only)
+                ws = [float(x) for x in re.split(
+                    r"[,\s]+", str(pp.get("weights", "")).strip()) if x]
+                mix = []
+                for i, ch in enumerate(ph_el.findall("phase")):
+                    cp = _collect_props(ch, defines)
+                    ck = PHASE_KINDS.get(ch.get("type", "isotropic"),
+                                         med_mod.ISOTROPIC)
+                    cw = ws[i] if i < len(ws) else 1.0 / max(
+                        len(ph_el.findall("phase")), 1)
+                    mix.append((ck, cw, float(cp.get("g", 0.0))))
+                kkay_p = dict(mix=tuple(mix))
         sig_s = mp.get("sigmaS", (0.5, 0.5, 0.5))
         sig_a = mp.get("sigmaA", (0.1, 0.1, 0.1))
         if md.get("type") == "heterogeneous":

@@ -12,6 +12,139 @@ from hairpt.scene.scene import SceneBuilder
 from hairpt.integrators.volpath import render_volpath
 
 
+def phase_chi2(kind, m, wi_dir, n=1 << 17, n_theta=16, n_phi=16):
+    """χ² GOF: histogram of phase_sample directions vs the numerically
+    integrated phase_pdf (mirrors test_chisquare.cpp's PhaseAdapter)."""
+    wi = jnp.broadcast_to(jnp.asarray(wi_dir, jnp.float32), (n, 3))
+    u2 = rng.uniform_2d(jnp.arange(n, dtype=jnp.uint32), 0, 7)
+    wo, pdf = med.phase_sample(kind, m.g, wi, u2, m.phase_p,
+                               m.orientation, m.mix)
+    ok = np.asarray(pdf) > 0
+    s = np.asarray(wo)[ok]
+    n_acc = int(ok.sum())
+    ct = np.clip(s[:, 2], -1, 1)
+    ph = np.arctan2(s[:, 1], s[:, 0]) + np.pi
+    bi = np.minimum(((ct + 1) / 2 * n_theta).astype(int), n_theta - 1)
+    bj = np.minimum((ph / (2 * np.pi) * n_phi).astype(int), n_phi - 1)
+    counts = np.bincount(bi * n_phi + bj, minlength=n_theta * n_phi)
+    # integrate the pdf over each bin with a 6x6 midpoint rule
+    q = 6
+    exp = np.zeros(n_theta * n_phi)
+    wi_q = jnp.broadcast_to(jnp.asarray(wi_dir, jnp.float32), (q * q, 3))
+    for i in range(n_theta):
+        for j in range(n_phi):
+            c = -1 + 2 * (i + (np.arange(q) + 0.5) / q) / n_theta
+            p = -np.pi + 2 * np.pi * (j + (np.arange(q) + 0.5) / q) / n_phi
+            C, P = np.meshgrid(c, p, indexing="ij")
+            S = np.sqrt(np.maximum(1 - C ** 2, 0))
+            dirs = np.stack([S * np.cos(P), S * np.sin(P), C],
+                            axis=-1).reshape(-1, 3).astype(np.float32)
+            pd = med.phase_pdf(kind, m.g, wi_q, jnp.asarray(dirs),
+                               m.phase_p, m.orientation, m.mix)
+            exp[i * n_phi + j] = np.mean(np.asarray(pd)) \
+                * (2 / n_theta) * (2 * np.pi / n_phi) * n_acc
+    mask = exp > 8
+    chi2 = np.sum((counts[mask] - exp[mask]) ** 2 / exp[mask])
+    dof = mask.sum() - 1
+    assert dof > 4
+    assert chi2 < dof + 5 * np.sqrt(2 * dof), (chi2, dof, kind)
+
+
+def test_chi2_hg():
+    """Non-tautological sampler↔eval GOF for HG (the round-1 eval had an
+    inverted anisotropy sign that the pdf:=eval tests could not catch)."""
+    for g in (0.5, -0.4):
+        m = med.make_medium((0.3,) * 3, (0.1,) * 3, phase_kind=med.HG, g=g)
+        phase_chi2(med.HG, m, [0.0, 0.6, 0.8])
+
+
+def test_chi2_rayleigh_exact():
+    """Exact cubic-root Rayleigh sampling (rayleigh.cpp:104-130) — the
+    uniform-sphere fallback this replaces would fail this GOF."""
+    m = med.make_medium((0.3,) * 3, (0.1,) * 3, phase_kind=med.RAYLEIGH)
+    phase_chi2(med.RAYLEIGH, m, [0.6, 0.0, 0.8])
+    # second moment of cosθ: ∫(3/16π)(1+c²)c² dω = 0.4
+    n = 1 << 16
+    wi = jnp.broadcast_to(jnp.asarray([1.0, 0, 0]), (n, 3))
+    u2 = rng.uniform_2d(jnp.arange(n, dtype=jnp.uint32), 0, 7)
+    wo, _ = med.phase_sample(med.RAYLEIGH, m.g, wi, u2)
+    ct = np.asarray(jnp.sum(-wi * wo, -1))
+    np.testing.assert_allclose((ct ** 2).mean(), 0.4, atol=0.01)
+
+
+def test_chi2_microflake():
+    """Gaussian-fiber micro-flake (microflake.cpp + microflake_fiber.h):
+    eval normalizes to 1 over the sphere and the rejection sampler's
+    histogram matches eval (pdf == eval)."""
+    for stddev, wi_dir in [(0.3, [1.0, 0.0, 0.0]),
+                           (0.15, [0.6, 0.0, 0.8])]:
+        m = med.make_medium((0.3,) * 3, (0.1,) * 3,
+                            phase_kind=med.MICROFLAKE, stddev=stddev,
+                            orientation=(0.0, 0.0, 1.0))
+        phase_chi2(med.MICROFLAKE, m, wi_dir)
+
+
+def test_microflake_eval_normalized_and_unoriented_zero():
+    m = med.make_medium((0.3,) * 3, (0.1,) * 3, phase_kind=med.MICROFLAKE,
+                        stddev=0.3, orientation=(0.0, 0.0, 1.0))
+    nb = 128
+    th = (np.arange(nb) + 0.5) / nb * np.pi
+    ph = (np.arange(nb) + 0.5) / nb * 2 * np.pi
+    T, P = np.meshgrid(th, ph, indexing="ij")
+    dirs = np.stack([np.sin(T) * np.cos(P), np.sin(T) * np.sin(P),
+                     np.cos(T)], -1).reshape(-1, 3).astype(np.float32)
+    wi = jnp.broadcast_to(jnp.asarray([1.0, 0, 0]), (dirs.shape[0], 3))
+    f = med.phase_eval(med.MICROFLAKE, m.g, wi, jnp.asarray(dirs),
+                       m.phase_p, m.orientation)
+    integ = (np.asarray(f).reshape(nb, nb) * np.sin(T)).sum() \
+        * (np.pi / nb) * (2 * np.pi / nb)
+    np.testing.assert_allclose(integ, 1.0, atol=0.01)
+    # unoriented lanes evaluate to 0 (the reference's `return 0` branch)
+    f0 = med.phase_eval(med.MICROFLAKE, m.g, wi[:4], jnp.asarray(dirs[:4]),
+                        m.phase_p, jnp.zeros(3))
+    assert float(np.abs(np.asarray(f0)).max()) == 0.0
+
+
+def test_chi2_kkay_importance_sampling():
+    m = med.make_medium((0.3,) * 3, (0.1,) * 3, phase_kind=med.KKAY_IS,
+                        ks=0.7, kd=0.3, exponent=20.0,
+                        orientation=(0.0, 0.0, 1.0))
+    phase_chi2(med.KKAY_IS, m, [1.0, 0.0, 0.0])
+    # energy estimate: E[eval/pdf] = ∫eval dω ≈ ks + kd for ⊥ illumination
+    n = 1 << 16
+    wi = jnp.broadcast_to(jnp.asarray([1.0, 0, 0]), (n, 3))
+    u2 = rng.uniform_2d(jnp.arange(n, dtype=jnp.uint32), 0, 7)
+    wo, pdf = med.phase_sample(med.KKAY_IS, m.g, wi, u2, m.phase_p,
+                               m.orientation)
+    pe = med.phase_eval(med.KKAY_IS, m.g, wi, wo, m.phase_p, m.orientation)
+    est = float((np.asarray(pe) / np.maximum(np.asarray(pdf), 1e-20))
+                .mean())
+    np.testing.assert_allclose(est, 1.0, rtol=0.02)
+
+
+def test_chi2_mixture_phase():
+    m = med.make_medium((0.3,) * 3, (0.1,) * 3,
+                        phase_kind=med.MIXTURE_PHASE,
+                        mix=((med.HG, 0.6, 0.5), (med.RAYLEIGH, 0.4, 0.0)))
+    phase_chi2(med.MIXTURE_PHASE, m, [0.0, 0.6, 0.8])
+    # sub-unit weights lose energy proportionally (mixturephase.cpp:100-110
+    # warns rather than renormalizes): ∫eval dω == Σw
+    m2 = med.make_medium((0.3,) * 3, (0.1,) * 3,
+                         phase_kind=med.MIXTURE_PHASE,
+                         mix=((med.HG, 0.5, 0.3), (med.ISOTROPIC, 0.25,
+                                                   0.0)))
+    n = 1 << 16
+    wi = jnp.broadcast_to(jnp.asarray([1.0, 0, 0]), (n, 3))
+    u2 = rng.uniform_2d(jnp.arange(n, dtype=jnp.uint32), 0, 7)
+    wo, pdf = med.phase_sample(med.MIXTURE_PHASE, m2.g, wi, u2, m2.phase_p,
+                               m2.orientation, m2.mix)
+    pe = med.phase_eval(med.MIXTURE_PHASE, m2.g, wi, wo, m2.phase_p,
+                        m2.orientation, m2.mix)
+    est = float((np.asarray(pe) / np.maximum(np.asarray(pdf), 1e-20))
+                .mean())
+    np.testing.assert_allclose(est, 0.75, rtol=0.02)
+
+
 def test_hg_phase_normalization_and_sampling():
     n = 1 << 15
     g = 0.4
