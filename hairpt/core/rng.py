@@ -127,9 +127,52 @@ def sobol_2d(pixel, sample, dim):
 # ---------------------------------------------------------------------------
 
 INDEPENDENT = 0
-SOBOL = 1
+SOBOL = 1       # padded Owen-scrambled (0,2) (covers `ldsampler`)
 HALTON = 2
 STRATIFIED = 3  # use as mode=(STRATIFIED, spp); exact for power-of-two spp
+SOBOL_QMC = 4   # true high-dim Sobol' w/ pixel lookup; use as
+                # mode=(SOBOL_QMC, m, width) with film res ≤ 2^m
+                # (the reference `sobol` plugin, src/samplers/sobol.cpp)
+
+
+_SQ_CACHE: dict = {}
+
+
+def _sq_tables(m: int):
+    if m not in _SQ_CACHE:
+        from . import sobolseq as sq
+        dirs, shift = sq.make_jnp_tables()
+        masks = sq.pixel_lookup_tables(m)
+        _SQ_CACHE[m] = (dirs, shift, masks)
+    return _SQ_CACHE[m]
+
+
+def sobol_qmc(m: int, width: int, pixel, sample, dim, n_comp: int):
+    """Components [dim, dim+n_comp) of the global Sobol' point assigned to
+    (pixel, sample) by the elementary-interval lookup. Dims 0/1 return the
+    in-pixel fractional position; `dim` may be a traced scalar. Identical
+    index computations across calls CSE away inside one jit."""
+    from . import sobolseq as sq
+    import jax.numpy as jnp
+    dirs, shift, masks = _sq_tables(m)
+    px = _u32(pixel) % U32(width)
+    py = _u32(pixel) // U32(width)
+    i = sq.interval_to_index(m, masks, dirs, _u32(sample), px, py)
+    outs = []
+    for c in range(n_comp):
+        d = jnp.asarray(dim, jnp.int32) + c
+        dc = jnp.clip(d, 0, sq.N_DIMS - 1)
+        x = sq.sobol_u32(dirs, dc, i) ^ shift[dc]
+        # dims 0/1 carry the pixel in their top m bits — strip to get the
+        # in-pixel offset (the film splat re-adds the pixel corner)
+        x = jnp.where(d < 2, x << U32(m), x)
+        # beyond the generated table: decorrelated hash fallback
+        over = hash_combine(hash_combine(_u32(pixel), _u32(sample)),
+                            d.astype(jnp.uint32))
+        x = jnp.where(d >= sq.N_DIMS, over, x)
+        outs.append(u32_to_unit_float(x))
+    return jnp.stack(jnp.broadcast_arrays(*outs), axis=-1) if n_comp > 1 \
+        else outs[0][..., None]
 
 
 def _strat_perm(sample, spp_mask, pixel, dim):
@@ -197,6 +240,8 @@ def next_1d(mode, pixel, sample, dim: int):
         if spp & (spp - 1) == 0 and spp > 0:
             return stratified_1d(pixel, sample, dim, spp)
         return uniform_1d(pixel, sample, dim)
+    if isinstance(mode, tuple) and mode[0] == SOBOL_QMC:
+        return sobol_qmc(mode[1], mode[2], pixel, sample, dim, 1)[..., 0]
     if mode == SOBOL:
         return sobol_2d(pixel, sample, dim)[..., 0]
     if mode == HALTON:
@@ -210,6 +255,8 @@ def next_2d(mode, pixel, sample, dim: int):
         if spp & (spp - 1) == 0 and spp > 0:
             return stratified_2d(pixel, sample, dim, spp)
         return uniform_2d(pixel, sample, dim)
+    if isinstance(mode, tuple) and mode[0] == SOBOL_QMC:
+        return sobol_qmc(mode[1], mode[2], pixel, sample, dim, 2)
     if mode == SOBOL:
         return sobol_2d(pixel, sample, dim)
     if mode == HALTON:

@@ -1,0 +1,272 @@
+"""True high-dimensional Sobol' sequence.
+
+TPU-native replacement for the reference's `sobol` sampler
+(/root/reference/src/samplers/sobol.cpp:82-211): one GLOBAL Sobol'
+sequence shared by the whole film, with the elementary-interval lookup
+that maps (pixel, sample-in-pixel) to the unique global index whose first
+two components land inside that pixel (sobol.cpp:183-211, after
+Gruenschloss et al., "Enumerating Quasi-Monte Carlo Point Sequences in
+Elementary Intervals").
+
+The reference ships a 2.2 MB precomputed direction-number table
+(sobolseq.h:29-80 / sobolseq.cpp). We *generate* our matrices instead:
+primitive polynomials over GF(2) are enumerated in the canonical order
+(increasing degree), and initial direction numbers are drawn odd from a
+fixed-seed PCG — a valid Sobol' construction (every 1-D projection is a
+(0,1)-sequence; dims 0/1 are the canonical van-der-Corput + x+1 pair, so
+the pixel lookup's (0,2)-net property holds exactly). Dimensions ≥ 2 get
+a fixed per-dimension digital XOR shift (Kollig-Keller style) which
+preserves all net properties while decorrelating the raw random-init
+projections.
+
+All per-lane math is branch-free u32 bit fiddling on the VPU.
+"""
+from __future__ import annotations
+
+import numpy as np
+
+N_DIMS = 1152  # covers camera dims [0,4) + 16 dims/bounce × maxDepth 65
+
+
+# ---------------------------------------------------------------------------
+# host-side generator-matrix construction
+# ---------------------------------------------------------------------------
+
+def _poly_mulmod(a: int, b: int, p: int, g: int) -> int:
+    """Multiply GF(2) polynomials a·b mod p (deg p = g)."""
+    r = 0
+    while b:
+        if b & 1:
+            r ^= a
+        b >>= 1
+        a <<= 1
+        if a >> g & 1:
+            a ^= p
+    return r
+
+
+def _poly_powmod(a: int, e: int, p: int, g: int) -> int:
+    r = 1
+    while e:
+        if e & 1:
+            r = _poly_mulmod(r, a, p, g)
+        a = _poly_mulmod(a, a, p, g)
+        e >>= 1
+    return r
+
+
+def _prime_factors(n: int):
+    out = []
+    d = 2
+    while d * d <= n:
+        if n % d == 0:
+            out.append(d)
+            while n % d == 0:
+                n //= d
+        d += 1
+    if n > 1:
+        out.append(n)
+    return out
+
+
+def _poly_gcd(a: int, b: int) -> int:
+    while b:
+        while a.bit_length() >= b.bit_length() and a:
+            a ^= b << (a.bit_length() - b.bit_length())
+        a, b = b, a
+    return a
+
+
+def _is_primitive(p: int, g: int) -> bool:
+    """p primitive over GF(2) ⟺ p irreducible and x generates the
+    multiplicative group of GF(2^g)."""
+    if g == 1:
+        # GF(2) has a trivial multiplicative group; x+1 is the canonical
+        # degree-1 primitive polynomial (it generates the Pascal-matrix
+        # second Sobol' dimension that pairs with van der Corput)
+        return p == 3
+    # Rabin irreducibility: x^(2^g) ≡ x (mod p), and for each prime q | g,
+    # gcd(x^(2^(g/q)) − x, p) = 1
+    if _poly_powmod(2, 1 << g, p, g) != 2:
+        return False
+    for q in _prime_factors(g):
+        h = _poly_powmod(2, 1 << (g // q), p, g) ^ 2
+        if _poly_gcd(h, p).bit_length() > 1:
+            return False
+    order = (1 << g) - 1
+    if _poly_powmod(2, order, p, g) != 1:
+        return False
+    for q in _prime_factors(order):
+        if _poly_powmod(2, order // q, p, g) == 1:
+            return False
+    return True
+
+
+def _primitive_polys(count: int):
+    """First `count` primitive polynomials over GF(2), canonical order
+    (increasing degree, then increasing middle coefficients)."""
+    polys = []
+    g = 1
+    while len(polys) < count:
+        top = 1 << g
+        for mid in range(1 << max(g - 1, 0)):
+            p = top | (mid << 1) | 1
+            if _is_primitive(p, g):
+                polys.append(p)
+                if len(polys) >= count:
+                    break
+        g += 1
+    return polys
+
+
+def _direction_vectors(n_dims: int = N_DIMS) -> np.ndarray:
+    """[n_dims, 32] uint32 direction vectors v_k = m_k · 2^(32−k)."""
+    rs = np.random.RandomState(0x5EED)
+    V = np.zeros((n_dims, 32), np.uint64)
+    V[0] = [1 << (31 - k) for k in range(32)]  # van der Corput
+    polys = _primitive_polys(n_dims - 1)
+    for d, p in enumerate(polys, start=1):
+        g = p.bit_length() - 1
+        m = [0] * 33  # 1-based
+        for k in range(1, g + 1):
+            # odd m_k < 2^k; dim 1 (poly x+1) forces m_1 = 1: the
+            # canonical partner of van der Corput (the exact (0,2) pair
+            # the pixel lookup's invertibility relies on)
+            m[k] = 1 if (d == 1 or k == 1) else \
+                int(rs.randint(0, 1 << (k - 1))) * 2 + 1
+        for k in range(g + 1, 33):
+            val = m[k - g] ^ (m[k - g] << g)
+            for j in range(1, g):
+                a_j = (p >> (g - j)) & 1
+                if a_j:
+                    val ^= m[k - j] << j
+            m[k] = val
+        V[d] = [(m[k] << (32 - k)) & 0xFFFFFFFF for k in range(1, 33)]
+    return V.astype(np.uint32)
+
+
+_DIRS = None
+
+
+def direction_vectors() -> np.ndarray:
+    global _DIRS
+    if _DIRS is None:
+        _DIRS = _direction_vectors()
+    return _DIRS
+
+
+def _gf2_inv(A: np.ndarray) -> np.ndarray:
+    """Invert a GF(2) matrix (Gauss-Jordan)."""
+    n = A.shape[0]
+    M = np.concatenate([A.astype(np.uint8) & 1, np.eye(n, dtype=np.uint8)],
+                       axis=1)
+    for c in range(n):
+        piv = None
+        for r in range(c, n):
+            if M[r, c]:
+                piv = r
+                break
+        assert piv is not None, "singular GF(2) matrix"
+        if piv != c:
+            M[[c, piv]] = M[[piv, c]]
+        for r in range(n):
+            if r != c and M[r, c]:
+                M[r] ^= M[c]
+    return M[:, n:]
+
+
+def pixel_lookup_tables(m: int):
+    """Host-side constants for the elementary-interval lookup at film
+    resolution 2^m (sobol.cpp:183-211 equivalent).
+
+    Global index i = s·4^m + d. Dim 0 is van der Corput, so the low m bits
+    of d are rev_m(px) outright; the remaining m bits solve the GF(2)
+    system 'top m bits of dim-1(i) == py' whose matrix is formed by the
+    dim-1 direction vectors of i-bits m..2m−1. Returns
+    (inv_masks [m] uint32) where d_high bit c = parity(inv_masks[c] & b)
+    and b packs the RHS bits (LSB = row 0 = MSB output bit).
+    """
+    dirs = direction_vectors()
+    v1 = dirs[1]
+    A = np.zeros((m, m), np.uint8)
+    for c in range(m):
+        col = int(v1[m + c])
+        for r in range(m):
+            A[r, c] = (col >> (31 - r)) & 1
+    Ainv = _gf2_inv(A)
+    masks = np.zeros(m, np.uint32)
+    for c in range(m):
+        acc = 0
+        for r in range(m):
+            if Ainv[c, r]:
+                acc |= 1 << r
+        masks[c] = acc
+    return masks
+
+
+# ---------------------------------------------------------------------------
+# device-side evaluation (imported lazily to keep numpy-only host use)
+# ---------------------------------------------------------------------------
+
+def make_jnp_tables():
+    import jax.numpy as jnp
+    dirs = jnp.asarray(direction_vectors())
+    # per-dimension digital shift (dims 0/1 unshifted: pixel mapping)
+    rs = np.random.RandomState(0xD161)
+    shift = rs.randint(0, 1 << 32, size=N_DIMS, dtype=np.uint64) \
+        .astype(np.uint32)
+    shift[0] = 0
+    shift[1] = 0
+    return dirs, jnp.asarray(shift)
+
+
+def sobol_u32(dirs, d, i):
+    """Component d of global index i as a u32 fraction (branch-free
+    32-step XOR of direction vectors; d may be traced)."""
+    import jax.numpy as jnp
+    v = dirs[d]                      # [..., 32] (gather on traced d)
+    x = jnp.zeros_like(jnp.asarray(i, jnp.uint32))
+    ii = jnp.asarray(i, jnp.uint32)
+    for k in range(32):
+        x = jnp.where((ii >> jnp.uint32(k)) & jnp.uint32(1) > 0,
+                      x ^ v[..., k], x)
+    return x
+
+
+def rev_bits_n(x, n: int):
+    """Reverse the low n bits of x (others dropped)."""
+    import jax.numpy as jnp
+    x = jnp.asarray(x, jnp.uint32)
+    r = jnp.zeros_like(x)
+    for k in range(n):
+        r = r | (((x >> jnp.uint32(k)) & jnp.uint32(1))
+                 << jnp.uint32(n - 1 - k))
+    return r
+
+
+def interval_to_index(m: int, masks, dirs, sample, px, py):
+    """The elementary-interval lookup: the unique global Sobol index in
+    [s·4^m, (s+1)·4^m) whose dims (0,1) land in pixel (px, py)."""
+    import jax.numpy as jnp
+    s = jnp.asarray(sample, jnp.uint32)
+    px = jnp.asarray(px, jnp.uint32)
+    py = jnp.asarray(py, jnp.uint32)
+    i_known = (s << jnp.uint32(2 * m)) | rev_bits_n(px, m)
+    x1_known = sobol_u32(dirs, 1, i_known)
+    # RHS bits b_r = py bit (m−1−r) ⊕ x1_known bit (31−r), packed LSB=row0
+    b = jnp.zeros_like(s)
+    for r in range(m):
+        bit = ((py >> jnp.uint32(m - 1 - r)) & jnp.uint32(1)) \
+            ^ ((x1_known >> jnp.uint32(31 - r)) & jnp.uint32(1))
+        b = b | (bit << jnp.uint32(r))
+    d_high = jnp.zeros_like(s)
+    for c in range(m):
+        v = b & jnp.uint32(int(masks[c]))
+        # parity via xor-fold
+        v = v ^ (v >> jnp.uint32(16))
+        v = v ^ (v >> jnp.uint32(8))
+        v = v ^ (v >> jnp.uint32(4))
+        v = v ^ (v >> jnp.uint32(2))
+        v = v ^ (v >> jnp.uint32(1))
+        d_high = d_high | ((v & jnp.uint32(1)) << jnp.uint32(c))
+    return i_known | (d_high << jnp.uint32(m))

@@ -491,7 +491,10 @@ def load_scene(path: str, defines: dict | None = None,
             stype_s = sam.get("type", "independent")
             if stype_s in ("halton", "hammersley"):
                 sampler_kind = 2
-            elif stype_s in ("sobol", "ldsampler"):
+            elif stype_s == "sobol":
+                sampler_kind = "sobol"  # true Sobol'; resolved once the
+                #                         film resolution is known below
+            elif stype_s == "ldsampler":
                 sampler_kind = 1
             elif stype_s == "stratified":
                 sampler_kind = (3, int(spp))  # exact for pow2 spp
@@ -878,6 +881,14 @@ def load_scene(path: str, defines: dict | None = None,
                 sig_s, sig_a, g=g_val, phase_kind=pk,
                 fog_depth=float(mp.get("fogDepth", max(4.0 * diag, 1.0))),
                 **kk)
+
+    if sampler_kind == "sobol":
+        # true high-dim Sobol' with the per-pixel elementary-interval
+        # lookup (src/samplers/sobol.cpp:183-211) at resolution 2^m
+        import math
+        from ..core import rng as rng_mod
+        m_res = max(1, math.ceil(math.log2(max(film.width, film.height))))
+        sampler_kind = (rng_mod.SOBOL_QMC, m_res, film.width)
 
     return b.build(cam, film, spp=int(spp), max_depth=int(max_depth),
                    sampler=sampler_kind, gamma=film.gamma,

@@ -1,0 +1,157 @@
+"""True high-dimensional Sobol' sampler tests.
+
+Covers the capability of the reference `sobol` plugin
+(/root/reference/src/samplers/sobol.cpp:82-211, sobolseq.h:29-80):
+generated direction matrices, the elementary-interval pixel lookup, and a
+discrepancy test that DISTINGUISHES the true sequence from the padded
+Owen-(0,2) stand-in (rng.SOBOL) — VERDICT round-1 item 7.
+"""
+import numpy as np
+import jax.numpy as jnp
+
+from hairpt.core import rng
+from hairpt.core import sobolseq as sq
+
+
+def test_direction_vectors_valid():
+    V = sq.direction_vectors()
+    assert V.shape == (sq.N_DIMS, 32)
+    # every v_k has its leading bit at position 31-k+1 … i.e. m_k odd ⇒
+    # bit (32-k-1+k)=31? Simply: v_k's (32-k)-th bit block: m_k odd means
+    # bit (32-(k+1)) of v_k is set
+    for d in (0, 1, 2, 50, 500, sq.N_DIMS - 1):
+        for k in range(32):
+            assert (int(V[d, k]) >> (31 - k)) & 1 == 1, (d, k)
+
+
+def test_one_dimensional_net_property():
+    # every dimension is a (0,1)-sequence: first 2^k indices hit 2^k
+    # distinct strata
+    dirs, _ = sq.make_jnp_tables()
+    idx = jnp.arange(256, dtype=jnp.uint32)
+    for d in [0, 1, 2, 17, 100, 777, sq.N_DIMS - 1]:
+        x = np.asarray(sq.sobol_u32(dirs, d, idx))
+        strata = set((x >> np.uint32(24)).astype(int).tolist())
+        assert len(strata) == 256, (d, len(strata))
+
+
+def test_pixel_lookup_exact_and_bijective():
+    """The defining property of sobol.cpp:183-211: for every pixel the
+    looked-up global indices place dims (0,1) inside that pixel, and the
+    full film consumes each global index exactly once."""
+    m = 4
+    res = 1 << m
+    spp = 8
+    dirs, _ = sq.make_jnp_tables()
+    masks = sq.pixel_lookup_tables(m)
+    pix = jnp.arange(res * res, dtype=jnp.uint32)
+    px = pix % res
+    py = pix // res
+    seen = set()
+    for s in range(spp):
+        sarr = jnp.full((res * res,), s, jnp.uint32)
+        i = sq.interval_to_index(m, masks, dirs, sarr, px, py)
+        x0 = np.asarray(sq.sobol_u32(dirs, 0, i))
+        x1 = np.asarray(sq.sobol_u32(dirs, 1, i))
+        assert (x0 >> np.uint32(32 - m) == np.asarray(px)).all()
+        assert (x1 >> np.uint32(32 - m) == np.asarray(py)).all()
+        seen.update(np.asarray(i).tolist())
+    assert len(seen) == res * res * spp
+    assert min(seen) == 0 and max(seen) == res * res * spp - 1
+
+
+def _film_points(mode, W, spp):
+    n_pix = W * W
+    pix = jnp.arange(n_pix, dtype=jnp.uint32)
+    pts = []
+    for s in range(spp):
+        smp = jnp.full((n_pix,), s, jnp.uint32)
+        u = rng.next_2d(mode, pix, smp, 0)
+        x = (np.asarray(pix) % W + np.asarray(u)[:, 0]) / W
+        y = (np.asarray(pix) // W + np.asarray(u)[:, 1]) / W
+        pts.append(np.stack([x, y], -1))
+    return np.concatenate(pts)
+
+
+def test_discrepancy_distinguishes_true_sobol_from_padded():
+    """Film-wide (0, 2m+log2(spp), 2)-net property: ALL camera sample
+    positions across the film stratify every elementary interval,
+    including anisotropic ones finer than a pixel in one axis. The padded
+    per-pixel Owen-(0,2) sampler passes the isotropic 32×32 check but
+    fails the 4×256 one — the test the VERDICT asked for."""
+    m, W, spp = 4, 16, 4
+    true_pts = _film_points((rng.SOBOL_QMC, m, W), W, spp)
+    pad_pts = _film_points(rng.SOBOL, W, spp)
+
+    def counts(pts, ny, nx):
+        c = np.zeros((ny, nx), int)
+        for x, y in pts:
+            c[min(int(y * ny), ny - 1), min(int(x * nx), nx - 1)] += 1
+        return c
+
+    c_true = counts(true_pts, 4, 256)
+    assert c_true.min() == 1 and c_true.max() == 1
+    c_pad = counts(pad_pts, 4, 256)
+    assert c_pad.min() == 0 or c_pad.max() > 1  # padded is NOT a net here
+    # sanity: both pass the per-pixel isotropic check
+    assert counts(true_pts, 32, 32).max() == 1
+    assert counts(pad_pts, 32, 32).max() == 1
+
+
+def test_sobol_qmc_mode_in_sampler_facade():
+    mode = (rng.SOBOL_QMC, 4, 16)
+    pix = jnp.arange(64, dtype=jnp.uint32)
+    smp = jnp.zeros(64, jnp.uint32)
+    for dim in (0, 2, 7, 4 + 16 * 64):  # incl. a depth-65 bounce dim
+        u1 = np.asarray(rng.next_1d(mode, pix, smp, dim))
+        u2 = np.asarray(rng.next_2d(mode, pix, smp, dim))
+        assert u1.shape == (64,) and u2.shape == (64, 2)
+        assert (u1 >= 0).all() and (u1 < 1).all()
+        assert (u2 >= 0).all() and (u2 < 1).all()
+    # traced dim (as the bounce loop produces)
+    import jax
+    f = jax.jit(lambda d: rng.next_2d(mode, pix, smp, d))
+    u = np.asarray(f(jnp.int32(20)))
+    assert np.isfinite(u).all()
+
+
+def test_render_with_true_sobol_smoke():
+    """End-to-end: a tiny scene renders with the true Sobol sampler and
+    matches the independent-sampler image to Monte-Carlo tolerance."""
+    from hairpt.film.film import Film
+    from hairpt.models import emitters as em
+    from hairpt.models.bsdf import registry as mat
+    from hairpt.models.sensors import Camera
+    from hairpt.scene.scene import SceneBuilder
+    from hairpt.integrators import path as path_int
+    from hairpt.film import film as film_mod
+    import numpy as np
+
+    from hairpt.models import shapes as shp
+
+    def build(sampler):
+        b = SceneBuilder()
+        mid = b.add_material(kind=mat.DIFFUSE, diffuse=(0.6, 0.4, 0.3))
+        b.add_mesh(shp.sphere(1.0, 16, 32), mid)
+        b.env = em.make_constant((0.8, 0.8, 0.8))
+        cam_to_world = np.array([[1, 0, 0, 0], [0, 1, 0, 0],
+                                 [0, 0, -1, 4.0], [0, 0, 0, 1]], float)
+        cam = Camera.perspective(cam_to_world, 45.0, 16, 16)
+        return b.build(cam, Film.make(16, 16, "box"), spp=16, max_depth=3,
+                       sampler=sampler)
+
+    imgs = []
+    for sampler in [0, (rng.SOBOL_QMC, 4, 16)]:
+        scene = build(sampler)
+        li = path_int.make_li_fn(scene)
+        image, weight = film_mod.zeros(scene.film)
+        pix = jnp.arange(256, dtype=jnp.uint32)
+        for s in range(16):
+            rad, pos, _ = li(scene.arrays, pix,
+                             jnp.full((256,), s, jnp.uint32))
+            rad = jnp.nan_to_num(rad)
+            image, weight = film_mod.splat_samples(scene.film, pos, rad,
+                                                   image, weight)
+        imgs.append(np.asarray(film_mod.develop(image, weight)))
+    assert np.isfinite(imgs[1]).all()
+    assert abs(imgs[0].mean() - imgs[1].mean()) < 0.05 * imgs[0].mean()
