@@ -305,16 +305,26 @@ def main(argv=None):
     out = args.output or "output.png"
     base = out.rsplit(".", 1)[0]
     from .utils import exr as exr_utils
-    if out.lower().endswith(".exr"):
+    ext = out.rsplit(".", 1)[-1].lower()
+    if ext == "exr":
         exr_utils.write_exr(out, img)
         io_utils.write_png(base + ".png",
                            io_utils.tonemap_srgb(img, scene.film.gamma))
+    elif ext in ("jpg", "jpeg"):
+        io_utils.write_jpg(out, io_utils.tonemap_srgb(img, scene.film.gamma))
+        exr_utils.write_exr(base + ".exr", img)
+    elif ext == "bmp":
+        io_utils.write_bmp(out, io_utils.tonemap_srgb(img, scene.film.gamma))
+        exr_utils.write_exr(base + ".exr", img)
+    elif ext == "tga":
+        io_utils.write_tga(out, io_utils.tonemap_srgb(img, scene.film.gamma))
+        exr_utils.write_exr(base + ".exr", img)
     else:
         io_utils.write_png(out, io_utils.tonemap_srgb(img, scene.film.gamma))
         exr_utils.write_exr(base + ".exr", img)
     io_utils.write_npy(base + ".npy", img)
     io_utils.write_pfm(base + ".pfm", img)
-    logger.info("wrote %s.{png,exr,npy,pfm}", base)
+    logger.info("wrote %s.{%s,exr,npy,pfm}", base, ext)
 
 
 if __name__ == "__main__":

@@ -139,12 +139,16 @@ _SQ_CACHE: dict = {}
 
 
 def _sq_tables(m: int):
+    # cache NUMPY tables (jnp constants created inside a trace would leak
+    # as tracers across traces); jnp.asarray them per call site
     if m not in _SQ_CACHE:
         from . import sobolseq as sq
-        dirs, shift = sq.make_jnp_tables()
+        dirs, shift = sq.make_np_tables()
         masks = sq.pixel_lookup_tables(m)
         _SQ_CACHE[m] = (dirs, shift, masks)
-    return _SQ_CACHE[m]
+    import jax.numpy as jnp
+    dirs, shift, masks = _SQ_CACHE[m]
+    return jnp.asarray(dirs), jnp.asarray(shift), masks
 
 
 def sobol_qmc(m: int, width: int, pixel, sample, dim, n_comp: int):

@@ -208,16 +208,24 @@ def pixel_lookup_tables(m: int):
 # device-side evaluation (imported lazily to keep numpy-only host use)
 # ---------------------------------------------------------------------------
 
-def make_jnp_tables():
-    import jax.numpy as jnp
-    dirs = jnp.asarray(direction_vectors())
+def make_np_tables():
+    """Host-side numpy tables (cache THESE, not jnp arrays: a jnp constant
+    created inside a trace is a tracer and must not be cached across
+    traces). Convert with jnp.asarray at each use site."""
+    dirs = direction_vectors()
     # per-dimension digital shift (dims 0/1 unshifted: pixel mapping)
     rs = np.random.RandomState(0xD161)
     shift = rs.randint(0, 1 << 32, size=N_DIMS, dtype=np.uint64) \
         .astype(np.uint32)
     shift[0] = 0
     shift[1] = 0
-    return dirs, jnp.asarray(shift)
+    return dirs, shift
+
+
+def make_jnp_tables():
+    import jax.numpy as jnp
+    dirs, shift = make_np_tables()
+    return jnp.asarray(dirs), jnp.asarray(shift)
 
 
 def sobol_u32(dirs, d, i):

@@ -182,10 +182,12 @@ def eval_checkerboard(tex: CheckerboardTable, tex_id, uv, base,
     off = tex.uv_offset[tid]
     su = uv[..., 0] * scale[..., 0] + off[..., 0]
     sv = uv[..., 1] * scale[..., 1] + off[..., 1]
-    # checkerboard
-    x = jnp.floor(su).astype(jnp.int32)
-    y = jnp.floor(sv).astype(jnp.int32)
-    par = (x + y) % 2 == 0
+    # checkerboard (reference: src/textures/checkerboard.cpp:66-74 —
+    # 2×2 tiles per scaled-uv unit, TRUNCATED int conversion, same
+    # parity → color0)
+    x = jnp.trunc(su * 2.0).astype(jnp.int32) % 2
+    y = jnp.trunc(sv * 2.0).astype(jnp.int32) % 2
+    par = x == y
     val_ck = jnp.where(par[..., None], tex.color0[tid], tex.color1[tid])
     # bitmap (bilinear, repeat wrap; v flipped as in the reference)
     r = tex.bitmaps.shape[1]

@@ -237,42 +237,53 @@ def tiled_closest_hit(sw: SweptHair, ray: Ray, n_clusters: int, K: int,
         ], axis=1)                                         # [T, 8, tile]
 
         def one_pass(ray_q, rays8_q, q_cap):
-            """phase A cull → slot routing → phase B, at slot cap q_cap.
-            Returns (t_tiles [T, tile], p_tiles [T, tile], overflow)."""
+            """phase A cull → slot routing → phase B, at slot cap q_cap,
+            CHUNKED over tiles so the [T, C] cull/routing temporaries stay
+            bounded at north-star scale (1024² × 8k clusters would
+            otherwise materialize ~0.5 GB per buffer through the routing
+            sort). Returns (t_tiles [T, tile], p_tiles [T, tile],
+            overflow)."""
             cull_bounds = (sw.sub_lo, sw.sub_hi) if subcull \
                 else (sw.cl_lo, sw.cl_hi)
-            if impl == "pallas":
-                # phase A as a Pallas kernel: the jnp form streams [N, C]
-                # temporaries through HBM (profiled at 51/60 ms per query)
-                te_s, t_pmax_t = _cull_pallas(rays8_q, cull_bounds[0],
-                                              cull_bounds[1])
-                mask_s = jnp.isfinite(te_s)
-            else:
-                mask_s, te_s, t_pmax = _tile_cluster_mask(
-                    sw, ray_q, tile, bounds=cull_bounds)
-                t_pmax_t = t_pmax.reshape(T, tile)
-            if subcull:
-                n_sub = K // 32   # sub-clusters per row (build asserts %32)
-                mask = mask_s.reshape(T, n_clusters, n_sub).any(-1)
-                te = te_s.reshape(T, n_clusters, n_sub).min(-1)
-            else:
-                mask, te = mask_s, te_s
-            slots, cnt, tmin, tscale, overflow = _tile_slots(mask, te,
-                                                             q_cap)
-
+            C_eff = cull_bounds[0].shape[0]
             from .pallas_tiled import tiled_phase_b
-            # ordered traversal: slots are sorted by tile entry-t with
-            # suffix-min bounds, so both query modes check the exit
-            # condition every slot. The packed slot table is
-            # scalar-prefetched into SMEM (1 MB budget) → chunk the call
-            # over tiles at high resolutions.
-            t_chunk = max(1, (1 << 17) // q_cap)  # ≤ 0.5 MB int32 slots
+            # tile-chunk size: ≤ 0.5 MB of SMEM slots for phase B and
+            # ≤ ~128 MB of [Tc, C] f32 cull temporaries
+            t_chunk = max(1, (1 << 17) // q_cap)
+            t_chunk = min(t_chunk, max(1, (1 << 25) // max(C_eff, 1)))
             tt, pp = [], []
+            overflow = jnp.int32(0)
             for c0_ in range(0, T, t_chunk):
                 sl = slice(c0_, min(c0_ + t_chunk, T))
+                rs = slice(c0_ * tile, min(c0_ + t_chunk, T) * tile)
+                ray_c = Ray(o=ray_q.o[rs], d=ray_q.d[rs],
+                            mint=ray_q.mint[rs], maxt=ray_q.maxt[rs])
+                if impl == "pallas":
+                    # phase A as a Pallas kernel: the jnp form streams
+                    # [N, C] temporaries through HBM (51/60 ms per query)
+                    te_s, t_pmax_t = _cull_pallas(rays8_q[sl],
+                                                  cull_bounds[0],
+                                                  cull_bounds[1])
+                    mask_s = jnp.isfinite(te_s)
+                else:
+                    mask_s, te_s, t_pmax = _tile_cluster_mask(
+                        sw, ray_c, tile, bounds=cull_bounds)
+                    t_pmax_t = t_pmax.reshape(-1, tile)
+                if subcull:
+                    n_sub = K // 32   # sub-clusters per row (build: %32)
+                    mask = mask_s.reshape(-1, n_clusters, n_sub).any(-1)
+                    te = te_s.reshape(-1, n_clusters, n_sub).min(-1)
+                else:
+                    mask, te = mask_s, te_s
+                slots, cnt, tmin, tscale, ov = _tile_slots(mask, te, q_cap)
+                overflow = overflow + ov
+                # ordered traversal: slots are sorted by tile entry-t with
+                # suffix-min bounds, so both query modes check the exit
+                # condition every slot; the packed slot table is
+                # scalar-prefetched into SMEM.
                 t_c, p_c = tiled_phase_b(
-                    slots[sl], cnt[sl], tmin[sl], tscale[sl], rays8_q[sl],
-                    t_pmax_t[sl], sw.seg_rows_t, K, q_cap,
+                    slots, cnt, tmin, tscale, rays8_q[sl],
+                    t_pmax_t, sw.seg_rows_t, K, q_cap,
                     any_hit=(mode == "any"),
                     interpret=(impl == "interpret"),
                     exit_every=1, unroll=3)

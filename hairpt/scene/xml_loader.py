@@ -178,8 +178,12 @@ def _material_row_from_bsdf(node, defines, builder: SceneBuilder,
 
     # "marschner" defaults to the corrected mode (true pdf, MIS-compatible,
     # SURVEY §7.6); the fork's quirky MarschnerDiffuse behavior is kept
-    # behind <boolean name="faithful" value="true"/> for pixel parity runs
-    if btype == "marschner" and bool(p.get("faithful", False)):
+    # behind <boolean name="faithful" value="true"/> (or a
+    # -D marschner_faithful=true define) for pixel parity runs
+    faithful = p.get("faithful",
+                     str(defines.get("marschner_faithful",
+                                     "false")).lower() == "true")
+    if btype == "marschner" and bool(faithful):
         kind = mat.MARSCHNER
 
     if kind == mat.MIXTURE:

@@ -64,9 +64,60 @@ def read_hdr(path: str) -> np.ndarray:
     return rgb.astype(np.float32)
 
 
+def read_png(path: str) -> np.ndarray:
+    """PNG → float32 [H, W, 3] in [0, 1] (gamma-encoded values as stored;
+    reference: src/libcore/bitmap.cpp PNG loader)."""
+    from PIL import Image
+    img = np.asarray(Image.open(path).convert("RGB"), np.float32) / 255.0
+    return img
+
+
+def read_image(path: str) -> np.ndarray:
+    """Load any supported bitmap (reference: Bitmap ctor dispatch,
+    src/libcore/bitmap.cpp — EXR/PNG/JPEG/HDR/PFM/BMP/TGA). LDR formats
+    return gamma-encoded [0,1] floats; HDR formats return linear."""
+    ext = path.rsplit(".", 1)[-1].lower()
+    if ext == "hdr":
+        return read_hdr(path)
+    if ext == "pfm":
+        return read_pfm(path)
+    if ext == "exr":
+        from . import exr as exr_mod
+        return exr_mod.read_exr(path)
+    if ext == "npy":
+        return np.load(path).astype(np.float32)
+    if ext in ("png", "jpg", "jpeg", "bmp", "tga"):
+        from PIL import Image
+        return np.asarray(Image.open(path).convert("RGB"),
+                          np.float32) / 255.0
+    raise ValueError(f"unsupported image format: {path}")
+
+
 # ---------------------------------------------------------------------------
 # writers
 # ---------------------------------------------------------------------------
+
+def write_jpg(path: str, img: np.ndarray, quality: int = 95):
+    """JPEG writer (reference ldrfilm jpg output, bitmap.cpp)."""
+    from PIL import Image
+    if img.dtype != np.uint8:
+        img = np.clip(np.asarray(img) * 255.0 + 0.5, 0, 255).astype(np.uint8)
+    Image.fromarray(img, mode="RGB").save(path, quality=quality)
+
+
+def write_bmp(path: str, img: np.ndarray):
+    from PIL import Image
+    if img.dtype != np.uint8:
+        img = np.clip(np.asarray(img) * 255.0 + 0.5, 0, 255).astype(np.uint8)
+    Image.fromarray(img, mode="RGB").save(path)
+
+
+def write_tga(path: str, img: np.ndarray):
+    from PIL import Image
+    if img.dtype != np.uint8:
+        img = np.clip(np.asarray(img) * 255.0 + 0.5, 0, 255).astype(np.uint8)
+    Image.fromarray(img, mode="RGB").save(path)
+
 
 def write_png(path: str, img: np.ndarray):
     """img: float [H, W, 3] in [0, 1] (already gamma encoded) or uint8."""

@@ -1,0 +1,85 @@
+"""Golden-image validation against the reference's committed renders
+(VERDICT round-1 item 4 / SURVEY §4 tier (c)).
+
+The reference ships per-scene renders (/root/reference/models/*/scene*.png)
+plus Tungsten cross-renderer ground truth. Two validation levels:
+
+- teapot: the geometry (OBJ meshes + rectangle) is bit-identical to the
+  reference input, so a direct downsampled-pixel MSE applies.
+- hair scenes: the `.mitshair` fiber files were never committed upstream
+  (SURVEY §2.5), so geometry is a procedural stand-in and pixel equality
+  is unattainable; lighting/BSDF response is validated through
+  hair-region tone statistics instead. `tools/golden_report.py` renders
+  the full set and commits quantitative diffs under artifacts/golden/.
+"""
+import os
+
+import numpy as np
+import pytest
+
+REF = "/root/reference/models"
+
+pytestmark = pytest.mark.skipif(not os.path.isdir(REF),
+                                reason="reference models not present")
+
+
+def downsample(img, h, w):
+    H, W = img.shape[:2]
+    fy, fx = H // h, W // w
+    return img[:h * fy, :w * fx].reshape(h, fy, w, fx, 3).mean((1, 3))
+
+
+def render(xml, defines=None, spp=64, res_scale=0.05, quality=0.4,
+           depth=6):
+    from hairpt.scene.xml_loader import load_scene
+    from hairpt.integrators import path as path_int
+    from hairpt.utils import io as io_utils
+    scene = load_scene(xml, defines or {}, spp_override=spp,
+                       res_scale=res_scale, hair_quality=quality,
+                       max_depth_override=depth)
+    img = np.asarray(path_int.render(scene))
+    return io_utils.tonemap_srgb(img, scene.film.gamma)
+
+
+def test_golden_teapot_pixel_mse():
+    """Identical input geometry ⇒ the 64×36 render must match the
+    reference 1280×720 PNG (box-downsampled) to MSE < 0.012 in
+    gamma-encoded [0,1] space (calibrated headroom ~2.4× over the
+    measured 0.005; the pre-fix checkerboard bug scored 0.022)."""
+    from hairpt.utils import io as io_utils
+    tm = render(f"{REF}/teapot/scene.xml", spp=64, res_scale=0.05,
+                depth=6)
+    ref = downsample(io_utils.read_png(f"{REF}/teapot/scene.png"),
+                     *tm.shape[:2])
+    mse = float(((tm - ref) ** 2).mean())
+    mae = float(np.abs(tm - ref).mean())
+    assert np.isfinite(tm).all()
+    assert mse < 0.012, (mse, mae)
+    # global tone within 5%
+    assert abs(tm.mean() - ref.mean()) < 0.05 * ref.mean()
+
+
+@pytest.mark.parametrize("xml,png", [
+    ("straight-hair/scene_kkay.xml", "straight-hair/scene_kkay.png"),
+    ("straight-hair/scene_marschner.xml",
+     "straight-hair/scene_marschner.png"),
+])
+def test_golden_straight_hair_tone(xml, png):
+    """Procedural fiber stand-in ⇒ validate the hair-region lighting/BSDF
+    response: per-channel mean within 2.2× of the reference and the same
+    warm hue ordering (R > G > B). Catches sunsky/BSDF-scale breakage
+    while tolerating the geometry mismatch."""
+    from hairpt.utils import io as io_utils
+    tm = render(f"{REF}/{xml}", {"marschner_faithful": "true"}, spp=8,
+                res_scale=0.0625, quality=0.4, depth=6)
+    ref = downsample(io_utils.read_png(f"{REF}/{png}"), *tm.shape[:2])
+    lum_o = tm.mean(-1)
+    lum_r = ref.mean(-1)
+    mask = (lum_o > 0.08) & (lum_r > 0.08)
+    assert mask.mean() > 0.1, "hair regions do not even overlap"
+    mo = tm[mask].mean(0)
+    mr = ref[mask].mean(0)
+    ratio = mo / np.maximum(mr, 1e-6)
+    assert (ratio > 0.45).all() and (ratio < 2.2).all(), (mo, mr)
+    assert mo[0] > mo[1] > mo[2], mo     # warm hue ordering, ours
+    assert mr[0] > mr[1] > mr[2], mr     # …and the reference's
