@@ -228,7 +228,13 @@ def main(argv=None):
                                            seed=args.seed))
     elif integ == "ppm":
         from .integrators import photonmap as pm_int
-        img = np.asarray(pm_int.render_ppm(scene, seed=args.seed))
+        if scene.medium is not None:
+            # media present → volumetric photon mapping with the beam
+            # radiance estimate (reference: photonmapper/bre.cpp)
+            img = np.asarray(pm_int.render_volumetric_photonmap(
+                scene, seed=args.seed))
+        else:
+            img = np.asarray(pm_int.render_ppm(scene, seed=args.seed))
     elif integ == "sppm":
         from .integrators import photonmap as pm_int
         img = np.asarray(pm_int.render_sppm(scene, seed=args.seed))

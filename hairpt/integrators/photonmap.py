@@ -303,6 +303,260 @@ def render_photonmap(scene: Scene, n_photons: int = 1 << 16,
     return film_mod.develop(image, weight)
 
 
+# ---------------------------------------------------------------------------
+# Volumetric photon mapping with the beam radiance estimate
+# (reference: src/integrators/photonmapper/bre.cpp — photon discs with
+# per-photon radii, queried by camera beams). TPU-native redesign: the
+# photon kd-tree + stack walk becomes the same sorted hash grid, and the
+# beam query becomes a fixed-step march where each step OWNS the photons
+# whose perpendicular foot falls inside it (no double counting, no stack).
+# ---------------------------------------------------------------------------
+
+
+class VolPhotonMap(NamedTuple):
+    pos: jnp.ndarray      # [M, 3] sorted by cell
+    power: jnp.ndarray    # [M, 3] flux (already includes σ_s/pdf weights)
+    wi: jnp.ndarray       # [M, 3] photon propagation direction at the event
+    cell: jnp.ndarray     # [M] sorted cell keys
+    valid: jnp.ndarray    # [M]
+    radius: jnp.ndarray   # [M] per-photon disc radius (density-adapted)
+    grid_min: jnp.ndarray
+    inv_cell: jnp.ndarray
+    grid_res: int
+
+
+def trace_volume_photons(scene: Scene, medium, n_photons: int,
+                         max_bounces: int = 8, seed: int = 0):
+    """Photon pass through a homogeneous medium: free-flight distances via
+    the same spectral-MIS sampler the volumetric path tracer uses, a
+    deposit at every medium event (power already carries σ_s·T/pdf, as the
+    reference's handleMediumInteraction weights do), then phase-function
+    scattering + RR. Surface hits terminate the volume path (the surface
+    photon map covers them)."""
+    cfg = scene.config
+    arr = scene.arrays
+    from ..models import media as med
+    idx = jnp.arange(n_photons, dtype=jnp.uint32)
+    ray, power = _env_emit(scene, n_photons, seed)
+    pk = medium.phase_kind
+    mix = getattr(medium, "mix", ())
+
+    def body(carry, b):
+        o, d, pw, alive = carry
+        r = Ray(o=o, d=d, mint=jnp.zeros(n_photons),
+                maxt=jnp.where(alive, jnp.inf, 0.0))
+        hit = scene_intersect(arr, r, cfg.traversal, cfg.block,
+                              _swept_params(cfg))
+        t_surf = jnp.where(hit.valid, hit.t, medium.fog_depth)
+        dims = DIM_BASE + b * DIM_STRIDE
+        u_ch = rng.uniform_1d(idx, seed * 977 + 29, dims + 0)
+        u_t = rng.uniform_1d(idx, seed * 977 + 29, dims + 1)
+        dist, is_med, w_d = med.sample_distance(medium, u_ch, u_t, t_surf)
+        landed = alive & is_med
+        p_evt = o + d * dist[..., None]
+        pw_evt = pw * w_d
+        deposit = (p_evt, jnp.where(landed[..., None], pw_evt, 0.0), d,
+                   landed)
+
+        u_ph = rng.uniform_2d(idx, seed * 977 + 29, dims + 2)
+        wo, pdf_ph = med.phase_sample(pk, medium.g, -d, u_ph,
+                                      medium.phase_p, medium.orientation,
+                                      mix)
+        if pk in (med.HG, med.ISOTROPIC, med.RAYLEIGH):
+            w_ph = jnp.ones(n_photons, jnp.float32)
+        else:
+            w_ph = jnp.where(pdf_ph > 0, med.phase_eval(
+                pk, medium.g, -d, wo, medium.phase_p,
+                medium.orientation, mix) / jnp.maximum(pdf_ph, 1e-20), 0.0)
+        pw2 = pw_evt * w_ph[..., None]
+        q = jnp.clip(jnp.max(pw2, axis=-1)
+                     / jnp.maximum(jnp.max(pw, axis=-1), 1e-9), 0.05, 0.95)
+        u_rr = rng.uniform_1d(idx, seed * 977 + 29, dims + 4)
+        keep = u_rr < q
+        pw2 = pw2 / jnp.maximum(q, 1e-6)[..., None]
+        alive2 = landed & keep & (jnp.max(pw2, axis=-1) > 0)
+        return (p_evt, wo, pw2, alive2), deposit
+
+    carry = (ray.o, ray.d, power, jnp.ones(n_photons, bool))
+    _, deposits = jax.lax.scan(body, carry, jnp.arange(max_bounces))
+    return (deposits[0].reshape(-1, 3), deposits[1].reshape(-1, 3),
+            deposits[2].reshape(-1, 3), deposits[3].reshape(-1))
+
+
+def build_volume_photon_map(pos, power, wi, valid, radius: float,
+                            grid_res: int = 128,
+                            density_k: float = 8.0) -> VolPhotonMap:
+    """Sorted-hash-grid volume photon map with per-photon radii from a
+    local density estimate (the reference derives them from a reduced
+    k-NN search, bre.cpp:84-118; here the own-cell photon count under a
+    locally-uniform assumption gives r_i = (3k/(4πρ_i))^{1/3}, clamped to
+    the cell size so the beam march's 27-neighbourhood stays exact)."""
+    # shuffle first: dense cells (e.g. around a point light) are read as a
+    # capped prefix with an occupancy rescale in bre_query — the prefix
+    # must be an unbiased subsample, not the lowest-bounce photons
+    M = pos.shape[0]
+    hkey = rng.hash_u32(jnp.arange(M, dtype=jnp.uint32) ^ jnp.uint32(0xB5E))
+    shuf = jnp.argsort(hkey)
+    pos, power, wi, valid = pos[shuf], power[shuf], wi[shuf], valid[shuf]
+
+    lo = jnp.min(jnp.where(valid[:, None], pos, jnp.inf), axis=0) - radius
+    cell_size = radius
+    inv = 1.0 / cell_size
+    ijk = jnp.clip(((pos - lo) * inv).astype(jnp.int32), 0, grid_res - 1)
+    key = (ijk[:, 0] * grid_res + ijk[:, 1]) * grid_res + ijk[:, 2]
+    key = jnp.where(valid, key, jnp.int32(grid_res ** 3))
+    order = jnp.argsort(key, stable=True)
+    key_s = key[order]
+    # own-cell occupancy via sorted-range width
+    start = jnp.searchsorted(key_s, key_s)
+    end = jnp.searchsorted(key_s, key_s, side="right")
+    n_cell = jnp.maximum((end - start).astype(jnp.float32), 1.0)
+    rho = n_cell * (inv ** 3)
+    r_i = (3.0 * density_k / (4.0 * jnp.pi * rho)) ** (1.0 / 3.0)
+    r_i = jnp.clip(r_i, 0.25 * cell_size, cell_size)
+    return VolPhotonMap(pos=pos[order], power=power[order], wi=wi[order],
+                        cell=key_s, valid=valid[order], radius=r_i,
+                        grid_min=lo, inv_cell=jnp.float32(inv),
+                        grid_res=grid_res)
+
+
+def bre_query(vpm: VolPhotonMap, medium, o, d, t_end, n_steps: int,
+              max_per_cell: int = 16):
+    """Beam radiance estimate along rays o + t·d for t ∈ (0, t_end)
+    (bre.cpp:query): Σ over photon discs crossed by the beam of
+      T(σ_t·t_j) · Φ_j · phase(ω_j → −d) · K2(b²/r²)/r²
+    with the Silverman kernel K2(x) = 3/π·(1−x)². The march steps are one
+    grid cell long; a photon is owned by the step containing its
+    perpendicular foot, so each disc is counted exactly once."""
+    from ..models import media as med
+    gr = vpm.grid_res
+    h = 1.0 / vpm.inv_cell
+    n = o.shape[0]
+    pk = medium.phase_kind
+    mix = getattr(medium, "mix", ())
+    offs = jnp.arange(max_per_cell)
+
+    def step(j, acc):
+        t_mid = (j.astype(jnp.float32) + 0.5) * h     # scalar
+        p_step = o + d * t_mid
+        q_ijk = ((p_step - vpm.grid_min) * vpm.inv_cell).astype(jnp.int32)
+        lo_t = j.astype(jnp.float32) * h
+        hi_t = lo_t + h
+        for dx in (-1, 0, 1):
+            for dy in (-1, 0, 1):
+                for dz in (-1, 0, 1):
+                    c = q_ijk + jnp.asarray([dx, dy, dz])
+                    okc = jnp.all((c >= 0) & (c < gr), axis=-1)
+                    key = (c[:, 0] * gr + c[:, 1]) * gr + c[:, 2]
+                    start = jnp.searchsorted(vpm.cell, key)
+                    end = jnp.searchsorted(vpm.cell, key, side="right")
+                    n_c = (end - start).astype(jnp.float32)
+                    # dense cells: read a capped prefix of the (shuffled)
+                    # cell range and rescale by occupancy — preserves
+                    # energy in expectation where a hard cap would drop it
+                    cell_scale = jnp.maximum(n_c, 1.0) \
+                        / jnp.minimum(jnp.maximum(n_c, 1.0),
+                                      float(max_per_cell))
+                    idxs = jnp.minimum(start[:, None] + offs[None, :],
+                                       vpm.cell.shape[0] - 1)
+                    in_cell = vpm.cell[idxs] == key[:, None]
+                    p_ph = vpm.pos[idxs]                  # [N, M, 3]
+                    rel = p_ph - o[:, None]
+                    foot = jnp.einsum("nmi,ni->nm", rel, d)
+                    b2 = jnp.sum(rel * rel, -1) - foot * foot
+                    r2 = vpm.radius[idxs] ** 2
+                    own = (foot >= lo_t) & (foot < hi_t)
+                    near = in_cell & okc[:, None] & vpm.valid[idxs] \
+                        & own & (b2 < r2) & (foot > 0) \
+                        & (foot < t_end[:, None])
+                    k2 = (3.0 / jnp.pi) * (1.0 - b2 / jnp.maximum(
+                        r2, 1e-12)) ** 2
+                    ph = med.phase_eval(
+                        pk, medium.g,
+                        (-vpm.wi[idxs]).reshape(-1, 3),
+                        (-jnp.repeat(d[:, None], max_per_cell, 1)
+                         ).reshape(-1, 3),
+                        medium.phase_p, medium.orientation, mix
+                    ).reshape(n, max_per_cell)
+                    tr = jnp.exp(-medium.sigma_t[None, None, :]
+                                 * foot[..., None])
+                    contrib = jnp.where(
+                        near[..., None],
+                        tr * vpm.power[idxs] * (ph * k2 / jnp.maximum(
+                            r2, 1e-12))[..., None], 0.0)
+                    acc = acc + cell_scale[:, None] \
+                        * jnp.sum(contrib, axis=1)
+        return acc
+
+    acc = jax.lax.fori_loop(0, n_steps, step,
+                            jnp.zeros((n, 3), jnp.float32))
+    return acc
+
+
+def render_volumetric_photonmap(scene: Scene, n_photons: int = 1 << 15,
+                                radius: float = 0.25,
+                                max_bounces: int = 8, spp: int = 4,
+                                seed: int = 0, n_steps: int | None = None):
+    """Photon-mapped rendering of a scene with a global homogeneous
+    medium: in-scattered radiance along the camera ray from the beam
+    radiance estimate + the surface/environment contribution attenuated
+    by the medium transmittance. Cross-validated against volpath in
+    tests/test_photonmap.py."""
+    cfg = scene.config
+    arr = scene.arrays
+    fl = scene.film
+    medium = scene.medium
+    from ..models import media as med
+    n_pix = cfg.width * cfg.height
+    pos, pw, wi, valid = trace_volume_photons(scene, medium, n_photons,
+                                              max_bounces, seed)
+    vpm = build_volume_photon_map(pos, pw, wi, valid, radius)
+    # surface photon map for the attenuated surface component
+    s_pos, s_pw, s_wi, s_valid = trace_photons(scene, n_photons,
+                                               max_bounces, seed + 7)
+    pm = build_photon_map(s_pos, s_pw, s_wi, s_valid, radius)
+    if n_steps is None:
+        n_steps = int(min(256, np.ceil(
+            float(min(float(medium.fog_depth), 60.0)) / radius)))
+
+    @jax.jit
+    def wave(arrs, vpm_, pm_, sample_id, image, weight):
+        pixel_idx = jnp.arange(n_pix, dtype=jnp.uint32)
+        sample_idx = jnp.full((n_pix,), sample_id, jnp.uint32)
+        px = (pixel_idx % cfg.width).astype(jnp.float32)
+        py = (pixel_idx // cfg.width).astype(jnp.float32)
+        j2 = rng.next_2d(cfg.sampler, pixel_idx, sample_idx, 0)
+        p2 = jnp.stack([px + j2[..., 0], py + j2[..., 1]], -1)
+        ray = sensors.sample_ray(scene.camera, p2, None)
+        hit = scene_intersect(arrs, ray, cfg.traversal, cfg.block,
+                              _swept_params(cfg))
+        t_end = jnp.where(hit.valid, hit.t,
+                          jnp.minimum(medium.fog_depth, 1e6))
+        lv = bre_query(vpm_, medium, ray.o, ray.d, t_end, n_steps)
+        # attenuated surface radiance (photon-map estimate at the hit)
+        wi_world = -ray.d
+        two = arrs.materials.twosided[jnp.maximum(hit.mat_id, 0)]
+        flip = two & (dot(hit.sh_n, wi_world) < 0)
+        fr = frame(hit)._replace(
+            n=jnp.where(flip[..., None], -hit.sh_n, hit.sh_n),
+            t=jnp.where(flip[..., None], -hit.sh_t, hit.sh_t))
+        wi_l = fr.to_local(wi_world)
+        surf = gather_radiance(pm_, scene, hit, wi_l, fr, radius)
+        env_r = em.env_eval(arrs.env, ray.d) if arrs.env is not None \
+            else jnp.zeros((n_pix, 3))
+        ls = jnp.where(hit.valid[..., None], surf, env_r)
+        tr_end = jnp.exp(-medium.sigma_t[None, :] * t_end[..., None])
+        rad = lv + tr_end * ls
+        rad = jnp.nan_to_num(rad, nan=0.0, posinf=0.0, neginf=0.0)
+        return film_mod.splat_samples(fl, p2, rad, image, weight)
+
+    image, weight = film_mod.zeros(fl)
+    for s in range(spp):
+        image, weight = wave(arr, vpm, pm, jnp.uint32(s + seed * 65536),
+                             image, weight)
+    return film_mod.develop(image, weight)
+
+
 def render_ppm(scene: Scene, n_photons: int = 1 << 14, passes: int = 4,
                radius0: float = 0.3, alpha: float = 0.7, spp: int = 2,
                seed: int = 0):

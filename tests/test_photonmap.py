@@ -78,3 +78,38 @@ def test_sppm_matches_path_tracer():
     ref = np.asarray(path_int.render(scene, spp=24))
     geo = ref.mean(-1) < 0.999
     assert abs(img[geo].mean() - ref[geo].mean()) / ref[geo].mean() < 0.3
+
+
+def test_bre_volumetric_photonmap_matches_volpath():
+    """Beam-radiance-estimate volumetric photon mapping
+    (src/integrators/photonmapper/bre.cpp) cross-validated against the
+    volumetric path tracer on a point-light-in-fog scene (VERDICT round-1
+    item 8): the two independent estimators must agree on mean radiance."""
+    from hairpt.models import media as med
+    from hairpt.integrators.volpath import render_volpath
+
+    b = SceneBuilder()
+    m = b.add_material(kind=mat.DIFFUSE, diffuse=(0.3,) * 3)
+    tw = np.eye(4)
+    tw[:3, 3] = (0.0, -3.0, 0.0)
+    b.add_mesh(shp.sphere(0.5, 12, 24), m, to_world=tw)
+    b.delta_lights.append(dict(kind=em.POINT, position=(0.0, 0.0, 0.0),
+                               intensity=(4.0, 4.0, 4.0)))
+    cam = Camera.perspective(matrix_lookat((0, 0, -4), (0, 0, 0),
+                                           (0, 1, 0)), 45.0, 24, 24)
+    scene = b.build(cam, Film.make(24, 24, "box"), spp=4, max_depth=8,
+                    sampler=1)
+    medium = med.make_medium((0.3,) * 3, (0.05,) * 3, g=0.0,
+                             phase_kind=med.ISOTROPIC, fog_depth=6.0)
+    img_v = np.asarray(render_volpath(scene, medium, spp=32))
+    scene2 = scene._replace(medium=medium)
+    img_b = np.asarray(pmap.render_volumetric_photonmap(
+        scene2, n_photons=1 << 15, radius=0.35, spp=4))
+    assert np.isfinite(img_b).all()
+    ratio = img_b.mean() / img_v.mean()
+    assert 0.85 < ratio < 1.18, ratio
+    # the glow must be centered on the light (image-center brightest ring)
+    h, w = img_b.shape[:2]
+    center = img_b[h // 2 - 4:h // 2 + 4, w // 2 - 4:w // 2 + 4].mean()
+    corner = img_b[:4, :4].mean()
+    assert center > corner, (center, corner)
