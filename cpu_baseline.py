@@ -24,7 +24,7 @@ ROOT = os.path.dirname(os.path.abspath(__file__))
 def main():
     from hairpt.scene import hairgen
 
-    quality = float(os.environ.get("BENCH_QUALITY", "1.0"))
+    quality = float(os.environ.get("BENCH_QUALITY", "14.0"))
     fs = hairgen.gen_furball(n_fibers=int(6000 * quality),
                              radius=0.00216667)
     segs = hairgen.segments(fs)
@@ -34,7 +34,7 @@ def main():
                              axis=1).astype(np.float32)
 
     # furball camera rays (matches bench.py's framing), 256x256
-    res = 256
+    res = int(os.environ.get("BENCH_RES", "1024"))
     cam_to_world = np.array([
         [-0.704024, 0.0939171, 0.703939, -10.6677],
         [1.05829e-08, 0.991217, -0.132245, 14.3141],
@@ -77,8 +77,9 @@ def main():
         "segments": int(n),
         "rays": int(len(raydata)),
         "threads": os.cpu_count(),
-        "note": "native multithreaded SAH-BVH miter-cylinder closest-hit "
-                "(reference Mitsuba binary unbuildable here; see docstring)",
+        "note": "native multithreaded SAH-BVH miter-cylinder closest-hit, "
+                "AVX-vectorized SoA leaf tests (triaccel_sse.h counterpart); "
+                "reference Mitsuba binary unbuildable here — see docstring",
     }
     with open(os.path.join(ROOT, "BASELINE_CPU.json"), "w") as f:
         json.dump(result, f, indent=1)

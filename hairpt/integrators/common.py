@@ -132,10 +132,24 @@ def scene_intersect(arr: SceneArrays, ray: Ray, traversal: str = "packed",
                 else traversal,
                 block)
 
+    # two-level BVH instances (shared-geometry shapegroup/instance scenes)
+    t_inst = inf
+    prim_inst = jnp.full((n,), -1, jnp.int32)
+    which_inst = jnp.full((n,), -1, jnp.int32)
+    if arr.inst is not None:
+        from ..ops import instancing as inst_mod
+        iray = ray._replace(maxt=jnp.minimum(ray.maxt,
+                                             jnp.minimum(t_tri, t_hair)))
+        t_inst, prim_inst, which_inst = inst_mod.inst_closest_hit(
+            arr.inst, iray)
+
     use_hair = t_hair < t_tri
-    t = jnp.where(use_hair, t_hair, t_tri)
+    use_inst = (t_inst < t_hair) & (t_inst < t_tri)
+    t = jnp.where(use_inst, t_inst, jnp.where(use_hair, t_hair, t_tri))
     valid = jnp.isfinite(t) & (t < ray.maxt) & ((prim_tri >= 0)
-                                                | (prim_hair >= 0))
+                                                | (prim_hair >= 0)
+                                                | (prim_inst >= 0))
+    use_hair = use_hair & ~use_inst
     p = ray.o + ray.d * t[..., None]
 
     # defaults
@@ -175,7 +189,7 @@ def scene_intersect(arr: SceneArrays, ray: Ray, traversal: str = "packed",
         # procedural stand-ins may not)
         gn = jnp.where((dot(gn, ns) < 0)[..., None], -gn, gn)
         f = frame_from_normal(ns)
-        tri_sel = (~use_hair) & (prim_tri >= 0)
+        tri_sel = (~use_hair) & (~use_inst) & (prim_tri >= 0)
         m = tri_sel[..., None]
         geo_n = jnp.where(m, gn, geo_n)
         sh_n = jnp.where(m, ns, sh_n)
@@ -215,11 +229,28 @@ def scene_intersect(arr: SceneArrays, ray: Ray, traversal: str = "packed",
         sh_t = jnp.where(m, tt, sh_t)
         mat_id = jnp.where(hair_sel, arr.hair_mat_id[i], mat_id)
 
+    if arr.inst is not None:
+        from ..ops import instancing as inst_mod
+        gn_i, ns_i, uv_i, mat_i, bary_i = inst_mod.inst_shading(
+            arr.inst, ray, t, prim_inst, which_inst)
+        f_i = frame_from_normal(ns_i)
+        sel = use_inst & (prim_inst >= 0)
+        m = sel[..., None]
+        geo_n = jnp.where(m, jnp.where(
+            (dot(gn_i, ns_i) < 0)[..., None], -gn_i, gn_i), geo_n)
+        sh_n = jnp.where(m, ns_i, sh_n)
+        sh_s = jnp.where(m, f_i.s, sh_s)
+        sh_t = jnp.where(m, f_i.t, sh_t)
+        uv = jnp.where(m, uv_i, uv)
+        mat_id = jnp.where(sel, mat_i, mat_id)
+        bary = jnp.where(m, bary_i, bary)
+
     return Hit(valid=valid, t=t, p=p, geo_n=geo_n, sh_s=sh_s, sh_t=sh_t,
                sh_n=sh_n, uv=uv, mat_id=mat_id, emitter_id=emitter_id,
                is_hair=use_hair & valid, uv_density=uv_density,
                bary=bary, vcolor=vcolor,
-               prim=jnp.where(use_hair, prim_hair, prim_tri))
+               prim=jnp.where(use_inst, prim_inst,
+                              jnp.where(use_hair, prim_hair, prim_tri)))
 
 
 def scene_occluded(arr: SceneArrays, ray: Ray, traversal: str = "packed",
@@ -253,4 +284,8 @@ def scene_occluded(arr: SceneArrays, ray: Ray, traversal: str = "packed",
                              isec.hair_intersect_block,
                              isec_blk.hair_leaf_block,
                              ipk.hair_leaf_eval, ray2, traversal, block)
+    if arr.inst is not None:
+        from ..ops import instancing as inst_mod
+        ray3 = ray._replace(maxt=jnp.where(occ, 0.0, ray.maxt))
+        occ = occ | inst_mod.inst_any_hit(arr.inst, ray3)
     return occ

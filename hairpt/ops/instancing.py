@@ -1,0 +1,233 @@
+"""Two-level BVH instancing.
+
+Replaces load-time flattening for `shapegroup`/`instance` scenes
+(reference: src/shapes/instance.cpp + shapegroup.cpp): each prototype
+keeps ONE object-space packed BVH (BLAS); instances are (prototype id,
+world→object transform) pairs. A query transforms rays per instance and
+runs the shared BLAS — geometry memory is O(prototypes), not
+O(instances), and per-instance transforms can be re-posed per wave
+(animated instances) without touching geometry.
+
+The top level is a static python loop over instances with a world-AABB
+pre-cull per ray (instance counts in practical scenes are small; the
+XLA-unrolled loop with per-instance maxt tightening is the wavefront
+analog of a TLAS walk). t values are affine-invariant (unnormalized
+object-space directions), so closest-hit compares directly in world units.
+"""
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..core.math import Ray, normalize
+from . import intersect_packed as ipk
+from . import bvh as bvh_mod
+
+
+class ProtoGeo(NamedTuple):
+    """One prototype's object-space geometry (triangles)."""
+    bvh: ipk.PackedBVH
+    p0: jnp.ndarray      # [T, 3]
+    e1: jnp.ndarray
+    e2: jnp.ndarray
+    n0: jnp.ndarray      # [T, 3] vertex shading normals
+    n1: jnp.ndarray
+    n2: jnp.ndarray
+    uv0: jnp.ndarray     # [T, 2]
+    uv1: jnp.ndarray
+    uv2: jnp.ndarray
+    mat_id: jnp.ndarray  # [T]
+
+
+@jax.tree_util.register_pytree_node_class
+class InstancedGeo:
+    """Instance table. `proto_id` is STATIC pytree aux data (the
+    instance→prototype routing drives python-level control flow under
+    jit); the transforms/bounds are ordinary traced leaves, so animated
+    instances can be re-posed per wave without retracing."""
+
+    def __init__(self, protos, proto_id, w2o, nrm_m, aabb_lo, aabb_hi):
+        self.protos = tuple(protos)     # tuple[ProtoGeo]
+        self.proto_id = tuple(proto_id)  # static tuple[int], len I
+        self.w2o = w2o                  # [I, 4, 4]
+        self.nrm_m = nrm_m              # [I, 3, 3] = (w2o linear)^T
+        self.aabb_lo = aabb_lo          # [I, 3] world-space bounds
+        self.aabb_hi = aabb_hi
+
+    def tree_flatten(self):
+        return ((self.protos, self.w2o, self.nrm_m, self.aabb_lo,
+                 self.aabb_hi), self.proto_id)
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        protos, w2o, nrm_m, lo, hi = children
+        return cls(protos, aux, w2o, nrm_m, lo, hi)
+
+
+def build_proto(mesh, mat_id: int) -> ProtoGeo:
+    """Build a prototype BLAS from a shapes.Mesh (object space)."""
+    pos = np.asarray(mesh.positions, np.float32)
+    idx = np.asarray(mesh.faces, np.int32)
+    p0 = pos[idx[:, 0]]
+    p1 = pos[idx[:, 1]]
+    p2 = pos[idx[:, 2]]
+    lo = np.minimum(np.minimum(p0, p1), p2)
+    hi = np.maximum(np.maximum(p0, p1), p2)
+    fb = bvh_mod.build(lo, hi, leaf_size=4)
+    order = np.asarray(fb.prim_order)
+    rows = ipk.tri_pack_rows(p0[order], p1[order], p2[order], order)
+    bvh = ipk.pack_bvh(fb, rows, leaf_size=4)
+    if mesh.normals is not None:
+        nrm = np.asarray(mesh.normals, np.float32)
+        n0, n1, n2 = nrm[idx[:, 0]], nrm[idx[:, 1]], nrm[idx[:, 2]]
+    else:
+        gn = np.cross(p1 - p0, p2 - p0)
+        gn /= np.maximum(np.linalg.norm(gn, axis=-1, keepdims=True), 1e-12)
+        n0 = n1 = n2 = gn
+    if getattr(mesh, "uvs", None) is not None:
+        uv = np.asarray(mesh.uvs, np.float32)
+        uv0, uv1, uv2 = uv[idx[:, 0]], uv[idx[:, 1]], uv[idx[:, 2]]
+    else:
+        uv0 = uv1 = uv2 = np.zeros((len(idx), 2), np.float32)
+    t_count = len(idx)
+    return ProtoGeo(bvh=bvh, p0=jnp.asarray(p0),
+                    e1=jnp.asarray(p1 - p0), e2=jnp.asarray(p2 - p0),
+                    n0=jnp.asarray(n0), n1=jnp.asarray(n1),
+                    n2=jnp.asarray(n2), uv0=jnp.asarray(uv0),
+                    uv1=jnp.asarray(uv1), uv2=jnp.asarray(uv2),
+                    mat_id=jnp.full((t_count,), mat_id, jnp.int32))
+
+
+def build_instanced(protos, instances) -> InstancedGeo:
+    """instances: list of (proto_index, to_world 4×4 numpy)."""
+    proto_id = tuple(int(i) for i, _ in instances)
+    w2o = []
+    nrm = []
+    lo_l, hi_l = [], []
+    for pid, o2w in instances:
+        o2w = np.asarray(o2w, np.float64)
+        m = np.linalg.inv(o2w)
+        w2o.append(m.astype(np.float32))
+        nrm.append(m[:3, :3].T.astype(np.float32))
+        # world AABB of the prototype's object bounds under o2w
+        pr = protos[pid]
+        p0 = np.asarray(pr.p0)
+        lo_o = np.minimum(p0, np.minimum(p0 + np.asarray(pr.e1),
+                                         p0 + np.asarray(pr.e2))).min(0)
+        hi_o = np.maximum(p0, np.maximum(p0 + np.asarray(pr.e1),
+                                         p0 + np.asarray(pr.e2))).max(0)
+        cs = np.array([[x, y, z] for x in (lo_o[0], hi_o[0])
+                       for y in (lo_o[1], hi_o[1])
+                       for z in (lo_o[2], hi_o[2])])
+        cw = cs @ o2w[:3, :3].T + o2w[:3, 3]
+        lo_l.append(cw.min(0).astype(np.float32))
+        hi_l.append(cw.max(0).astype(np.float32))
+    return InstancedGeo(tuple(protos), proto_id,
+                        jnp.asarray(np.stack(w2o)),
+                        jnp.asarray(np.stack(nrm)),
+                        jnp.asarray(np.stack(lo_l)),
+                        jnp.asarray(np.stack(hi_l)))
+
+
+def _aabb_cull(ray: Ray, lo, hi):
+    inv = 1.0 / jnp.where(jnp.abs(ray.d) < 1e-12,
+                          jnp.where(ray.d >= 0, 1e-12, -1e-12), ray.d)
+    t0 = (lo[None] - ray.o) * inv
+    t1 = (hi[None] - ray.o) * inv
+    tn = jnp.max(jnp.minimum(t0, t1), axis=-1)
+    tf = jnp.min(jnp.maximum(t0, t1), axis=-1) * 1.00000024 + 1e-7
+    return (tn <= tf) & (tf >= ray.mint) & (tn <= ray.maxt)
+
+
+def _obj_ray(ray: Ray, m):
+    o = ray.o @ m[:3, :3].T + m[:3, 3]
+    d = ray.d @ m[:3, :3].T           # NOT normalized: t stays world t
+    return ray._replace(o=o, d=d)
+
+
+def inst_closest_hit(inst: InstancedGeo, ray: Ray):
+    """Returns (t [N], prim [N], which_instance [N])."""
+    n = ray.o.shape[0]
+    best_t = jnp.full((n,), jnp.inf, jnp.float32)
+    best_p = jnp.full((n,), -1, jnp.int32)
+    best_i = jnp.full((n,), -1, jnp.int32)
+    for i, pid in enumerate(inst.proto_id):
+        hit_box = _aabb_cull(ray._replace(
+            maxt=jnp.minimum(ray.maxt, best_t)),
+            inst.aabb_lo[i], inst.aabb_hi[i])
+        r2 = _obj_ray(ray, inst.w2o[i])._replace(
+            maxt=jnp.where(hit_box,
+                           jnp.minimum(ray.maxt, best_t), 0.0))
+        t, prim = ipk.closest_hit_packed(inst.protos[pid].bvh,
+                                         ipk.tri_leaf_eval, r2)
+        better = t < best_t
+        best_t = jnp.where(better, t, best_t)
+        best_p = jnp.where(better, prim, best_p)
+        best_i = jnp.where(better, i, best_i)
+    return best_t, best_p, best_i
+
+
+def inst_any_hit(inst: InstancedGeo, ray: Ray):
+    n = ray.o.shape[0]
+    occ = jnp.zeros((n,), bool)
+    for i, pid in enumerate(inst.proto_id):
+        hit_box = _aabb_cull(ray, inst.aabb_lo[i], inst.aabb_hi[i])
+        r2 = _obj_ray(ray, inst.w2o[i])._replace(
+            maxt=jnp.where(hit_box & ~occ, ray.maxt, 0.0))
+        occ = occ | ipk.any_hit_packed(inst.protos[pid].bvh,
+                                       ipk.tri_leaf_eval, r2)
+    return occ
+
+
+def inst_shading(inst: InstancedGeo, ray: Ray, t, prim, which):
+    """Object-space barycentric shading record transformed to world.
+    Returns (geo_n, sh_n, uv, mat_id) for lanes with which >= 0."""
+    iw = jnp.maximum(which, 0)
+    m = inst.w2o[iw]                                   # [N, 4, 4]
+    o2 = jnp.einsum("nij,nj->ni", m[:, :3, :3], ray.o) + m[:, :3, 3]
+    d2 = jnp.einsum("nij,nj->ni", m[:, :3, :3], ray.d)
+    pidx = jnp.maximum(prim, 0)
+    # per-lane gathers routed through the winning prototype (static loop)
+    p0 = jnp.zeros_like(ray.o)
+    e1 = jnp.zeros_like(ray.o)
+    e2 = jnp.zeros_like(ray.o)
+    vn0 = jnp.zeros_like(ray.o)
+    vn1 = jnp.zeros_like(ray.o)
+    vn2 = jnp.zeros_like(ray.o)
+    uvs = [jnp.zeros(ray.o.shape[:-1] + (2,), jnp.float32)
+           for _ in range(3)]
+    mat_id = jnp.zeros(ray.o.shape[:-1], jnp.int32)
+    for i, pid in enumerate(inst.proto_id):
+        sel = which == i
+        pr = inst.protos[pid]
+        pc = jnp.minimum(pidx, pr.p0.shape[0] - 1)
+        p0 = jnp.where(sel[..., None], pr.p0[pc], p0)
+        e1 = jnp.where(sel[..., None], pr.e1[pc], e1)
+        e2 = jnp.where(sel[..., None], pr.e2[pc], e2)
+        vn0 = jnp.where(sel[..., None], pr.n0[pc], vn0)
+        vn1 = jnp.where(sel[..., None], pr.n1[pc], vn1)
+        vn2 = jnp.where(sel[..., None], pr.n2[pc], vn2)
+        uvs[0] = jnp.where(sel[..., None], pr.uv0[pc], uvs[0])
+        uvs[1] = jnp.where(sel[..., None], pr.uv1[pc], uvs[1])
+        uvs[2] = jnp.where(sel[..., None], pr.uv2[pc], uvs[2])
+        mat_id = jnp.where(sel, pr.mat_id[pc], mat_id)
+    pv = jnp.cross(d2, e2)
+    det = jnp.sum(e1 * pv, axis=-1)
+    inv = 1.0 / jnp.where(jnp.abs(det) < 1e-12, 1.0, det)
+    tv = o2 - p0
+    b1 = jnp.sum(tv * pv, axis=-1) * inv
+    qv = jnp.cross(tv, e1)
+    b2 = jnp.sum(d2 * qv, axis=-1) * inv
+    b0 = 1.0 - b1 - b2
+    ns_o = normalize(vn0 * b0[..., None] + vn1 * b1[..., None]
+                     + vn2 * b2[..., None])
+    gn_o = normalize(jnp.cross(e1, e2))
+    nm = inst.nrm_m[iw]
+    ns = normalize(jnp.einsum("nij,nj->ni", nm, ns_o))
+    gn = normalize(jnp.einsum("nij,nj->ni", nm, gn_o))
+    uv = uvs[0] * b0[..., None] + uvs[1] * b1[..., None] \
+        + uvs[2] * b2[..., None]
+    return gn, ns, uv, mat_id, jnp.stack([b1, b2], -1)

@@ -72,6 +72,8 @@ class SceneArrays(NamedTuple):
     env: Optional[em.EnvMap]
     area: Optional[em.AreaLights]
     delta: Optional[em.DeltaLights]
+    inst: object = None     # Optional[instancing.InstancedGeo]: two-level
+    #                         BVH instances (shapegroup/instance scenes)
     sss: object = None      # Optional[subsurface.SSSSamples] (dipole)
     tri_med: object = None  # Optional [Ntri, 2] int32 (interior, exterior)
     #                         medium ids per triangle (0 = vacuum)
@@ -177,6 +179,8 @@ class SceneBuilder:
         self.curvature_mats = set()  # mat ids whose texture is curvature
         self.curvature_scale = 1.0
         self.config_kwargs = {}
+        self.protos = []           # (Mesh, mat_id) shared prototypes
+        self.instances = []        # (proto_idx, to_world 4×4)
 
     # -- materials ---------------------------------------------------------
 
@@ -305,6 +309,17 @@ class SceneBuilder:
 
     def add_fibers(self, fs: hairgen.FiberSet, mat_id: int):
         self.fibers.append((fs, mat_id))
+
+    def add_prototype(self, mesh: shp.Mesh, mat_id: int) -> int:
+        """Register a shared object-space prototype (shapegroup child,
+        reference: src/shapes/shapegroup.cpp). Returns its index."""
+        self.protos.append((mesh, mat_id))
+        return len(self.protos) - 1
+
+    def add_instance(self, proto_idx: int, to_world):
+        """Instance a prototype (reference: src/shapes/instance.cpp) —
+        geometry is SHARED through a two-level BVH, not flattened."""
+        self.instances.append((proto_idx, np.asarray(to_world, np.float64)))
 
     def add_medium(self, sigma_s, sigma_a, g=0.0) -> int:
         """Register a shape-boundable homogeneous medium; returns its
@@ -536,6 +551,13 @@ class SceneBuilder:
             from ..models import media as med_mod
             media_table = med_mod.make_medium_table(self.media_rows)
 
+        inst_geo = None
+        if self.instances:
+            from ..ops import instancing as inst_mod
+            built = [inst_mod.build_proto(m_, mid_)
+                     for m_, mid_ in self.protos]
+            inst_geo = inst_mod.build_instanced(built, self.instances)
+
         arrays = SceneArrays(tri=tri, tri_shading=tri_shading,
                              tri_bvh=tri_bvh, tri_packed=tri_packed,
                              hair=hair,
@@ -547,7 +569,8 @@ class SceneBuilder:
                              tri_med=(jnp.asarray(tri_med_sorted)
                                       if tri_med_sorted is not None
                                       else None),
-                             media=media_table)
+                             media=media_table,
+                             inst=inst_geo)
         active = tuple(sorted({int(r["kind"]) for r in self.materials}))
         marschner_rows = tuple(
             i for i, r in enumerate(self.materials)

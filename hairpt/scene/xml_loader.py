@@ -685,17 +685,23 @@ def load_scene(path: str, defines: dict | None = None,
                     if ctr is not None:
                         cmesh = shp.transform_mesh(cmesh,
                                                    _parse_transform(ctr))
+                    if cmesh.normals is None:
+                        cmesh = shp.compute_smooth_normals(cmesh)
                     cref = child.find("ref")
                     cmid = mat_ids.get(cref.get("id")) if cref is not None \
                         else mid
-                    group.append((cmesh, cmid if cmid is not None else mid))
+                    # shared prototype: geometry is stored ONCE; instances
+                    # reference it through the two-level BVH
+                    # (src/shapes/{shapegroup,instance}.cpp)
+                    group.append(b.add_prototype(
+                        cmesh, cmid if cmid is not None else mid))
             shape_groups[shape.get("id")] = group
         elif stype == "instance":
             gref = shape.find("ref")
             group = shape_groups.get(gref.get("id") if gref is not None
                                      else None, [])
-            for cmesh, cmid in group:
-                b.add_mesh(cmesh, cmid, to_world=to_world)
+            for pidx in group:
+                b.add_instance(pidx, to_world)
         elif stype == "rectangle":
             b.add_mesh(shp.rectangle(), mid, to_world=to_world,
                        radiance=radiance)
