@@ -33,6 +33,13 @@ Mutations (reference parity):
     x2, and re-solve the specular x3 between x2 and the FIXED x4 with
     the batched manifold walk (integrators/manifold.py). The chain
     Jacobian |dA(x4)/dw(x2)| is the generalized geometric term.
+  * MULTI-CHAIN PERTURBATION (mut_mchain.h, Veach): for pattern
+    E-S-D-S-D, perturb the pixel, re-trace the first specular chain
+    (retained delta branch), copy the retained outgoing direction at
+    the middle diffuse vertex across the second chain, and re-attach
+    the final diffuse vertex to the retained suffix. The retained
+    coordinates coincide with the forward PT parameterization, so the
+    acceptance is purely re-evaluated decision densities × luminance.
   * BIDIRECTIONAL MUTATION (mut_bidir.h, scoped): regrow ONE interior
     non-specular vertex: BSDF-sample a fresh direction at x1, land y2,
     reconnect to the retained x3. Proposal densities cancel against the
@@ -851,6 +858,123 @@ def _step_bidir(ctx: _Ctx, st: PathRec, it):
     return prop, a
 
 
+def _struct_mchain(st: PathRec, arr):
+    """E-S-D-S-D pattern mask (positive-luminance states only):
+    two separated single-bounce specular chains."""
+    x1, x2, x3, x4 = (_vtx(st, 0), _vtx(st, 1), _vtx(st, 2), _vtx(st, 3))
+    return x1.valid & st.v_delta[0] & _chain_delta_kind(arr, x1.mat_id) \
+        & x2.valid & ~st.v_delta[1] \
+        & x3.valid & st.v_delta[2] & _chain_delta_kind(arr, x3.mat_id) \
+        & x4.valid & ~st.v_delta[3] & (_lum(traj_w(st)) > 0)
+
+
+def _step_mchain(ctx: _Ctx, st: PathRec, it):
+    """Veach multi-chain perturbation (mut_mchain.h) scoped to the
+    stored-vertex window: pattern E-S-D-S-D. The pixel is perturbed, the
+    first specular chain re-traced (retained delta branch), the retained
+    OUTGOING DIRECTION at the middle diffuse vertex is copied to cross
+    the second specular chain (again with the retained branch), and the
+    final diffuse vertex re-attaches to the retained deep suffix.
+
+    The retained coordinates (pixel, ω at the middle vertex, delta
+    branches) coincide with the forward path-tracing parameterization,
+    so — unlike the caustic/manifold moves — no chain-map Jacobian is
+    needed: the acceptance is the luminance ratio times the re-evaluated
+    decision densities."""
+    scene, arr, kinds, n, idx = (ctx.scene, ctx.arr, ctx.kinds, ctx.n,
+                                 ctx.idx)
+    cfg = scene.config
+    W, H = cfg.width, cfg.height
+    seed = ctx.seed
+    l = _lum(traj_w(st))
+    struct = _struct_mchain(st, arr)
+
+    # gaussian pixel move (symmetric proposal, like the lens kernel)
+    g = rng.uniform_2d(idx, jnp.uint32(seed + 61), it * 2)
+    g2 = rng.uniform_2d(idx, jnp.uint32(seed + 62), it * 2)
+    gauss = jnp.sqrt(-2.0 * jnp.log(jnp.maximum(g[:, :1], 1e-12))) \
+        * jnp.concatenate([jnp.cos(2 * jnp.pi * g2[:, :1]),
+                           jnp.sin(2 * jnp.pi * g2[:, :1])], 1)
+    pix_y = st.pix + gauss * (ctx.lens_sigma * W)
+    in_film = (pix_y[:, 0] >= 0) & (pix_y[:, 0] < W) \
+        & (pix_y[:, 1] >= 0) & (pix_y[:, 1] < H)
+    ray_y = sensors.sample_ray(scene.camera, pix_y, None)
+    h1 = _intersect(ctx, ray_y._replace(
+        maxt=jnp.where(struct & in_film, ray_y.maxt, 0.0)))
+    ok = struct & in_film & h1.valid & _chain_delta_kind(arr, h1.mat_id)
+    y1 = _hit_to_vertex(h1, ok)
+
+    # chain 1: delta bounce with the retained branch
+    wo0, w0y, pc0y = _delta_bounce(arr, kinds, y1, -ray_y.d,
+                                   st.v_choice[0])
+    o1 = _offset_ray(y1.p, y1.geo_n, wo0, cfg.ray_eps)
+    h2 = _intersect(ctx, Ray(o=o1, d=wo0, mint=jnp.zeros(n),
+                             maxt=jnp.where(ok, jnp.inf, 0.0)))
+    ok = ok & h2.valid & ~_chain_delta_kind(arr, h2.mat_id)
+    y2 = _hit_to_vertex(h2, ok)
+
+    # middle diffuse vertex: copy the retained outgoing direction
+    d2 = st.wo[1]
+    f2y, p2y = _eval_bsdf(arr, kinds, y2, -wo0, d2)
+    w1y = _san(f2y / jnp.maximum(p2y, 1e-20)[..., None])
+    o2 = _offset_ray(y2.p, y2.geo_n, d2, cfg.ray_eps)
+    h3 = _intersect(ctx, Ray(o=o2, d=d2, mint=jnp.zeros(n),
+                             maxt=jnp.where(ok, jnp.inf, 0.0)))
+    ok = ok & h3.valid & _chain_delta_kind(arr, h3.mat_id)
+    y3 = _hit_to_vertex(h3, ok)
+
+    # chain 2: delta bounce with the retained branch
+    wo3, w2y, pc2y = _delta_bounce(arr, kinds, y3, -d2, st.v_choice[2])
+    o3 = _offset_ray(y3.p, y3.geo_n, wo3, cfg.ray_eps)
+    h4 = _intersect(ctx, Ray(o=o3, d=wo3, mint=jnp.zeros(n),
+                             maxt=jnp.where(ok, jnp.inf, 0.0)))
+    ok = ok & h4.valid & ~_chain_delta_kind(arr, h4.mat_id)
+    y4 = _hit_to_vertex(h4, ok)
+
+    # final diffuse vertex re-attaches to the retained suffix direction
+    f4y, p4y = _eval_bsdf(arr, kinds, y4, -wo3, st.wo[3])
+    w3y = _san(f4y / jnp.maximum(p4y, 1e-20)[..., None])
+    ok = ok & (pc0y > 0) & (p2y > 1e-12) & (pc2y > 0) & (p4y > 1e-12) \
+        & (st.pdf[0] > 1e-12) & (st.pdf[1] > 1e-12) \
+        & (st.pdf[2] > 1e-12) & (st.pdf[3] > 1e-12)
+
+    em_y1 = _emitted(arr, y1, -ray_y.d)
+    em_y2 = _emitted(arr, y2, -wo0) * w0y
+    em_y3 = _emitted(arr, y3, -d2) * w0y * w1y
+    em_y4 = _emitted(arr, y4, -wo3) * w0y * w1y * w2y
+    r4 = _safe_ratio(w0y * w1y * w2y * w3y,
+                     st.w[0] * st.w[1] * st.w[2] * st.w[3])
+    w_y = em_y1 + em_y2 + em_y3 + em_y4 + st.w_rest * r4
+    w_y = jnp.where(ok[..., None], w_y, 0.0)
+    l_y = _lum(w_y)
+
+    num = l_y * pc0y * p2y * pc2y * p4y
+    den = l * st.pdf[0] * st.pdf[1] * st.pdf[2] * st.pdf[3]
+    a = jnp.where(ok, jnp.clip(_san(num / jnp.maximum(den, 1e-24)),
+                               0.0, 1.0), 0.0)
+
+    v = st.v
+    for k, yk in enumerate((y1, y2, y3, y4)):
+        v = _set_vtx(v, k, yk)
+    vd = st.v_delta.at[0].set(jnp.ones((n,), bool))
+    vd = vd.at[1].set(jnp.zeros((n,), bool))
+    vd = vd.at[2].set(jnp.ones((n,), bool))
+    vd = vd.at[3].set(jnp.zeros((n,), bool))
+    wo = st.wo.at[0].set(wo0).at[1].set(d2).at[2].set(wo3)
+    w = st.w.at[0].set(w0y).at[1].set(w1y).at[2].set(w2y).at[3].set(w3y)
+    pdf = st.pdf.at[0].set(pc0y).at[1].set(p2y).at[2].set(pc2y) \
+        .at[3].set(p4y)
+    w_em = st.w_em.at[0].set(em_y1).at[1].set(em_y2).at[2].set(em_y3) \
+        .at[3].set(em_y4)
+    zero3 = jnp.zeros((n, 3), jnp.float32)
+    w_env = st.w_env
+    for k in range(K):
+        w_env = w_env.at[k].set(zero3)
+    prop = st._replace(pix=pix_y, v=v, v_delta=vd, wo=wo, w=w, pdf=pdf,
+                       w_em=w_em, w_env=w_env, w_rest=st.w_rest * r4)
+    return prop, a
+
+
 # ---------------------------------------------------------------------------
 # driver
 # ---------------------------------------------------------------------------
@@ -859,7 +983,8 @@ def render_mlt(scene: Scene, n_chains: int = 1 << 14,
                n_mutations: int = 64, p_large: float = 0.3,
                lens_sigma: float = 0.03, seed: int = 0,
                n_boot: int = 16,
-               mutations=("lens", "caustic", "manifold", "bidir")):
+               mutations=("lens", "caustic", "manifold", "bidir",
+                          "mchain")):
     """Path-space MLT render with the full mutation set.
 
     n_mutations counts Metropolis steps per chain across ALL mutation
@@ -879,7 +1004,8 @@ def render_mlt(scene: Scene, n_chains: int = 1 << 14,
                lens_sigma=lens_sigma)
 
     # schedule: each round = 1 step per enabled phase, lens always on
-    phases = ["lens"] + [m for m in ("caustic", "manifold", "bidir")
+    phases = ["lens"] + [m for m in ("caustic", "manifold", "bidir",
+                                     "mchain")
                          if m in mutations]
     steps_per_round = len(phases)
     n_rounds = max(n_mutations // steps_per_round, 1)
@@ -929,6 +1055,8 @@ def render_mlt(scene: Scene, n_chains: int = 1 << 14,
                     prop, a = _step_caustic(ctx2, st, itu)
                 elif ph == "manifold":
                     prop, a = _step_manifold(ctx2, st, itu)
+                elif ph == "mchain":
+                    prop, a = _step_mchain(ctx2, st, itu)
                 else:
                     prop, a = _step_bidir(ctx2, st, itu)
                 st, splat = mh_step(st, splat, prop, a, itu,

@@ -251,17 +251,15 @@ def tiled_closest_hit(sw: SweptHair, ray: Ray, n_clusters: int, K: int,
             # ≤ ~128 MB of [Tc, C] f32 cull temporaries
             t_chunk = max(1, (1 << 17) // q_cap)
             t_chunk = min(t_chunk, max(1, (1 << 25) // max(C_eff, 1)))
-            tt, pp = [], []
-            overflow = jnp.int32(0)
-            for c0_ in range(0, T, t_chunk):
-                sl = slice(c0_, min(c0_ + t_chunk, T))
-                rs = slice(c0_ * tile, min(c0_ + t_chunk, T) * tile)
-                ray_c = Ray(o=ray_q.o[rs], d=ray_q.d[rs],
-                            mint=ray_q.mint[rs], maxt=ray_q.maxt[rs])
+
+            def chunk_fn(args):
+                rays8_c, ray_flat = args
+                ray_c = Ray(o=ray_flat[..., 0:3], d=ray_flat[..., 3:6],
+                            mint=ray_flat[..., 6], maxt=ray_flat[..., 7])
                 if impl == "pallas":
                     # phase A as a Pallas kernel: the jnp form streams
                     # [N, C] temporaries through HBM (51/60 ms per query)
-                    te_s, t_pmax_t = _cull_pallas(rays8_q[sl],
+                    te_s, t_pmax_t = _cull_pallas(rays8_c,
                                                   cull_bounds[0],
                                                   cull_bounds[1])
                     mask_s = jnp.isfinite(te_s)
@@ -276,22 +274,53 @@ def tiled_closest_hit(sw: SweptHair, ray: Ray, n_clusters: int, K: int,
                 else:
                     mask, te = mask_s, te_s
                 slots, cnt, tmin, tscale, ov = _tile_slots(mask, te, q_cap)
-                overflow = overflow + ov
                 # ordered traversal: slots are sorted by tile entry-t with
                 # suffix-min bounds, so both query modes check the exit
                 # condition every slot; the packed slot table is
                 # scalar-prefetched into SMEM.
                 t_c, p_c = tiled_phase_b(
-                    slots, cnt, tmin, tscale, rays8_q[sl],
+                    slots, cnt, tmin, tscale, rays8_c,
                     t_pmax_t, sw.seg_rows_t, K, q_cap,
                     any_hit=(mode == "any"),
                     interpret=(impl == "interpret"),
                     exit_every=1, unroll=3)
-                tt.append(t_c)
-                pp.append(p_c)
-            t_tiles = tt[0] if len(tt) == 1 else jnp.concatenate(tt)
-            p_tiles = pp[0] if len(pp) == 1 else jnp.concatenate(pp)
-            return t_tiles, p_tiles, overflow
+                return t_c, p_c, ov
+
+            if T <= t_chunk:
+                ray_flat = jnp.concatenate(
+                    [ray_q.o, ray_q.d, ray_q.mint[:, None],
+                     ray_q.maxt[:, None]], axis=-1)
+                t_tiles, p_tiles, overflow = chunk_fn((rays8_q, ray_flat))
+                return t_tiles, p_tiles, overflow
+            # chunk over tiles via lax.map so the chunk body (cull +
+            # routing sort + phase-B kernel) is compiled ONCE, not
+            # unrolled T/t_chunk times (the unrolled form took the 1024²
+            # megakernel's compile past 30 minutes)
+            n_ch = -(-T // t_chunk)
+            Tp = n_ch * t_chunk
+            if Tp != T:
+                padn = (Tp - T) * tile
+                z3 = jnp.zeros((padn, 3), jnp.float32)
+                ray_q = Ray(o=jnp.concatenate([ray_q.o, z3]),
+                            d=jnp.concatenate([ray_q.d,
+                                               z3.at[:, 2].set(1.0)]),
+                            mint=jnp.concatenate(
+                                [ray_q.mint, jnp.zeros(padn)]),
+                            maxt=jnp.concatenate(
+                                [ray_q.maxt, jnp.full(padn, -1.0)]))
+                pad8 = jnp.zeros((Tp - T,) + rays8_q.shape[1:],
+                                 jnp.float32)
+                pad8 = pad8.at[:, 5].set(1.0).at[:, 7].set(-1.0)
+                rays8_q = jnp.concatenate([rays8_q, pad8])
+            ray_flat = jnp.concatenate(
+                [ray_q.o, ray_q.d, ray_q.mint[:, None],
+                 ray_q.maxt[:, None]], axis=-1)
+            r8_ch = rays8_q.reshape((n_ch, t_chunk) + rays8_q.shape[1:])
+            rf_ch = ray_flat.reshape(n_ch, t_chunk * tile, 8)
+            t_ch, p_ch, ov_ch = jax.lax.map(chunk_fn, (r8_ch, rf_ch))
+            t_tiles = t_ch.reshape(Tp, tile)[:T]
+            p_tiles = p_ch.reshape(Tp, tile)[:T]
+            return t_tiles, p_tiles, jnp.sum(ov_ch)
 
         if two_round > 0 and mode == "closest":
             # round 1: only each tile's nearest two_round clusters — most

@@ -116,6 +116,16 @@ def test_mutators_self_acceptance():
     assert elig_m.mean() > 0.2, elig_m.mean()
     assert np.median(a_m[elig_m]) > 0.85, np.median(a_m[elig_m])
 
+    # multi-chain (mut_mchain.h): E-S-D-S-D, vanishing pixel move
+    st_h, n_h = take(mlt_int._struct_mchain(pool, arr), 4)
+    ctx_tiny = ctx._replace(lens_sigma=1e-6)
+    _, a_h = jax.jit(lambda s: mlt_int._step_mchain(
+        ctx_tiny, s, jnp.uint32(1)))(st_h)
+    a_h = np.asarray(a_h)
+    elig_h = a_h > 0
+    assert elig_h.mean() > 0.2, elig_h.mean()
+    assert np.median(a_h[elig_h]) > 0.85, np.median(a_h[elig_h])
+
 
 def test_mutators_preserve_state_consistency():
     """After a round of every mutation, the stored per-vertex weights
@@ -143,6 +153,7 @@ def test_mutators_preserve_state_consistency():
                 lambda s, it: mlt_int._step_lens(ctx, s, it, 0.3),
                 lambda s, it: mlt_int._step_caustic(ctx, s, it),
                 lambda s, it: mlt_int._step_manifold(ctx, s, it),
+                lambda s, it: mlt_int._step_mchain(ctx, s, it),
                 lambda s, it: mlt_int._step_bidir(ctx, s, it)]):
             prop, a = step(st, jnp.uint32(i + 1))
             acc = rng.uniform_1d(idx, jnp.uint32(50 + i),
