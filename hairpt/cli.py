@@ -312,21 +312,35 @@ def main(argv=None):
     base = out.rsplit(".", 1)[0]
     from .utils import exr as exr_utils
     ext = out.rsplit(".", 1)[-1].lower()
+
+    def _maybe_annotate(ldr):
+        fl_ = scene.film
+        if not fl_.annotations and not fl_.banner:
+            return ldr
+        subst = {"scene.renderTime": time.time() - t1,
+                 "film.width": scene.config.width,
+                 "film.height": scene.config.height,
+                 "sampler.sampleCount": scene.config.spp,
+                 "integrator.maxDepth": scene.config.max_depth}
+        return io_utils.annotate_image(ldr, fl_.annotations, subst,
+                                       fl_.banner)
+    _tm = io_utils.tonemap_srgb
+    io_utils_tonemap = lambda im, g: _maybe_annotate(_tm(im, g))  # noqa: E731
     if ext == "exr":
         exr_utils.write_exr(out, img)
         io_utils.write_png(base + ".png",
-                           io_utils.tonemap_srgb(img, scene.film.gamma))
+                           io_utils_tonemap(img, scene.film.gamma))
     elif ext in ("jpg", "jpeg"):
-        io_utils.write_jpg(out, io_utils.tonemap_srgb(img, scene.film.gamma))
+        io_utils.write_jpg(out, io_utils_tonemap(img, scene.film.gamma))
         exr_utils.write_exr(base + ".exr", img)
     elif ext == "bmp":
-        io_utils.write_bmp(out, io_utils.tonemap_srgb(img, scene.film.gamma))
+        io_utils.write_bmp(out, io_utils_tonemap(img, scene.film.gamma))
         exr_utils.write_exr(base + ".exr", img)
     elif ext == "tga":
-        io_utils.write_tga(out, io_utils.tonemap_srgb(img, scene.film.gamma))
+        io_utils.write_tga(out, io_utils_tonemap(img, scene.film.gamma))
         exr_utils.write_exr(base + ".exr", img)
     else:
-        io_utils.write_png(out, io_utils.tonemap_srgb(img, scene.film.gamma))
+        io_utils.write_png(out, io_utils_tonemap(img, scene.film.gamma))
         exr_utils.write_exr(base + ".exr", img)
     io_utils.write_npy(base + ".npy", img)
     io_utils.write_pfm(base + ".pfm", img)

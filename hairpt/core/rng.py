@@ -224,15 +224,96 @@ def _radical_inverse(base: int, index, digits: int = 20):
     return jnp.minimum(result, 1.0 - 1e-7)
 
 
+# ---------------------------------------------------------------------------
+# Faure-permuted Halton (reference: src/samplers/halton.cpp + faure.cpp)
+# ---------------------------------------------------------------------------
+
+_FAURE_DIMS = 64
+_FAURE_CACHE: list = []
+
+
+def faure_permutation(b: int):
+    """Faure's recursive digit permutation for base b (faure.cpp):
+    σ_2c interleaves 2σ_c and 2σ_c+1; σ_2c+1 increments elements ≥ c of
+    σ_2c and inserts c in the middle. σ_b(0) = 0 for every b."""
+    if b == 1:
+        return [0]
+    if b == 2:
+        return [0, 1]
+    if b % 2 == 0:
+        prev = faure_permutation(b // 2)
+        return [2 * v for v in prev] + [2 * v + 1 for v in prev]
+    c = (b - 1) // 2
+    prev = faure_permutation(b - 1)
+    out = [v + 1 if v >= c else v for v in prev]
+    out.insert(c, c)
+    return out
+
+
+def _first_primes(n: int):
+    primes = []
+    x = 2
+    while len(primes) < n:
+        if all(x % p for p in primes if p * p <= x):
+            primes.append(x)
+        x += 1
+    return primes
+
+
+def _faure_tables():
+    """(primes [D], offsets [D], flat permutation table) as numpy; cached
+    host-side, jnp.asarray'd per use (same tracer-safety rule as the
+    Sobol tables)."""
+    if not _FAURE_CACHE:
+        import numpy as np
+        primes = _first_primes(_FAURE_DIMS)
+        offs = []
+        flat = []
+        for b in primes:
+            offs.append(len(flat))
+            flat.extend(faure_permutation(b))
+        _FAURE_CACHE.append((np.asarray(primes, np.uint32),
+                             np.asarray(offs, np.int32),
+                             np.asarray(flat, np.uint32)))
+    return _FAURE_CACHE[0]
+
+
+def permuted_radical_inverse(dim, index, digits: int = 24):
+    """Faure-permuted radical inverse in base prime(dim); dim may be
+    traced (clipped to the generated table)."""
+    import jax.numpy as jnp
+    primes, offs, flat = _faure_tables()
+    primes_t = jnp.asarray(primes)
+    offs_t = jnp.asarray(offs)
+    flat_t = jnp.asarray(flat)
+    d = jnp.clip(jnp.asarray(dim, jnp.int32), 0, _FAURE_DIMS - 1)
+    b = primes_t[d]
+    off = offs_t[d]
+    bf = b.astype(jnp.float32)
+    n = _u32(index)
+    result = jnp.zeros(jnp.broadcast_shapes(jnp.shape(n), jnp.shape(bf)),
+                       jnp.float32)
+    factor = 1.0 / bf
+    scale = jnp.ones_like(result)
+    for _ in range(digits):
+        digit = n % b
+        pd = flat_t[off + digit.astype(jnp.int32)]
+        result = result + pd.astype(jnp.float32) * factor * scale
+        scale = scale / bf
+        n = n // b
+    return jnp.minimum(result, 1.0 - 1e-7)
+
+
 def halton_2d(pixel, sample, dim):
-    """Halton (2,3) point of index `sample`, decorrelated per (pixel, dim)
-    by Cranley-Patterson rotation (covers the reference's halton/hammersley
-    sampler capability, src/samplers/halton.cpp)."""
+    """Faure-permuted Halton point of index `sample` in the prime-base
+    pair (prime(dim), prime(dim+1)), decorrelated per pixel by
+    Cranley-Patterson rotation (reference: src/samplers/halton.cpp with
+    the scrambled permutations of faure.cpp)."""
     key = hash_combine(_u32(pixel), _u32(dim))
     r1 = u32_to_unit_float(hash_u32(key ^ U32(0x11111111)))
     r2 = u32_to_unit_float(hash_u32(key ^ U32(0x22222222)))
-    h1 = _radical_inverse(2, sample)
-    h2 = _radical_inverse(3, sample)
+    h1 = permuted_radical_inverse(dim, sample)
+    h2 = permuted_radical_inverse(jnp.asarray(dim) + 1, sample)
     u1 = jnp.mod(h1 + r1, 1.0)
     u2 = jnp.mod(h2 + r2, 1.0)
     return jnp.stack(jnp.broadcast_arrays(u1, u2), axis=-1)

@@ -519,7 +519,21 @@ def load_scene(path: str, defines: dict | None = None,
                     rfilter = "gaussian"
         w = max(8, int(round(w * res_scale)))
         h = max(8, int(round(h * res_scale)))
-        film = Film.make(w, h, rfilter, gamma)
+        # label[x, y] annotations + banner flag
+        # (src/films/annotations.h, banner.h)
+        annotations = []
+        banner = False
+        if fm is not None:
+            fp2 = _collect_props(fm, defines)
+            banner = bool(fp2.get("banner", False))
+            for k, v in fp2.items():
+                ks = k.replace(" ", "")
+                m_lab = re.match(r"^label\[(-?\d+),(-?\d+)\]$", ks)
+                if m_lab and isinstance(v, str):
+                    annotations.append((int(m_lab.group(1)),
+                                        int(m_lab.group(2)), v))
+        film = Film.make(w, h, rfilter, gamma, annotations=annotations,
+                         banner=banner)
         from ..models import sensors as sens_mod
         skind = {"perspective": sens_mod.PERSPECTIVE,
                  "thinlens": sens_mod.THINLENS,

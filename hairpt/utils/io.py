@@ -64,6 +64,39 @@ def read_hdr(path: str) -> np.ndarray:
     return rgb.astype(np.float32)
 
 
+def annotate_image(img: np.ndarray, labels, subst: dict | None = None,
+                   banner: bool = False) -> np.ndarray:
+    """Draw label[] annotations + the banner overlay onto a gamma-encoded
+    float [0,1] image (reference: src/films/annotations.h + banner.h —
+    the reference blits a bitmap font; we draw with PIL's built-in font).
+
+    labels: iterable of (x, y, text); `$source['key']` placeholders are
+    substituted from `subst` (keys like "scene.renderTime",
+    "sampler.sampleCount" — the useful subset of the reference grammar).
+    """
+    import re as _re
+    from PIL import Image, ImageDraw
+    u8 = np.clip(np.asarray(img) * 255.0 + 0.5, 0, 255).astype(np.uint8)
+    pil = Image.fromarray(u8, mode="RGB")
+    draw = ImageDraw.Draw(pil)
+
+    def _subst(text: str) -> str:
+        def repl(m):
+            key = f"{m.group(1)}.{m.group(2)}"
+            v = (subst or {}).get(key, "")
+            return f"{v:.2f}" if isinstance(v, float) else str(v)
+        return _re.sub(r"\$(\w+)\[\s*'([^']+)'\s*\]", repl, text)
+
+    for x, y, text in labels or ():
+        draw.text((int(x), int(y)), _subst(str(text)), fill=(255, 255, 255))
+    if banner:
+        tag = "hairpt"
+        tw = draw.textlength(tag)
+        draw.text((pil.width - tw - 4, pil.height - 14), tag,
+                  fill=(160, 160, 160))
+    return np.asarray(pil, np.float32) / 255.0
+
+
 def read_png(path: str) -> np.ndarray:
     """PNG → float32 [H, W, 3] in [0, 1] (gamma-encoded values as stored;
     reference: src/libcore/bitmap.cpp PNG loader)."""

@@ -220,3 +220,44 @@ def test_heightfield_scene_renders():
         img = np.asarray(aux.render_field(scene, "distance"))
         assert np.isfinite(img).all()
         assert (img > 0).mean() > 0.3  # the surface fills the frame
+
+
+def test_faure_permutations():
+    """Faure scrambling permutations (reference: src/samplers/faure.cpp):
+    known published values and the defining recursive structure."""
+    from hairpt.core.rng import faure_permutation
+    assert faure_permutation(2) == [0, 1]
+    assert faure_permutation(3) == [0, 1, 2]
+    assert faure_permutation(4) == [0, 2, 1, 3]
+    assert faure_permutation(5) == [0, 3, 2, 1, 4]
+    assert faure_permutation(8) == [0, 4, 2, 6, 1, 5, 3, 7]
+    for b in (6, 7, 9, 11, 16):
+        p = faure_permutation(b)
+        assert sorted(p) == list(range(b))
+        assert p[0] == 0
+
+
+def test_permuted_radical_inverse():
+    import numpy as np
+    import jax.numpy as jnp
+    from hairpt.core import rng
+    idx = jnp.arange(64, dtype=jnp.uint32)
+    # base 2 (dim 0) and base 3 (dim 1): Faure perms are identity →
+    # must match the plain radical inverse
+    for dim, base in ((0, 2), (1, 3)):
+        a = np.asarray(rng.permuted_radical_inverse(dim, idx))
+        b = np.asarray(rng._radical_inverse(base, idx))
+        np.testing.assert_allclose(a, b, atol=2e-6)
+    # base 5 (dim 2): first points follow the σ_5 = (0,3,2,1,4) digits
+    a5 = np.asarray(rng.permuted_radical_inverse(2, idx[:5]))
+    np.testing.assert_allclose(a5, [0.0, 3 / 5, 2 / 5, 1 / 5, 4 / 5],
+                               atol=2e-6)
+    # every dim: first b^2 points are b²-stratified (net property)
+    for dim, base in ((2, 5), (3, 7), (10, 31)):
+        n = base * base
+        u = np.asarray(rng.permuted_radical_inverse(
+            dim, jnp.arange(n, dtype=jnp.uint32)))
+        # values are exactly m/n for integer m (round, don't floor: f32
+        # cannot represent m/n exactly and may sit a ulp below a boundary)
+        strata = set(np.round(u * n).astype(int).tolist())
+        assert len(strata) == n, (dim, base, len(strata))

@@ -152,3 +152,19 @@ def test_perspective_rdist_bends_edges():
     np.testing.assert_allclose(d_r[0], d_b[0], atol=1e-6)  # center unchanged
     # edge ray bends outward for positive kc0
     assert abs(d_r[1][0]) > abs(d_b[1][0])
+
+
+def test_film_annotations_and_banner():
+    """label[] overlays + banner (src/films/annotations.h, banner.h)."""
+    import numpy as np
+    from hairpt.utils import io as io_utils
+    img = np.zeros((32, 64, 3), np.float32)
+    out = io_utils.annotate_image(
+        img, [(2, 2, "spp=$sampler['sampleCount']")],
+        {"sampler.sampleCount": 8}, banner=True)
+    assert out.shape == img.shape
+    assert out.max() > 0.5          # white text drawn
+    assert (out != img).any()
+    # substitution resolved (the $ placeholder is gone → text present in
+    # the top-left stripe only)
+    assert out[:12].max() > 0.5
