@@ -122,21 +122,27 @@ def main():
                                                weight)
         return image, weight, n_rays
 
+    def barrier(x):
+        # through the axon tunnel block_until_ready can return before the
+        # computation lands; a value fetch is the reliable barrier
+        return float(jnp.sum(x))
+
     # warmup / compile
     image, weight = film_mod.zeros(fl)
     arrs = scene.arrays
     t0 = time.time()
     image, weight, n_rays = wave(arrs, jnp.uint32(0), image, weight)
-    jax.block_until_ready(image)
+    barrier(weight)
     t_compile = time.time() - t0
     print(f"[bench] first wave (incl. compile): {t_compile:.1f}s",
           file=sys.stderr)
 
     # timed forward (each wave = 1 spp of the 64-spp frame)
+    barrier(weight)
     t0 = time.time()
     for s in range(1, waves + 1):
         image, weight, n_rays = wave(arrs, jnp.uint32(s), image, weight)
-    jax.block_until_ready(image)
+    barrier(weight)
     t_fwd = time.time() - t0
     rays_per_wave = float(n_rays)
     fwd_mrays = rays_per_wave * waves / t_fwd / 1e6
@@ -169,11 +175,14 @@ def main():
             differentiable=True)
         barr = bscene.arrays
 
-        def loss_fn(diffuse, sample_id):
-            mats = barr.materials._replace(
+        def loss_fn(arr_in, diffuse, sample_id):
+            # arrays as ARGUMENTS, never closure constants: lowering
+            # embeds closure constants by value, which fetches device
+            # arrays back through the compile tunnel (minutes per array)
+            mats = arr_in.materials._replace(
                 diffuse=jnp.broadcast_to(diffuse,
-                                         barr.materials.diffuse.shape))
-            arr2 = barr._replace(materials=mats)
+                                         arr_in.materials.diffuse.shape))
+            arr2 = arr_in._replace(materials=mats)
             pixel_idx = jnp.arange(bn_pix, dtype=jnp.uint32)
             sample_idx = jnp.full((bn_pix,), sample_id, jnp.uint32)
             radiance, pos, n_rays = li_d(arr2, pixel_idx, sample_idx)
@@ -181,17 +190,18 @@ def main():
                                       neginf=0.0)
             return jnp.mean(radiance), n_rays
 
-        grad_fn = jax.jit(jax.value_and_grad(loss_fn, has_aux=True))
+        grad_fn = jax.jit(jax.value_and_grad(loss_fn, argnums=1,
+                                             has_aux=True))
         p0 = jnp.asarray([0.143016, 0.0156076, 1.80928e-05], jnp.float32)
         t0 = time.time()
-        (lv, bn_rays), g = grad_fn(p0, jnp.uint32(0))
-        jax.block_until_ready(g)
+        (lv, bn_rays), g = grad_fn(barr, p0, jnp.uint32(0))
+        barrier(g)
         t_bwd_compile = time.time() - t0
         t0 = time.time()
         breps = 2
         for s in range(1, breps + 1):
-            (lv, bn_rays), g = grad_fn(p0, jnp.uint32(s))
-        jax.block_until_ready(g)
+            (lv, bn_rays), g = grad_fn(barr, p0, jnp.uint32(s))
+        barrier(g)
         t_step = (time.time() - t0) / breps
         assert np.isfinite(np.asarray(g)).all()
         fwdbwd_mrays = float(bn_rays) / t_step / 1e6
@@ -213,12 +223,12 @@ def main():
         s, r, ccfg.swept_c, ccfg.swept_k, q_max=ccfg.tiled_q))
     sw = scene.arrays.hair_swept
     t, _ = f_ch(sw, cray)
-    jax.block_until_ready(t)
+    barrier(jnp.where(jnp.isfinite(t), t, 0.0))
     t0 = time.time()
     reps = 3
     for _ in range(reps):
         t, _ = f_ch(sw, cray)
-    jax.block_until_ready(t)
+    barrier(jnp.where(jnp.isfinite(t), t, 0.0))
     closest_mrays = reps * n_pix / (time.time() - t0) / 1e6
     print(f"[bench] closest-hit (like-for-like): {closest_mrays:.3f} "
           f"Mrays/s", file=sys.stderr)

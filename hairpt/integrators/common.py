@@ -38,7 +38,12 @@ def block_swizzle(width: int, height: int, bw: int = 8, bh: int = 8):
     by = blk // (width // bw)
     px = bx * bw + j % bw
     py = by * bh + j // bw
-    return jnp.asarray(py * width + px, jnp.uint32)
+    # HOST array on purpose: this permutation is captured as a closure
+    # constant by the jitted wave, and lowering embeds closure constants
+    # by VALUE — a device-resident jnp array would be fetched back
+    # device→host through the (slow) compile tunnel at every lower(),
+    # which measured 30+ minutes at 1024² scale. numpy embeds directly.
+    return np.asarray(py * width + px, np.uint32)
 
 
 def _pad_ray(ray: Ray, block: int):

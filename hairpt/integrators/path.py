@@ -562,10 +562,12 @@ def make_li_fn(scene: Scene, differentiable: bool = False,
             # dropped lanes keep their accumulated radiance and any pending
             # emission (flushed below at full width).
             stage_caps = [n]
+            import os as _os
+            max_stages = int(_os.environ.get("HAIRPT_STAGES", "3"))
             if n >= 4096 and n_uniform_dims == 0:
                 for f_ in (4, 16):
                     m_ = max(256, (-(-n // f_) // 256) * 256)
-                    if m_ < stage_caps[-1]:
+                    if m_ < stage_caps[-1] and len(stage_caps) < max_stages:
                         stage_caps.append(m_)
 
             def _lane(a, w):

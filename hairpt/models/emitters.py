@@ -317,19 +317,38 @@ def _xyY_to_rgb(Y, x, y):
     return np.maximum(xyz @ M.T, 0.0)
 
 
-def _sun_transmittance_rgb(theta_s, T):
-    """Simplified Preetham solar attenuation sampled at R/G/B wavelengths
-    (reference capability: src/emitters/sun.cpp computeSunRadiance)."""
-    lam = np.array([0.65, 0.55, 0.45])  # micrometers
+def _sun_radiance_rgb(theta_s, T):
+    """Full Preetham solar radiance at the earth's surface in linear sRGB
+    (reference: computeSunRadiance, src/emitters/sunsky/sunmodel.h:316-341
+    — the paper's Rayleigh/aerosol/ozone/mixed-gas/water-vapor attenuation
+    of the extraterrestrial solar spectrum, integrated against the CIE
+    matching functions with mitsuba's ∫ȳ normalization)."""
+    import os
+    from ..core import spectral
+    data = np.load(os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "..", "data",
+        "sun_spectra.npz"))
     cos_t = max(np.cos(theta_s), 0.0)
     theta_deg = np.degrees(theta_s)
     m = 1.0 / (cos_t + 0.15 * (93.885 - theta_deg) ** -1.253)
-    tau_r = np.exp(-m * 0.008735 * lam ** -4.08)
-    beta = 0.04608 * T - 0.04586
-    tau_a = np.exp(-m * beta * lam ** -1.3)
-    ko = np.array([0.06, 0.085, 0.009])  # ozone absorption coeff approx
-    tau_o = np.exp(-m * 0.35 * ko)
-    return tau_r * tau_a * tau_o
+    beta = 0.04608365822050 * T - 0.04586025928522
+    lam = np.arange(350.0, 801.0, 5.0)            # nm (the reference grid)
+    k_o = np.interp(lam, data["k_oWavelengths"], data["k_oAmplitudes"])
+    k_g = np.interp(lam, data["k_gWavelengths"], data["k_gAmplitudes"])
+    k_wa = np.interp(lam, data["k_waWavelengths"], data["k_waAmplitudes"])
+    sol = np.interp(lam, data["solWavelengths"], data["solAmplitudes"])
+    tau_r = np.exp(-m * 0.008735 * (lam / 1000.0) ** -4.08)
+    tau_a = np.exp(-m * beta * (lam / 1000.0) ** -1.3)
+    tau_o = np.exp(-m * k_o * 0.35)
+    tau_g = np.exp(-1.41 * k_g * m / (1 + 118.93 * k_g * m) ** 0.45)
+    w = 2.0
+    tau_wa = np.exp(-0.2385 * k_wa * w * m
+                    / (1 + 20.07 * k_wa * w * m) ** 0.45)
+    spec = sol * tau_r * tau_a * tau_o * tau_g * tau_wa     # [L]
+    cmf = np.asarray(spectral.cmf_xyz(lam))                 # [L, 3]
+    xyz = (spec[:, None] * cmf).sum(0) * 5.0 / 106.856895   # ∫ȳ dλ norm
+    rgb = spectral.XYZ_TO_RGB @ xyz
+    return np.maximum(rgb, 0.0)
 
 
 def bake_sunsky(sun_dir, turbidity: float = 3.0, sky_scale: float = 1.0,
@@ -372,9 +391,9 @@ def bake_sunsky(sun_dir, turbidity: float = 3.0, sky_scale: float = 1.0,
                                      np.cos(np.minimum(zen,
                                                        np.pi / 2 - 1e-3)),
                                      cos_gamma)
-            # the RGB datasets are in absolute-ish units ~(0..100); bring
-            # to the same working range as the rest of the pipeline
-            rgb = rgb * 0.02
+            # mitsuba's tristimulus normalization: the arhosek RGB
+            # radiance divided by ∫ȳdλ (sky.cpp:434 "/ 106.856980")
+            rgb = rgb / 106.856980
         else:
             Y, x, y = _preetham_sky_xyY(np.minimum(zen, np.pi / 2 - 0.001),
                                         gamma, theta_s, turbidity)
@@ -385,15 +404,17 @@ def bake_sunsky(sun_dir, turbidity: float = 3.0, sky_scale: float = 1.0,
         img += (sky_scale * rgb).astype(np.float32)
 
     if with_sun and theta_s < np.pi / 2:
-        sun_r = np.radians(SUN_APP_RADIUS_DEG) * sun_radius_scale
-        # solar disc radiance normalized so total irradiance on a surface
-        # ⟂ sun ≈ trans * scale, independent of the radius scaling
-        # (reference: sunRadiusScale spreads the same power over a larger
-        # disc, sun.cpp:103-150)
-        trans = _sun_transmittance_rgb(theta_s, turbidity)
-        solid_angle = TWO_PI * (1.0 - np.cos(sun_r))
+        sun_r0 = np.radians(SUN_APP_RADIUS_DEG)
+        sun_r = sun_r0 * sun_radius_scale
+        # physical solar radiance, diluted so sunRadiusScale preserves the
+        # total power (reference: sun.cpp:180-202 — the bake integrates
+        # m_radiance over the UNSCALED solid angle and spreads it across
+        # the scaled cone)
+        rad0 = _sun_radiance_rgb(theta_s, turbidity)
+        omega0 = TWO_PI * (1.0 - np.cos(sun_r0))
+        omega = TWO_PI * (1.0 - np.cos(sun_r))
         disc = gamma <= sun_r
-        L_sun = trans * 50.0 / solid_angle
+        L_sun = rad0 * (omega0 / omega)
         img[disc] += (sun_scale * L_sun).astype(np.float32)
 
     return make_envmap(img)

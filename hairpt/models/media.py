@@ -14,6 +14,7 @@ from typing import NamedTuple
 import jax
 
 import jax.numpy as jnp
+import numpy as np
 
 from ..core.math import frame_from_normal, normalize, safe_sqrt
 
@@ -55,7 +56,6 @@ class Medium(NamedTuple):
 def kkay_normalization(exponent: float) -> float:
     """Simpson quadrature of the specular lobe for perpendicular
     illumination, matching src/phase/kkay.cpp:58-76 (n=1000 panels)."""
-    import numpy as np
     n_parts = 1000
     step = np.pi / n_parts
     theta = step * np.arange(1, n_parts)
@@ -70,7 +70,6 @@ def _fiber_sigma_t_table(stddev: float, res: int = _MF_SIGT_RES):
     tabulated over |cosθ| ∈ [0,1]. The reference ships fitted polynomial
     coefficients (microflake_fiber.h fiberSigmaTCoeffs); we evaluate the
     same integral by quadrature at build time instead."""
-    import numpy as np
     from math import erf
     norm = 1.0 / ((2.0 * np.pi) ** 1.5 * stddev
                   * erf(1.0 / (np.sqrt(2.0) * stddev)))
@@ -95,28 +94,30 @@ def make_medium(sigma_s, sigma_a, g=0.0, phase_kind=HG,
     """Global homogeneous 'fog' of finite optical extent: any ray towards
     the environment traverses `fog_depth` of medium (the bounded-slab
     approximation of the reference's shape-bounded media)."""
-    sigma_s = jnp.asarray(sigma_s, jnp.float32)
-    sigma_a = jnp.asarray(sigma_a, jnp.float32)
+    # HOST arrays on purpose: Medium is captured as a closure constant by
+    # jitted waves; device-resident constants cost minutes to embed
+    # through the axon compile tunnel at lower() time.
+    sigma_s = np.asarray(sigma_s, np.float32)
+    sigma_a = np.asarray(sigma_a, np.float32)
     sigma_t = sigma_s + sigma_a
-    albedo = sigma_s / jnp.maximum(sigma_t, 1e-8)
+    albedo = sigma_s / np.maximum(sigma_t, 1e-8)
     if phase_kind == MICROFLAKE:
-        import numpy as np
         from math import erf
         c1 = 1.0 / erf(1.0 / (np.sqrt(2.0) * stddev))
         norm = 1.0 / ((2.0 * np.pi) ** 1.5 * stddev
                       * erf(1.0 / (np.sqrt(2.0) * stddev)))
-        phase_p = jnp.asarray(
+        phase_p = np.asarray(
             np.concatenate([[stddev, norm, c1, 0.0],
-                            _fiber_sigma_t_table(stddev)]), jnp.float32)
+                            _fiber_sigma_t_table(stddev)]), np.float32)
     else:
-        phase_p = jnp.asarray([ks, kd, exponent,
-                               kkay_normalization(exponent)], jnp.float32)
+        phase_p = np.asarray([ks, kd, exponent,
+                              kkay_normalization(exponent)], np.float32)
     return Medium(sigma_t=sigma_t, albedo=albedo,
-                  g=jnp.asarray(g, jnp.float32),
-                  fog_depth=jnp.asarray(fog_depth, jnp.float32),
+                  g=np.asarray(g, np.float32),
+                  fog_depth=np.asarray(fog_depth, np.float32),
                   phase_kind=phase_kind,
                   phase_p=phase_p,
-                  orientation=jnp.asarray(orientation, jnp.float32),
+                  orientation=np.asarray(orientation, np.float32),
                   mix=tuple(mix))
 
 
@@ -453,7 +454,7 @@ def sample_distance(medium: Medium, u_channel, u_dist, t_max):
     transmittance/pdf and σ_s·albedo for medium events (reference:
     homogeneous.cpp sampleDistance)."""
     c = jnp.clip((u_channel * 3).astype(jnp.int32), 0, 2)
-    sig_c = medium.sigma_t[c]
+    sig_c = jnp.asarray(medium.sigma_t)[c]
     d = -jnp.log(jnp.maximum(1.0 - u_dist, 1e-20)) / jnp.maximum(sig_c, 1e-8)
     is_medium = d < t_max
     d = jnp.minimum(d, t_max)
@@ -489,7 +490,6 @@ class MediumTable(NamedTuple):
 def make_medium_table(entries) -> MediumTable:
     """entries: list of dicts with sigma_s/sigma_a/g. A vacuum row is
     prepended, so medium ids in the scene are 1-based (0 = no medium)."""
-    import numpy as np
     rows_t, rows_a, rows_g = [np.zeros(3, np.float32)], \
         [np.zeros(3, np.float32)], [0.0]
     for e in entries:
@@ -499,9 +499,9 @@ def make_medium_table(entries) -> MediumTable:
         rows_t.append(st)
         rows_a.append(ss / np.maximum(st, 1e-8))
         rows_g.append(float(e.get("g", 0.0)))
-    return MediumTable(sigma_t=jnp.asarray(np.stack(rows_t)),
-                       albedo=jnp.asarray(np.stack(rows_a)),
-                       g=jnp.asarray(np.asarray(rows_g, np.float32)))
+    return MediumTable(sigma_t=np.stack(rows_t),
+                       albedo=np.stack(rows_a),
+                       g=np.asarray(rows_g, np.float32))
 
 
 def sample_distance_lane(sig_t, albedo, u_channel, u_dist, t_max):
@@ -550,7 +550,6 @@ def load_vol(path: str) -> GridVolume:
     """Read the reference's .vol grid format (src/volume/gridvolume.cpp):
     'VOL' magic, version 3, int32 encoding (1 = float32), xres/yres/zres,
     channels, bbox (2x3 float32), then x-fastest data."""
-    import numpy as np
     with open(path, "rb") as f:
         magic = f.read(3)
         if magic != b"VOL":
@@ -568,18 +567,17 @@ def load_vol(path: str) -> GridVolume:
     data = data.reshape(zres, yres, xres, channels)[..., 0]
     wmin = bbox[:3]
     wmax = bbox[3:]
-    return GridVolume(data=jnp.asarray(data, jnp.float32),
-                      world_min=jnp.asarray(wmin, jnp.float32),
-                      inv_extent=jnp.asarray(
-                          1.0 / np.maximum(wmax - wmin, 1e-12), jnp.float32))
+    return GridVolume(data=np.asarray(data, np.float32),
+                      world_min=np.asarray(wmin, np.float32),
+                      inv_extent=np.asarray(
+                          1.0 / np.maximum(wmax - wmin, 1e-12), np.float32))
 
 
 def make_grid_volume(data, world_min, world_max) -> GridVolume:
-    import numpy as np
     wmin = np.asarray(world_min, np.float32)
     wmax = np.asarray(world_max, np.float32)
-    return GridVolume(data=jnp.asarray(data, jnp.float32),
-                      world_min=jnp.asarray(wmin),
+    return GridVolume(data=np.asarray(data, np.float32),
+                      world_min=np.asarray(wmin),
                       inv_extent=jnp.asarray(1.0 / np.maximum(wmax - wmin,
                                                               1e-12)))
 
@@ -599,7 +597,7 @@ def grid_density(vol: GridVolume, p):
     wx = jnp.clip(fx - x0, 0.0, 1.0)
     wy = jnp.clip(fy - y0, 0.0, 1.0)
     wz = jnp.clip(fz - z0, 0.0, 1.0)
-    d = vol.data
+    d = jnp.asarray(vol.data)   # host table → in-trace constant
 
     def at(dz, dy, dx):
         return d[z0 + dz, y0 + dy, x0 + dx]
@@ -615,17 +613,16 @@ def grid_density(vol: GridVolume, p):
 
 def make_hetero_medium(vol: GridVolume, sigma_s, sigma_a, g=0.0,
                        phase_kind=HG, density_scale=1.0) -> HeteroMedium:
-    import numpy as np
-    sigma_s = jnp.asarray(sigma_s, jnp.float32) * density_scale
-    sigma_a = jnp.asarray(sigma_a, jnp.float32) * density_scale
+    sigma_s = np.asarray(sigma_s, np.float32) * density_scale
+    sigma_a = np.asarray(sigma_a, np.float32) * density_scale
     sigma_t = sigma_s + sigma_a
-    albedo = sigma_s / jnp.maximum(sigma_t, 1e-8)
-    dens_max = jnp.max(vol.blocks) if isinstance(vol, HGridVolume) \
-        else jnp.max(vol.data)
-    majorant = dens_max * jnp.max(sigma_t)
+    albedo = sigma_s / np.maximum(sigma_t, 1e-8)
+    dens_max = np.max(vol.blocks) if isinstance(vol, HGridVolume) \
+        else np.max(vol.data)
+    majorant = float(dens_max) * float(np.max(sigma_t))
     return HeteroMedium(vol=vol, sigma_t=sigma_t, albedo=albedo,
-                        g=jnp.asarray(g, jnp.float32),
-                        majorant=jnp.maximum(majorant, 1e-8),
+                        g=np.asarray(g, np.float32),
+                        majorant=np.float32(max(majorant, 1e-8)),
                         phase_kind=phase_kind)
 
 
@@ -648,7 +645,6 @@ def make_hgrid_from_dense(data, world_min, world_max, block: int = 8,
     """Split a dense [D, H, W] grid into `block`³ tiles, dropping tiles
     whose max density ≤ eps (the sparsity hgridvolume gets from its
     dictionary file)."""
-    import numpy as np
     d = np.asarray(data, np.float32)
     D, H, W = d.shape
     pz, py, px = [(-s) % block for s in (D, H, W)]
@@ -668,11 +664,11 @@ def make_hgrid_from_dense(data, world_min, world_max, block: int = 8,
     scale = (np.asarray(d.shape[::-1], np.float32) - 1) \
         / np.maximum(np.asarray((W, H, D), np.float32) - 1, 1)
     ext = (wmax - wmin) * scale
-    return HGridVolume(block_idx=jnp.asarray(idx.reshape(BZ, BY, BX)),
-                       blocks=jnp.asarray(blocks, jnp.float32),
-                       world_min=jnp.asarray(wmin),
-                       inv_extent=jnp.asarray(1.0 / np.maximum(ext, 1e-12),
-                                              jnp.float32))
+    return HGridVolume(block_idx=np.asarray(idx.reshape(BZ, BY, BX)),
+                       blocks=np.asarray(blocks, np.float32),
+                       world_min=np.asarray(wmin),
+                       inv_extent=np.asarray(1.0 / np.maximum(ext, 1e-12),
+                                             np.float32))
 
 
 def hgrid_density(vol: HGridVolume, p):
@@ -691,7 +687,7 @@ def hgrid_density(vol: HGridVolume, p):
     cz = jnp.clip((fz / nb).astype(jnp.int32), 0, BZ - 1)
     cy = jnp.clip((fy / nb).astype(jnp.int32), 0, BY - 1)
     cx = jnp.clip((fx / nb).astype(jnp.int32), 0, BX - 1)
-    bi = vol.block_idx[cz, cy, cx]
+    bi = jnp.asarray(vol.block_idx)[cz, cy, cx]
     lz = fz - cz * nb
     ly = fy - cy * nb
     lx = fx - cx * nb
@@ -701,7 +697,7 @@ def hgrid_density(vol: HGridVolume, p):
     wx = jnp.clip(lx - x0, 0.0, 1.0)
     wy = jnp.clip(ly - y0, 0.0, 1.0)
     wz = jnp.clip(lz - z0, 0.0, 1.0)
-    b = vol.blocks[jnp.maximum(bi, 0)]
+    b = jnp.asarray(vol.blocks)[jnp.maximum(bi, 0)]
 
     def at(dz, dy, dx):
         return jnp.take_along_axis(
@@ -725,7 +721,6 @@ def bake_volume_cache(fn, world_min, world_max, res: int = 64,
     dense grid once and serve lookups from the block-sparse result (the
     reference's per-block LRU cache exists to bound CPU memory; in HBM
     the bake is the cache)."""
-    import numpy as np
     wmin = np.asarray(world_min, np.float32)
     wmax = np.asarray(world_max, np.float32)
     zs = np.linspace(wmin[2], wmax[2], res)

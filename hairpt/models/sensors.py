@@ -60,9 +60,15 @@ class Camera(NamedTuple):
         elif fov_axis == "diagonal":
             diag = np.hypot(aspect, 1.0)
             fov = 2.0 * np.arctan(np.tan(fov / 2.0) * aspect / diag)
+        # HOST arrays on purpose: cameras are captured as closure
+        # constants by jitted waves, and lowering embeds device-resident
+        # constants by VALUE through a device→host fetch that costs
+        # minutes over the axon compile tunnel (even for scalars). numpy
+        # constants embed directly.
         return Camera(kind=kind,
-                      to_world=jnp.asarray(to_world, jnp.float32),
-                      tan_half_fov=jnp.asarray(np.tan(fov / 2.0), jnp.float32),
+                      to_world=np.asarray(to_world, np.float32),
+                      tan_half_fov=np.asarray(np.tan(fov / 2.0),
+                                              np.float32),
                       aspect=aspect, width=width, height=height, near=near,
                       far=far, aperture_radius=aperture_radius,
                       focus_distance=focus_distance)
