@@ -22,15 +22,20 @@ import numpy as np
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--steps", type=int, default=24)
-    ap.add_argument("--res", type=int, default=24)
-    ap.add_argument("--fibers", type=int, default=400)
+    ap.add_argument("--res", type=int, default=256)
+    ap.add_argument("--fibers", type=int, default=6000)
     ap.add_argument("--spp", type=int, default=2)
+    ap.add_argument("--depth", type=int, default=3)
     ap.add_argument("--cpu", action="store_true")
     args = ap.parse_args()
 
+    import jax
     if args.cpu:
-        import jax
         jax.config.update("jax_platforms", "cpu")
+    jax.config.update("jax_compilation_cache_dir", os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        ".jax_cache"))
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
     import jax.numpy as jnp
     from hairpt.film.film import Film
@@ -57,7 +62,7 @@ def main():
         matrix_lookat((0, 0.5, -3.2), (0, 0, 0), (0, 1, 0)), 35.0,
         args.res, args.res)
     scene = b.build(cam, Film.make(args.res, args.res, "tent"), spp=1,
-                    max_depth=3, sampler=1)
+                    max_depth=args.depth, sampler=1)
 
     # ground truth parameters → target image
     true_params = {

@@ -36,30 +36,54 @@ def recompute_hair_tables(materials: mat.MaterialTable, marschner_rows):
                           lobe_weight=jnp.stack(lws))
 
 
-def apply_params(scene: Scene, params: dict):
-    """Override material-table fields from a params dict
+def apply_params_arrays(arrays, params: dict, marschner_rows):
+    """Override material-table fields on a SceneArrays from a params dict
     (keys: any MaterialTable field, e.g. 'diffuse', 'sigma_a', 'beta_r')."""
-    mats = scene.arrays.materials._replace(**params)
-    ht = scene.arrays.hair_tables
-    if scene.marschner_rows and ({"sigma_a", "beta_r", "eta"} & set(params)):
-        ht = recompute_hair_tables(mats, scene.marschner_rows)
-    return scene.arrays._replace(materials=mats, hair_tables=ht)
+    mats = arrays.materials._replace(**params)
+    ht = arrays.hair_tables
+    if marschner_rows and ({"sigma_a", "beta_r", "eta"} & set(params)):
+        ht = recompute_hair_tables(mats, marschner_rows)
+    return arrays._replace(materials=mats, hair_tables=ht)
+
+
+def apply_params(scene: Scene, params: dict):
+    return apply_params_arrays(scene.arrays, params, scene.marschner_rows)
+
+
+def make_render_fn(scene: Scene, spp: int):
+    """Build a jittable differentiable renderer.
+
+    Returns render(arrays_base, params, seed) -> image [H,W,3]. The scene
+    arrays and target are ARGUMENTS, never closure constants — lowering
+    embeds closure constants by value, which fetches device arrays back
+    through the compile tunnel (minutes per array; cf. bench.py)."""
+    li = path_int.make_li_fn(scene, differentiable=True)
+    cfg = scene.config
+    n_pix = cfg.width * cfg.height
+    fl = scene.film
+    rows = scene.marschner_rows
+
+    def render(arrays_base, params, seed):
+        arrays = apply_params_arrays(arrays_base, params, rows)
+        image, weight = film_mod.zeros(fl)
+        for s in range(spp):
+            pixel_idx = jnp.arange(n_pix, dtype=jnp.uint32)
+            sample_idx = (jnp.full((n_pix,), s, jnp.uint32)
+                          + seed.astype(jnp.uint32) * 65536)
+            radiance, pos, _ = li(arrays, pixel_idx, sample_idx)
+            radiance = jnp.nan_to_num(radiance, nan=0.0, posinf=0.0,
+                                      neginf=0.0)
+            image, weight = film_mod.splat_samples(fl, pos, radiance,
+                                                   image, weight)
+        return film_mod.develop(image, weight)
+
+    return render
 
 
 def render_image(scene: Scene, params: dict, spp: int, seed: int = 0):
     """Differentiable low-spp render with the given parameter overrides."""
-    arrays = apply_params(scene, params)
-    li = path_int.make_li_fn(scene, differentiable=True)
-    cfg = scene.config
-    n_pix = cfg.width * cfg.height
-    image, weight = film_mod.zeros(scene.film)
-    for s in range(spp):
-        pixel_idx = jnp.arange(n_pix, dtype=jnp.uint32)
-        sample_idx = jnp.full((n_pix,), s + seed * 65536, jnp.uint32)
-        radiance, pos, _ = li(arrays, pixel_idx, sample_idx)
-        image, weight = film_mod.splat_samples(scene.film, pos, radiance,
-                                               image, weight)
-    return film_mod.develop(image, weight)
+    render = jax.jit(make_render_fn(scene, spp))
+    return render(scene.arrays, params, jnp.uint32(seed))
 
 
 def loss_fn(scene: Scene, params: dict, target, spp: int, seed: int = 0):
@@ -68,16 +92,27 @@ def loss_fn(scene: Scene, params: dict, target, spp: int, seed: int = 0):
 
 
 def fit(scene: Scene, target, params0: dict, steps: int = 32,
-        lr: float = 0.05, spp: int = 2, verbose: bool = False):
-    """Adam loop over the selected parameters. Returns (params, losses)."""
+        lr: float = 0.05, spp: int = 2, verbose: bool = False,
+        checkpoint_dir: str | None = None, checkpoint_every: int = 8):
+    """Adam loop over the selected parameters. Returns (params, losses).
+
+    checkpoint_dir: if set, the (params, opt_state, step) pytree is
+    checkpointed with orbax every `checkpoint_every` steps and the loop
+    resumes from the latest step on restart — the long-run resilience
+    counterpart of the film .npz checkpoints in `render()` (reference
+    has no equivalent; its renders are single-shot C++ jobs)."""
     import optax
+    import time
     opt = optax.adam(lr)
     state = opt.init(params0)
+    render = make_render_fn(scene, spp)
 
     @jax.jit
-    def step(params, state, seed):
-        l, g = jax.value_and_grad(
-            lambda p: loss_fn(scene, p, target, spp, seed))(params)
+    def step(arrays_base, target, params, state, seed):
+        def loss(p):
+            img = render(arrays_base, p, seed)
+            return jnp.mean((img - target) ** 2)
+        l, g = jax.value_and_grad(loss)(params)
         updates, state = opt.update(g, state)
         params = jax.tree.map(lambda x, u: x + u, params, updates)
         # physical clamps
@@ -90,10 +125,37 @@ def fit(scene: Scene, target, params0: dict, steps: int = 32,
         return params, state, l
 
     params = params0
+    arrays_base = scene.arrays
     losses = []
-    for i in range(steps):
-        params, state, l = step(params, state, jnp.uint32(i))
+    start = 0
+    mngr = None
+    if checkpoint_dir:
+        import os
+        import orbax.checkpoint as ocp
+        mngr = ocp.CheckpointManager(os.path.abspath(checkpoint_dir),
+                                     options=ocp.CheckpointManagerOptions(
+                                         max_to_keep=2))
+        latest = mngr.latest_step()
+        if latest is not None:
+            restored = mngr.restore(
+                latest, args=ocp.args.StandardRestore(
+                    {"params": params, "opt_state": state}))
+            params, state = restored["params"], restored["opt_state"]
+            start = latest + 1
+            if verbose:
+                print(f"resumed from checkpoint step {latest}")
+    for i in range(start, steps):
+        t0 = time.time()
+        params, state, l = step(arrays_base, target, params, state,
+                                jnp.uint32(i))
         losses.append(float(l))
         if verbose:
-            print(f"step {i}: loss {float(l):.6f}")
+            print(f"step {i}: loss {float(l):.6f} "
+                  f"({time.time() - t0:.1f}s)")
+        if mngr is not None and ((i + 1) % checkpoint_every == 0
+                                 or i == steps - 1):
+            mngr.save(i, args=ocp.args.StandardSave(
+                {"params": params, "opt_state": state}))
+    if mngr is not None:
+        mngr.wait_until_finished()
     return params, losses

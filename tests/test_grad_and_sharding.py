@@ -142,3 +142,24 @@ def test_multihost_mesh_parity():
               "beta_r": hs.arrays.materials.beta_r}
     params, loss = step(params, jnp.uint32(0))
     assert np.isfinite(float(loss))
+
+
+def test_fit_orbax_checkpoint_resume(tmp_path):
+    """Interrupted fit resumes from the orbax checkpoint and lands on the
+    SAME params/opt-state trajectory as an uninterrupted run (seeds are
+    step indices, so the trajectory is deterministic)."""
+    scene = _diffuse_scene(8, 8)
+    true_diff = jnp.asarray([[0.7, 0.3, 0.15]], jnp.float32)
+    target = inverse.render_image(scene, {"diffuse": true_diff}, spp=2)
+    params0 = {"diffuse": jnp.asarray([[0.3, 0.6, 0.5]], jnp.float32)}
+
+    ref_params, _ = inverse.fit(scene, target, params0, steps=6, lr=0.05,
+                                spp=1)
+    ck = str(tmp_path / "ck")
+    inverse.fit(scene, target, params0, steps=4, lr=0.05, spp=1,
+                checkpoint_dir=ck, checkpoint_every=2)
+    resumed, _ = inverse.fit(scene, target, params0, steps=6, lr=0.05,
+                             spp=1, checkpoint_dir=ck, checkpoint_every=2)
+    np.testing.assert_allclose(np.asarray(resumed["diffuse"]),
+                               np.asarray(ref_params["diffuse"]),
+                               rtol=1e-5, atol=1e-6)
