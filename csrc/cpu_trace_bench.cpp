@@ -165,6 +165,8 @@ int main(int argc, char **argv) {
 
   std::atomic<long long> hits{0};
   int n_threads = std::max(1u, std::thread::hardware_concurrency());
+  if (const char* e = std::getenv("CPU_BENCH_THREADS"))
+    n_threads = std::max(1, std::atoi(e));
   auto trace_range = [&](int lo_r, int hi_r) {
     long long local_hits = 0;
     std::vector<int32_t> stack;

@@ -320,6 +320,12 @@ def make_li_fn(scene: Scene, differentiable: bool = False,
     def li(arr, pixel_idx, sample_idx, uniforms=None, cam_to_world=None):
         if n_uniform_dims > 0:
             _U[0] = uniforms
+        # pixel_idx may arrive as a host numpy constant (block_swizzle
+        # stays host-side so lowering embeds it as a literal instead of
+        # fetching a device buffer through the compile tunnel); coerce to
+        # a traced array HERE so downstream tracer-indexed gathers
+        # (staged-width compaction) don't hit numpy.__getitem__(tracer)
+        pixel_idx = jnp.asarray(pixel_idx, jnp.uint32)
         # camera motion blur: the per-wave shutter-time pose arrives as a
         # traced [4,4] (shapes identical → one compile for all times)
         cam_l = cam if cam_to_world is None \
@@ -704,7 +710,8 @@ def render(scene: Scene, seed: int = 0, spp: int | None = None,
     # [shutterOpen, shutterClose), sensor.cpp; here time is stratified
     # over sample indices instead, equivalent at spp samples/pixel)
     blur = scene.shutter[1] > scene.shutter[0] \
-        and (scene.rebuild_geo is not None or scene.camera_anim is not None)
+        and (scene.rebuild_geo is not None or scene.camera_anim is not None
+             or scene.repose_inst is not None)
     for s in range(s_start, spp):
         arrs = scene.arrays
         ctw = scene.camera.to_world
@@ -713,6 +720,10 @@ def render(scene: Scene, seed: int = 0, spp: int | None = None,
                 * (scene.shutter[1] - scene.shutter[0])
             if scene.rebuild_geo is not None:
                 arrs = scene.rebuild_geo(t_s)
+            if scene.repose_inst is not None:
+                # animated instances: transforms are traced leaves, so a
+                # re-pose is a few new [I,4,4] arrays — no BVH rebuild
+                arrs = scene.repose_inst(arrs, t_s)
             if scene.camera_anim is not None:
                 ctw = jnp.asarray(scene.camera_anim.eval(t_s), jnp.float32)
         image, weight, n_rays = wave(arrs, ctw,

@@ -101,9 +101,9 @@ def build_proto(mesh, mat_id: int) -> ProtoGeo:
                     mat_id=jnp.full((t_count,), mat_id, jnp.int32))
 
 
-def build_instanced(protos, instances) -> InstancedGeo:
-    """instances: list of (proto_index, to_world 4×4 numpy)."""
-    proto_id = tuple(int(i) for i, _ in instances)
+def instance_transforms(protos, instances):
+    """Per-instance traversal arrays from (proto_index, to_world) pairs:
+    (w2o [I,4,4], nrm_m [I,3,3], aabb_lo [I,3], aabb_hi [I,3])."""
     w2o = []
     nrm = []
     lo_l, hi_l = [], []
@@ -125,11 +125,28 @@ def build_instanced(protos, instances) -> InstancedGeo:
         cw = cs @ o2w[:3, :3].T + o2w[:3, 3]
         lo_l.append(cw.min(0).astype(np.float32))
         hi_l.append(cw.max(0).astype(np.float32))
+    return (np.stack(w2o), np.stack(nrm), np.stack(lo_l), np.stack(hi_l))
+
+
+def build_instanced(protos, instances) -> InstancedGeo:
+    """instances: list of (proto_index, to_world 4×4 numpy)."""
+    proto_id = tuple(int(i) for i, _ in instances)
+    w2o, nrm, lo, hi = instance_transforms(protos, instances)
     return InstancedGeo(tuple(protos), proto_id,
-                        jnp.asarray(np.stack(w2o)),
-                        jnp.asarray(np.stack(nrm)),
-                        jnp.asarray(np.stack(lo_l)),
-                        jnp.asarray(np.stack(hi_l)))
+                        jnp.asarray(w2o), jnp.asarray(nrm),
+                        jnp.asarray(lo), jnp.asarray(hi))
+
+
+def repose_instanced(inst: InstancedGeo, instances) -> InstancedGeo:
+    """Re-pose the instance table with NEW to_world transforms (animated
+    instances under motion blur; reference: instance.cpp's per-ray
+    AnimatedTransform evaluation). Geometry/BLAS untouched — identical
+    array shapes, so the one jitted traversal serves every shutter
+    time."""
+    w2o, nrm, lo, hi = instance_transforms(inst.protos, instances)
+    return InstancedGeo(inst.protos, inst.proto_id,
+                        jnp.asarray(w2o), jnp.asarray(nrm),
+                        jnp.asarray(lo), jnp.asarray(hi))
 
 
 def _aabb_cull(ray: Ray, lo, hi):

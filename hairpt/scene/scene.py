@@ -124,6 +124,9 @@ class Scene(NamedTuple):
     #                             every shutter time
     shutter: tuple = (0.0, 0.0)  # (open, close) — close > open ⇒ blur
     camera_anim: object = None  # AnimatedTransform of the sensor (blur)
+    repose_inst: object = None  # callable (arrays, t) → arrays: animated
+    #                             instance transforms re-posed in-place
+    #                             (no geometry rebuild)
 
 
 def _uv_density(uv0, uv1, uv2, e1, e2):
@@ -181,6 +184,7 @@ class SceneBuilder:
         self.config_kwargs = {}
         self.protos = []           # (Mesh, mat_id) shared prototypes
         self.instances = []        # (proto_idx, to_world 4×4)
+        self.instance_anims = {}   # instance idx → AnimatedTransform
 
     # -- materials ---------------------------------------------------------
 
@@ -316,10 +320,16 @@ class SceneBuilder:
         self.protos.append((mesh, mat_id))
         return len(self.protos) - 1
 
-    def add_instance(self, proto_idx: int, to_world):
+    def add_instance(self, proto_idx: int, to_world, anim=None):
         """Instance a prototype (reference: src/shapes/instance.cpp) —
-        geometry is SHARED through a two-level BVH, not flattened."""
-        self.instances.append((proto_idx, np.asarray(to_world, np.float64)))
+        geometry is SHARED through a two-level BVH, not flattened.
+        anim: optional AnimatedTransform of to_world; under motion blur
+        the instance table is re-posed per shutter time (transforms are
+        traced leaves — no geometry/BVH rebuild, one jit for all times)."""
+        self.instances.append((proto_idx,
+                               np.asarray(to_world, np.float64)))
+        if anim is not None:
+            self.instance_anims[len(self.instances) - 1] = anim
 
     def add_medium(self, sigma_s, sigma_a, g=0.0) -> int:
         """Register a shape-boundable homogeneous medium; returns its
@@ -552,11 +562,25 @@ class SceneBuilder:
             media_table = med_mod.make_medium_table(self.media_rows)
 
         inst_geo = None
+        repose_inst = None
         if self.instances:
             from ..ops import instancing as inst_mod
             built = [inst_mod.build_proto(m_, mid_)
                      for m_, mid_ in self.protos]
             inst_geo = inst_mod.build_instanced(built, self.instances)
+            if self.instance_anims:
+                # animated instances: per-shutter-time transform re-pose
+                # INSIDE the traversal tables (no geometry rebuild)
+                base = list(self.instances)
+                anims = dict(self.instance_anims)
+
+                def repose_inst(arrays, t, _base=base, _anims=anims,
+                                _mod=inst_mod):
+                    insts = list(_base)
+                    for k, an in _anims.items():
+                        insts[k] = (insts[k][0], an.eval(float(t)))
+                    return arrays._replace(
+                        inst=_mod.repose_instanced(arrays.inst, insts))
 
         arrays = SceneArrays(tri=tri, tri_shading=tri_shading,
                              tri_bvh=tri_bvh, tri_packed=tri_packed,
@@ -623,4 +647,5 @@ class SceneBuilder:
                      medium=getattr(self, "medium", None),
                      motion=motion, rebuild_geo=rebuild,
                      shutter=tuple(self.shutter),
-                     camera_anim=getattr(self, "camera_anim", None))
+                     camera_anim=getattr(self, "camera_anim", None),
+                     repose_inst=repose_inst)

@@ -715,7 +715,10 @@ def load_scene(path: str, defines: dict | None = None,
             group = shape_groups.get(gref.get("id") if gref is not None
                                      else None, [])
             for pidx in group:
-                b.add_instance(pidx, to_world)
+                # animated instances (instance.cpp AnimatedTransform):
+                # to_world is already shape_anim.eval(shutter_open) above;
+                # the track re-poses the transform table per shutter time
+                b.add_instance(pidx, to_world, anim=shape_anim)
         elif stype == "rectangle":
             b.add_mesh(shp.rectangle(), mid, to_world=to_world,
                        radiance=radiance)

@@ -81,3 +81,54 @@ def test_instancing_memory_shared():
     assert len(inst.protos) == 1              # ONE copy of the sphere
     assert len(inst.proto_id) == 3            # three instances of it
     assert scene.arrays.tri.p0.shape[0] < 100  # only the floor flattened
+
+
+def test_animated_instance_repose_matches_static():
+    """repose_instanced at time t must equal a fresh build with the
+    instance statically placed at T(t) (instance.cpp AnimatedTransform
+    semantics), and render() under motion blur must differ from the
+    static frame (the instance actually moves)."""
+    from hairpt.core.track import AnimatedTransform
+    from hairpt.ops import instancing as inst_mod
+
+    def tr(x):
+        t = np.eye(4)
+        t[:3, 3] = (x, 0, 0)
+        return t
+
+    anim = AnimatedTransform([(0.0, tr(-1.0)), (1.0, tr(1.0))])
+
+    def build(static_at=None, shutter=None, anim_=None):
+        b = SceneBuilder()
+        m = b.add_material(kind=mat.DIFFUSE, diffuse=(0.6, 0.4, 0.3))
+        sph = shp.compute_smooth_normals(shp.sphere(0.5, 12, 24))
+        p = b.add_prototype(sph, m)
+        if static_at is not None:
+            b.add_instance(p, tr(static_at))
+        else:
+            b.add_instance(p, anim_.eval(shutter[0]), anim=anim_)
+            b.shutter = shutter
+        b.env = em.make_constant((1.0,) * 3)
+        cam = Camera.perspective(matrix_lookat((0, 1.0, -4), (0, 0, 0),
+                                               (0, 1, 0)), 50.0, 32, 24)
+        return b.build(cam, Film.make(32, 24, "box"), spp=4, max_depth=3,
+                       sampler=1)
+
+    sc_anim = build(shutter=(0.0, 1.0), anim_=anim)
+    assert sc_anim.repose_inst is not None
+    # transform parity at t=0.75 against a static build at x=0.5
+    arr_t = sc_anim.repose_inst(sc_anim.arrays, 0.75)
+    sc_static = build(static_at=0.5)
+    np.testing.assert_allclose(np.asarray(arr_t.inst.w2o),
+                               np.asarray(sc_static.arrays.inst.w2o),
+                               rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(arr_t.inst.aabb_lo),
+                               np.asarray(sc_static.arrays.inst.aabb_lo),
+                               rtol=1e-5, atol=1e-6)
+    # e2e: blurred render is finite and differs from the frozen frame
+    img_blur = path_int.render(sc_anim)
+    sc_frozen = build(static_at=-1.0)
+    img_frozen = path_int.render(sc_frozen)
+    assert np.isfinite(img_blur).all()
+    assert np.abs(np.asarray(img_blur) - np.asarray(img_frozen)).max() \
+        > 1e-3
