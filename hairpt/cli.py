@@ -59,6 +59,15 @@ def _util_main(args):
             if args.weights else [1.0] * len(imgs)
         out = sum(wi * im for wi, im in zip(w, imgs))
         _write_any(args.output, np.asarray(out, np.float32))
+    elif args.tool == "resample":
+        # Bitmap::resample parity (bitmap.h:1066): filtered rescale with
+        # any reconstruction filter + boundary mode, MXU matmul form
+        from .utils.resample import resample
+        w, h = (int(x) for x in args.size.split("x"))
+        out = resample(imgs[0], w, h, filter_name=args.filter,
+                       boundary=args.boundary,
+                       clamp="auto" if args.clamp else None)
+        _write_any(args.output, np.asarray(out, np.float32))
     else:  # joinrgb
         assert len(imgs) == 3, "joinrgb needs R, G, B inputs"
         chans = [im if im.ndim == 2 else im[..., 0] for im in imgs]
@@ -121,13 +130,23 @@ def main(argv=None):
     # utility subcommands (reference: mtsutil plugins src/utils/{tonemap,
     # addimages,joinrgb}.cpp)
     u = sub.add_parser("util")
-    u.add_argument("tool", choices=["tonemap", "addimages", "joinrgb"])
+    u.add_argument("tool", choices=["tonemap", "addimages", "joinrgb",
+                                    "resample"])
     u.add_argument("inputs", nargs="+",
                    help="input images (.npy/.pfm/.exr/.hdr)")
     u.add_argument("-o", "--output", required=True)
     u.add_argument("--gamma", type=float, default=2.2)
     u.add_argument("--weights", default=None,
                    help="comma-separated blend weights (addimages)")
+    u.add_argument("--size", default="256x256",
+                   help="WxH output size (resample)")
+    u.add_argument("--filter", default="lanczos",
+                   choices=["box", "tent", "gaussian", "mitchell",
+                            "catmullrom", "lanczos"])
+    u.add_argument("--boundary", default="clamp",
+                   choices=["clamp", "wrap", "mirror", "zero"])
+    u.add_argument("--clamp", action="store_true",
+                   help="clamp output to source range (anti-ringing)")
 
     # converter subcommand (reference: mtsimport, src/converter/collada.cpp
     # — COLLADA → mesh files + scene XML)

@@ -274,3 +274,46 @@ def test_hk_slab_consistency_and_limits():
                       sigma_a=(0.0,) * 3, alpha=0.01, beta_r=0.0)
     p_s = np.asarray(hk_mod._p_spec(gm_thin, fixed_wi(8)))
     assert (p_s > 0.999).all()
+
+
+# -- Bitmap::resample parity (bitmap.h:1040-1090) -------------------------
+
+def test_resample_preserves_constants():
+    from hairpt.utils.resample import resample
+    img = np.full((33, 47, 3), 0.73, np.float32)
+    for f in ("box", "tent", "gaussian", "mitchell", "lanczos"):
+        for bnd in ("clamp", "wrap", "mirror"):
+            out = np.asarray(resample(img, 64, 20, f, bnd))
+            np.testing.assert_allclose(out, 0.73, atol=1e-4,
+                                       err_msg=f"{f}/{bnd}")
+
+
+def test_resample_linear_ramp_tent():
+    """Tent upsampling reproduces a linear ramp exactly in the
+    interior (linear interpolation reproduces affine functions)."""
+    from hairpt.utils.resample import resample
+    x = np.arange(32, dtype=np.float32)
+    img = np.broadcast_to(x[None, :], (8, 32)).copy()
+    out = np.asarray(resample(img, 64, 8, "tent", "clamp"))
+    j = np.arange(64)
+    expect = (j + 0.5) * 0.5 - 0.5
+    inner = slice(4, 60)
+    np.testing.assert_allclose(out[4, inner], expect[inner], atol=1e-3)
+
+
+def test_resample_downsample_box_average():
+    """2x box downsample = 2x2 mean."""
+    from hairpt.utils.resample import resample
+    rng = np.random.default_rng(0)
+    img = rng.random((16, 16)).astype(np.float32)
+    out = np.asarray(resample(img, 8, 8, "box"))
+    expect = img.reshape(8, 2, 8, 2).mean(axis=(1, 3))
+    np.testing.assert_allclose(out, expect, rtol=1e-4, atol=1e-5)
+
+
+def test_resample_auto_clamp_bounds_ringing():
+    from hairpt.utils.resample import resample
+    img = np.zeros((16, 16), np.float32)
+    img[8:, :] = 1.0   # step edge → lanczos rings
+    out = np.asarray(resample(img, 64, 64, "lanczos", clamp="auto"))
+    assert out.min() >= 0.0 - 1e-6 and out.max() <= 1.0 + 1e-6
