@@ -5,6 +5,9 @@ import os
 import sys
 import time
 
+sys.path.insert(0, os.path.dirname(os.path.dirname(
+    os.path.abspath(__file__))))
+
 import numpy as np
 
 
@@ -76,28 +79,40 @@ def main():
         print(f"[bk] {name}: {dt*1e3:.0f} ms", flush=True)
         return out
 
+    # stage timings in the SAME tile-chunked form as one_pass (a direct
+    # all-tiles phase-B call would blow the 1 MB SMEM slot budget)
+    t_chunk = max(1, (1 << 17) // q)
+    t_chunk = min(t_chunk, max(1, (1 << 25) // C))
+    n_ch = T // t_chunk
+    assert n_ch * t_chunk == T, (T, t_chunk)
+    r8_ch = rays8.reshape((n_ch, t_chunk) + rays8.shape[1:])
+    print(f"[bk] t_chunk={t_chunk} n_ch={n_ch}", flush=True)
+
     # phase A cull alone
-    f_cull = jax.jit(lambda r8: tl_mod._cull_pallas(r8, sw.cl_lo, sw.cl_hi))
-    te, tpmax = timeit("phaseA cull", f_cull, rays8)
+    f_cull = jax.jit(lambda r8c: jax.lax.map(
+        lambda r8: tl_mod._cull_pallas(r8, sw.cl_lo, sw.cl_hi), r8c))
+    te, tpmax = timeit("phaseA cull", f_cull, r8_ch)
 
     # cull + routing
     def cull_route(r8):
         te, tpm = tl_mod._cull_pallas(r8, sw.cl_lo, sw.cl_hi)
         mask = jnp.isfinite(te)
-        return tl_mod._tile_slots(mask, te, q)
-    f_route = jax.jit(cull_route)
-    slots, cnt, tmin, tscale, ov = timeit("phaseA+routing", f_route, rays8)
+        return tl_mod._tile_slots(mask, te, q) + (tpm,)
+    f_route = jax.jit(lambda r8c: jax.lax.map(cull_route, r8c))
+    slots, cnt, tmin, tscale, ov, tpm = timeit("phaseA+routing", f_route,
+                                               r8_ch)
     print(f"[bk] mean slots/tile: "
           f"{float(jnp.mean(cnt.astype(jnp.float32))):.1f} "
-          f"overflow {int(ov)}", flush=True)
+          f"overflow {int(jnp.sum(ov))}", flush=True)
 
     # phase B alone (on precomputed routing)
-    def phase_b(slots, cnt, tmin, tscale, r8, tpm):
+    def phase_b(args):
+        slots, cnt, tmin, tscale, r8, tpm = args
         return tiled_phase_b(slots, cnt, tmin, tscale, r8, tpm,
                              sw.seg_rows_t, k, q, any_hit=False,
                              exit_every=1, unroll=3)
-    f_b = jax.jit(phase_b)
-    timeit("phaseB", f_b, slots, cnt, tmin, tscale, rays8, tpmax)
+    f_b = jax.jit(lambda *a: jax.lax.map(phase_b, a[0]))
+    timeit("phaseB", f_b, (slots, cnt, tmin, tscale, r8_ch, tpm))
 
     # full query
     ccfg = scene.config
