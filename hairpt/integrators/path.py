@@ -571,7 +571,11 @@ def make_li_fn(scene: Scene, differentiable: bool = False,
             import os as _os
             max_stages = int(_os.environ.get("HAIRPT_STAGES", "3"))
             if n >= 4096 and n_uniform_dims == 0:
-                for f_ in (4, 16):
+                # deep-RR tails matter at north-star widths: at 1024² the
+                # n/16 stage still runs 65k-wide queries for the last few
+                # thousand live lanes × dozens of bounces, so the ladder
+                # extends to n/256 when max_stages allows
+                for f_ in (4, 16, 64, 256):
                     m_ = max(256, (-(-n // f_) // 256) * 256)
                     if m_ < stage_caps[-1] and len(stage_caps) < max_stages:
                         stage_caps.append(m_)

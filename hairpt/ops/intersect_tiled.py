@@ -25,6 +25,8 @@ architecture where contiguous-block DMA is ~100x faster than gathers.
 """
 from __future__ import annotations
 
+import os
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -283,7 +285,8 @@ def tiled_closest_hit(sw: SweptHair, ray: Ray, n_clusters: int, K: int,
                     t_pmax_t, sw.seg_rows_t, K, q_cap,
                     any_hit=(mode == "any"),
                     interpret=(impl == "interpret"),
-                    exit_every=1, unroll=3)
+                    exit_every=1,
+                    unroll=int(os.environ.get("HAIRPT_UNROLL", "3")))
                 return t_c, p_c, ov
 
             if T <= t_chunk:

@@ -21,6 +21,7 @@ Output:
 from __future__ import annotations
 
 import functools
+import os
 
 import jax
 import jax.numpy as jnp
@@ -278,15 +279,40 @@ def _tiled_kernel(slots_ref,            # scalar prefetch [T * q_max] packed
 
             def body(carry):
                 q, _ = carry
-                if resident and unroll > 1 and not nop and not mxu:
+                if unroll > 1 and not nop and not mxu:
                     # k-slot unroll: independent cylinder tests per
                     # iteration interleave their dependency chains (the
                     # sqrt→cmp→select tail otherwise leaves the VPU idle;
-                    # measured 34→23 ms on the furball camera wave at k=2)
+                    # measured 34→23 ms on the furball camera wave at k=2).
+                    # Works for BOTH the VMEM-resident table and the
+                    # non-resident DMA pipeline (needs n_buf > unroll so
+                    # the k in-iteration reads never collide with the
+                    # k in-flight prefetches; enforced in tiled_phase_b)
                     t_u, p_u = None, None
                     for k in range(unroll):
-                        qk = jnp.minimum(q + k, n_q - 1)
-                        tqk, pqk = _cyl_test(seg_rows_hbm[cid(qk)], rays)
+                        if resident:
+                            qk = jnp.minimum(q + k, n_q - 1)
+                            rows = seg_rows_hbm[cid(qk)]
+                        else:
+                            nxt = q + k + n_buf - 1
+
+                            @pl.when(nxt < n_q)
+                            def _(nxt=nxt):
+                                dma(nxt % n_buf, nxt).start()
+                            if k > 0:
+                                @pl.when(q + k < n_q)
+                                def _(k=k):
+                                    pltpu.make_async_copy(
+                                        seg_vmem.at[(q + k) % n_buf],
+                                        seg_vmem.at[(q + k) % n_buf],
+                                        sems.at[(q + k) % n_buf]).wait()
+                            else:
+                                pltpu.make_async_copy(
+                                    seg_vmem.at[q % n_buf],
+                                    seg_vmem.at[q % n_buf],
+                                    sems.at[q % n_buf]).wait()
+                            rows = seg_vmem[(q + k) % n_buf]
+                        tqk, pqk = _cyl_test(rows, rays)
                         if k > 0:
                             # drop duplicates past the end of the list
                             tqk = jnp.where(q + k < n_q, tqk, jnp.inf)
@@ -483,6 +509,13 @@ def tiled_phase_b(slots, cnt, tmin, tscale, rays8, t_pmax, seg_rows,
     T, _, TILE = rays8.shape
     if resident is None:
         resident = seg_rows.size * 4 <= VMEM_RESIDENT_BYTES
+        if os.environ.get("HAIRPT_FORCE_NONRESIDENT") == "1":
+            resident = False    # test/probe knob: exercise the DMA path
+            #                     on tables that would fit VMEM
+    if not resident and unroll > 1:
+        # the unrolled DMA pipeline reads `unroll` buffers per iteration
+        # while `unroll` prefetches are in flight — keep them disjoint
+        n_buf = max(n_buf, unroll + 1)
 
     pad = (-T) % GROUP_T
     if pad:

@@ -176,3 +176,27 @@ def test_cull_phase_a_kernel_matches_jnp():
     assert close.mean() > 0.95   # fp-marginal grazing hits only
     # padded ray slots never contribute (maxt < mint ⇒ dead)
     assert np.all(np.isfinite(te_p[m_j]))
+
+
+def test_tiled_nonresident_unrolled_dma_matches_resident(monkeypatch):
+    """The unrolled DMA pipeline (non-resident segment table, k-slot
+    unroll with n_buf > unroll prefetch buffers) must produce the same
+    hits as the VMEM-resident path."""
+    (p0, p1, n0, n1, rad), rays = _geom_and_rays()
+    K = 32
+    swept = sw.build_swept_hair(p0, p1, n0, n1, rad, K=K)
+    C = int(swept.seg_rows.shape[0]) // K
+
+    t_res, prim_res = tl.tiled_closest_hit(swept, rays, C, K, q_max=192)
+    monkeypatch.setenv("HAIRPT_FORCE_NONRESIDENT", "1")
+    t_dma, prim_dma = tl.tiled_closest_hit(swept, rays, C, K, q_max=192)
+
+    np.testing.assert_array_equal(np.asarray(prim_dma) >= 0,
+                                  np.asarray(prim_res) >= 0)
+    m = np.asarray(prim_res) >= 0
+    np.testing.assert_allclose(np.asarray(t_dma)[m], np.asarray(t_res)[m],
+                               rtol=1e-6, atol=1e-7)
+    assert (np.asarray(prim_dma)[m] == np.asarray(prim_res)[m]).all()
+
+    occ_r = tl.tiled_any_hit(swept, rays, C, K, q_max=192)
+    np.testing.assert_array_equal(np.asarray(occ_r), m)
