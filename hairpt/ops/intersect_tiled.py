@@ -286,7 +286,7 @@ def tiled_closest_hit(sw: SweptHair, ray: Ray, n_clusters: int, K: int,
                     any_hit=(mode == "any"),
                     interpret=(impl == "interpret"),
                     exit_every=1,
-                    unroll=int(os.environ.get("HAIRPT_UNROLL", "3")))
+                    unroll=int(os.environ.get("HAIRPT_UNROLL", "4")))
                 return t_c, p_c, ov
 
             if T <= t_chunk:
