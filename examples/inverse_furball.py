@@ -26,6 +26,11 @@ def main():
     ap.add_argument("--fibers", type=int, default=6000)
     ap.add_argument("--spp", type=int, default=2)
     ap.add_argument("--depth", type=int, default=3)
+    ap.add_argument("--sun-scale", type=float, default=3.0,
+                    help="sun radiance scale; the reference furball's "
+                         "19.1 makes firefly paths dominate gradient "
+                         "variance at low spp — 3.0 keeps the demo's "
+                         "24-step budget convergent")
     ap.add_argument("--cpu", action="store_true")
     args = ap.parse_args()
 
@@ -56,7 +61,7 @@ def main():
                              fiber_len=0.8)
     b.add_fibers(fs, m)
     b.env = em.bake_sunsky((0.19, 0.758, -0.623), turbidity=3.0,
-                           sky_scale=5.0, sun_scale=19.0912,
+                           sky_scale=5.0, sun_scale=args.sun_scale,
                            sun_radius_scale=37.9165, res=64)
     cam = Camera.perspective(
         matrix_lookat((0, 0.5, -3.2), (0, 0, 0), (0, 1, 0)), 35.0,
@@ -79,7 +84,8 @@ def main():
         "beta_r": jnp.asarray([0.10], jnp.float32),
     }
     params, losses = inverse.fit(scene, target, params0, steps=args.steps,
-                                 lr=0.05, spp=args.spp, verbose=True)
+                                 lr=0.05, spp=args.spp, verbose=True,
+                                 loss_kind="cross")
 
     sa = np.asarray(params["sigma_a"])[0]
     br = float(np.asarray(params["beta_r"])[0])

@@ -93,7 +93,8 @@ def loss_fn(scene: Scene, params: dict, target, spp: int, seed: int = 0):
 
 def fit(scene: Scene, target, params0: dict, steps: int = 32,
         lr: float = 0.05, spp: int = 2, verbose: bool = False,
-        checkpoint_dir: str | None = None, checkpoint_every: int = 8):
+        checkpoint_dir: str | None = None, checkpoint_every: int = 8,
+        loss_kind: str = "mse", decay_steps: int | None = None):
     """Adam loop over the selected parameters. Returns (params, losses).
 
     checkpoint_dir: if set, the (params, opt_state, step) pytree is
@@ -103,16 +104,50 @@ def fit(scene: Scene, target, params0: dict, steps: int = 32,
     has no equivalent; its renders are single-shot C++ jobs)."""
     import optax
     import time
-    opt = optax.adam(lr)
+    # cosine decay to lr/10: the MC gradient noise floor dominates late
+    # steps — annealing lets the params settle instead of random-walking
+    # decay_steps decouples the schedule horizon from this call's step
+    # count so a resumed fit continues the SAME schedule
+    opt = optax.adam(optax.cosine_decay_schedule(
+        lr, max(decay_steps if decay_steps is not None else steps, 1),
+        alpha=0.1))
     state = opt.init(params0)
-    render = make_render_fn(scene, spp)
+    if loss_kind == "cross":
+        render = make_render_fn(scene, max(1, spp // 2))
+    else:
+        render = make_render_fn(scene, spp)
 
     @jax.jit
     def step(arrays_base, target, params, state, seed):
         def loss(p):
+            if loss_kind == "cross":
+                # two-sample cross estimator: E[(A−t)(B−t)] =
+                # (E[img]−t)² for INDEPENDENT renders A, B — removes the
+                # Var(img) term that plain MC-MSE minimizes alongside the
+                # true error (at low spp that term dominates and pushes
+                # roughness up, since wider lobes smooth the noise).
+                # Normalized by target brightness so dark-region color
+                # (hair absorption tint) is not drowned by the sky.
+                a = render(arrays_base, p, seed * 2)
+                bimg = render(arrays_base, p, seed * 2 + 1)
+                d2 = (a - target) * (bimg - target)
+                return jnp.mean(d2 / (target ** 2 + 1e-2))
             img = render(arrays_base, p, seed)
-            return jnp.mean((img - target) ** 2)
+            d2 = (img - target) ** 2
+            if loss_kind == "relative":
+                # relative MSE: normalizes per-pixel by brightness so
+                # dark-region color information (hair absorption tint)
+                # is not drowned by bright-sky residual variance
+                d2 = d2 / (jax.lax.stop_gradient(img) ** 2 + 1e-2)
+            return jnp.mean(d2)
         l, g = jax.value_and_grad(loss)(params)
+        # a single degenerate MC sample (grazing fresnel, zero-pdf lane)
+        # can inject a NaN into the whole gradient; one poisoned step
+        # then sticks every parameter at NaN forever. Sanitize — the
+        # sanitized estimator stays unbiased a.e.
+        g = jax.tree.map(
+            lambda x: jnp.nan_to_num(x, nan=0.0, posinf=0.0, neginf=0.0),
+            g)
         updates, state = opt.update(g, state)
         params = jax.tree.map(lambda x, u: x + u, params, updates)
         # physical clamps

@@ -156,8 +156,9 @@ def test_fit_orbax_checkpoint_resume(tmp_path):
     ref_params, _ = inverse.fit(scene, target, params0, steps=6, lr=0.05,
                                 spp=1)
     ck = str(tmp_path / "ck")
+    # the interrupted run shares the 6-step lr-decay horizon
     inverse.fit(scene, target, params0, steps=4, lr=0.05, spp=1,
-                checkpoint_dir=ck, checkpoint_every=2)
+                checkpoint_dir=ck, checkpoint_every=2, decay_steps=6)
     resumed, _ = inverse.fit(scene, target, params0, steps=6, lr=0.05,
                              spp=1, checkpoint_dir=ck, checkpoint_every=2)
     np.testing.assert_allclose(np.asarray(resumed["diffuse"]),
