@@ -104,13 +104,44 @@ def fit(scene: Scene, target, params0: dict, steps: int = 32,
     has no equivalent; its renders are single-shot C++ jobs)."""
     import optax
     import time
+
+    # resolve checkpoint state FIRST: the cosine-decay horizon is stored
+    # in the checkpoint so a resumed fit (even one called with a larger
+    # `steps`) continues the SAME schedule unless decay_steps explicitly
+    # overrides it, and losses from pre-resume steps are carried over so
+    # the returned history covers the whole run (ADVICE r2)
+    start = 0
+    mngr = None
+    prior_losses: list[float] = []
+    ckpt_horizon = None
+    if checkpoint_dir:
+        import json
+        import os
+        import orbax.checkpoint as ocp
+        ckdir = os.path.abspath(checkpoint_dir)
+        mngr = ocp.CheckpointManager(ckdir,
+                                     options=ocp.CheckpointManagerOptions(
+                                         max_to_keep=2))
+        latest = mngr.latest_step()
+        if latest is not None:
+            start = latest + 1
+            meta_path = os.path.join(ckdir, f"meta_{latest}.json")
+            if os.path.exists(meta_path):
+                with open(meta_path) as f:
+                    meta = json.load(f)
+                ckpt_horizon = meta.get("horizon")
+                prior_losses = list(meta.get("losses", []))
+
+    if decay_steps is not None:
+        horizon = decay_steps
+    elif ckpt_horizon is not None:
+        horizon = ckpt_horizon
+    else:
+        horizon = steps
     # cosine decay to lr/10: the MC gradient noise floor dominates late
     # steps — annealing lets the params settle instead of random-walking
-    # decay_steps decouples the schedule horizon from this call's step
-    # count so a resumed fit continues the SAME schedule
-    opt = optax.adam(optax.cosine_decay_schedule(
-        lr, max(decay_steps if decay_steps is not None else steps, 1),
-        alpha=0.1))
+    opt = optax.adam(optax.cosine_decay_schedule(lr, max(horizon, 1),
+                                                 alpha=0.1))
     state = opt.init(params0)
     if loss_kind == "cross":
         render = make_render_fn(scene, max(1, spp // 2))
@@ -161,24 +192,16 @@ def fit(scene: Scene, target, params0: dict, steps: int = 32,
 
     params = params0
     arrays_base = scene.arrays
-    losses = []
-    start = 0
-    mngr = None
-    if checkpoint_dir:
-        import os
+    losses = list(prior_losses)
+    if mngr is not None and start > 0:
         import orbax.checkpoint as ocp
-        mngr = ocp.CheckpointManager(os.path.abspath(checkpoint_dir),
-                                     options=ocp.CheckpointManagerOptions(
-                                         max_to_keep=2))
-        latest = mngr.latest_step()
-        if latest is not None:
-            restored = mngr.restore(
-                latest, args=ocp.args.StandardRestore(
-                    {"params": params, "opt_state": state}))
-            params, state = restored["params"], restored["opt_state"]
-            start = latest + 1
-            if verbose:
-                print(f"resumed from checkpoint step {latest}")
+        restored = mngr.restore(
+            start - 1, args=ocp.args.StandardRestore(
+                {"params": params, "opt_state": state}))
+        params, state = restored["params"], restored["opt_state"]
+        if verbose:
+            print(f"resumed from checkpoint step {start - 1} "
+                  f"(horizon {horizon}, {len(prior_losses)} prior losses)")
     for i in range(start, steps):
         t0 = time.time()
         params, state, l = step(arrays_base, target, params, state,
@@ -189,8 +212,14 @@ def fit(scene: Scene, target, params0: dict, steps: int = 32,
                   f"({time.time() - t0:.1f}s)")
         if mngr is not None and ((i + 1) % checkpoint_every == 0
                                  or i == steps - 1):
+            import json
+            import os
+            import orbax.checkpoint as ocp
             mngr.save(i, args=ocp.args.StandardSave(
                 {"params": params, "opt_state": state}))
+            with open(os.path.join(os.path.abspath(checkpoint_dir),
+                                   f"meta_{i}.json"), "w") as f:
+                json.dump({"horizon": horizon, "losses": losses}, f)
     if mngr is not None:
         mngr.wait_until_finished()
     return params, losses

@@ -272,7 +272,7 @@ def _single_scatter(arr, cfg, p, n, wo_world, params, sel,
 
 
 def make_li_fn(scene: Scene, differentiable: bool = False,
-               n_uniform_dims: int = 0):
+               n_uniform_dims: int = 0, ablate: tuple = ()):
     """Builds the jit-able per-wavefront radiance estimator.
 
     Returns li(arr: SceneArrays, pixel_idx [N], sample_idx [N])
@@ -294,6 +294,15 @@ def make_li_fn(scene: Scene, differentiable: bool = False,
     sample requests read from it instead of the procedural sampler — the
     primary-sample-space hook used by PSSMLT (reference:
     src/integrators/pssmlt + ReplayableSampler, bidir/rsampler.h).
+
+    ablate: diagnostic-only knobs for perf decomposition (each removes a
+    wave-time component; the image is WRONG under any of them):
+      'nonee'      — skip emitter sampling + the shadow query entirely
+      'noshadow'   — sample NEE but treat every shadow ray as unoccluded
+      'cheapshade' — replace BSDF eval/sample with closed-form Lambert
+      'nosort'     — no Morton/octant resort of bounce/shadow waves
+    Resolved at trace time by construction (make_li_fn builds a fresh
+    closure per call — never cached across differing ablate values).
     """
     cfg = scene.config
     cam = scene.camera
@@ -446,55 +455,77 @@ def make_li_fn(scene: Scene, differentiable: bool = False,
 
             pix, smp = pixel_idx, sample_idx
 
+            def _eval_pdf(wo_q):
+                if "cheapshade" in ablate:
+                    cz = jnp.maximum(wo_q[..., 2], 0.0)
+                    return (gm.diffuse * (cz / jnp.pi)[..., None],
+                            cz / jnp.pi)
+                return mat.eval_pdf_mix(
+                    active_kinds, arr.materials, arr.checkers, hit.mat_id,
+                    hit.uv, gm, wi, wo_q, arr.hair_tables)
+
             # ---- NEE ----
-            u_sel = s1(pix, smp, dims + D_NEE_SEL)
-            u_nee = s2(pix, smp, dims + D_NEE_POS)
-            d_nee, dist_nee, le_nee, pdf_nee, is_dl = \
-                _sample_emitter_direct(arr, cfg, hit.p, u_sel, u_nee)
-            wo_nee = fr.to_local(d_nee)
-            f_nee, bsdf_pdf_nee = mat.eval_pdf_mix(
-                active_kinds, arr.materials, arr.checkers, hit.mat_id,
-                hit.uv, gm, wi, wo_nee, arr.hair_tables)
-            nee_ok = active & (pdf_nee > 0) \
-                & (jnp.max(jnp.abs(f_nee), axis=-1) > 0)
-            if cfg.strict_normals:
-                nee_ok = nee_ok & (dot(geo_n, d_nee) * wo_nee[..., 2] > 0)
-            shadow_o = hit.p + geo_n * jnp.where(dot(d_nee, geo_n) > 0,
-                                                 ray_eps,
-                                                 -ray_eps)[..., None]
-            shadow = Ray(o=shadow_o, d=d_nee,
-                         mint=jnp.full((n,), 0.0, jnp.float32),
-                         maxt=dist_nee - 2.0 * ray_eps)
-            # lanes that don't need the shadow ray get a degenerate one
-            shadow = shadow._replace(
-                maxt=jnp.where(nee_ok, shadow.maxt, 0.0))
-            occluded = scene_occluded(arr, shadow, cfg.traversal,
-                                      cfg.block, _swept_params(cfg),
-                                      sort_rays=True, compact=False)
-            vis = nee_ok & ~occluded
-            w_nee = jnp.where(is_dl, 1.0,
-                              _mi_weight(pdf_nee, bsdf_pdf_nee))
-            li_acc = li_acc + jnp.where(
-                vis[..., None],
-                st.throughput * le_nee * f_nee
-                * (w_nee / jnp.maximum(pdf_nee, 1e-20))[..., None], 0.0)
+            nee_ok = jnp.zeros((n,), bool)
+            if "nonee" not in ablate:
+                u_sel = s1(pix, smp, dims + D_NEE_SEL)
+                u_nee = s2(pix, smp, dims + D_NEE_POS)
+                d_nee, dist_nee, le_nee, pdf_nee, is_dl = \
+                    _sample_emitter_direct(arr, cfg, hit.p, u_sel, u_nee)
+                wo_nee = fr.to_local(d_nee)
+                f_nee, bsdf_pdf_nee = _eval_pdf(wo_nee)
+                nee_ok = active & (pdf_nee > 0) \
+                    & (jnp.max(jnp.abs(f_nee), axis=-1) > 0)
+                if cfg.strict_normals:
+                    nee_ok = nee_ok \
+                        & (dot(geo_n, d_nee) * wo_nee[..., 2] > 0)
+                shadow_o = hit.p + geo_n * jnp.where(
+                    dot(d_nee, geo_n) > 0, ray_eps, -ray_eps)[..., None]
+                shadow = Ray(o=shadow_o, d=d_nee,
+                             mint=jnp.full((n,), 0.0, jnp.float32),
+                             maxt=dist_nee - 2.0 * ray_eps)
+                # lanes that don't need the shadow ray get a degenerate one
+                shadow = shadow._replace(
+                    maxt=jnp.where(nee_ok, shadow.maxt, 0.0))
+                if "noshadow" in ablate:
+                    occluded = jnp.zeros((n,), bool)
+                else:
+                    occluded = scene_occluded(
+                        arr, shadow, cfg.traversal, cfg.block,
+                        _swept_params(cfg),
+                        sort_rays=("nosort" not in ablate), compact=False)
+                vis = nee_ok & ~occluded
+                w_nee = jnp.where(is_dl, 1.0,
+                                  _mi_weight(pdf_nee, bsdf_pdf_nee))
+                li_acc = li_acc + jnp.where(
+                    vis[..., None],
+                    st.throughput * le_nee * f_nee
+                    * (w_nee / jnp.maximum(pdf_nee, 1e-20))[..., None],
+                    0.0)
 
             # ---- BSDF sampling ----
             u_lobe = s1(pix, smp, dims + D_BSDF_LOBE)
             u2 = s2(pix, smp, dims + D_BSDF_U2)
             u2b = s2(pix, smp, dims + D_BSDF_U2B)
-            wo, bsdf_weight, bsdf_pdf, is_delta, eta_s = mat.sample_mix(
-                active_kinds, arr.materials, arr.checkers, hit.mat_id,
-                hit.uv, gm, wi, u_lobe, u2, u2b, arr.hair_tables)
+            if "cheapshade" in ablate:
+                from ..core import warps as _warps
+                wo = _warps.square_to_cosine_hemisphere(u2)
+                bsdf_pdf = jnp.maximum(wo[..., 2], 0.0) / jnp.pi
+                bsdf_weight = gm.diffuse
+                is_delta = jnp.zeros((n,), bool)
+                eta_s = jnp.ones((n,), jnp.float32)
+            else:
+                wo, bsdf_weight, bsdf_pdf, is_delta, eta_s = \
+                    mat.sample_mix(
+                        active_kinds, arr.materials, arr.checkers,
+                        hit.mat_id, hit.uv, gm, wi, u_lobe, u2, u2b,
+                        arr.hair_tables)
             if differentiable:
                 # detached-sampling estimator: the sampled direction and its
                 # pdf carry no gradient; parameter gradients flow through
                 # the BSDF value only
                 wo = jax.lax.stop_gradient(wo)
                 bsdf_pdf = jax.lax.stop_gradient(bsdf_pdf)
-                f2, p2 = mat.eval_pdf_mix(active_kinds, arr.materials,
-                                          arr.checkers, hit.mat_id, hit.uv,
-                                          gm, wi, wo, arr.hair_tables)
+                f2, p2 = _eval_pdf(wo)
                 w_smooth = f2 / jnp.maximum(jax.lax.stop_gradient(p2),
                                             1e-9)[..., None]
                 bsdf_weight = jnp.where(is_delta[..., None], bsdf_weight,
@@ -518,7 +549,8 @@ def make_li_fn(scene: Scene, differentiable: bool = False,
                            maxt=jnp.where(active, jnp.inf, 0.0))
             hit2 = scene_intersect(arr, next_ray, cfg.traversal,
                                    cfg.block, _swept_params(cfg),
-                                   sort_rays=True, compact=False)
+                                   sort_rays=("nosort" not in ablate),
+                                   compact=False)
 
             # ---- RR ---- (disabled in differentiable mode: the survival
             # decision is not differentiable and max_depth is small there)

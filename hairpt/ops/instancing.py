@@ -40,6 +40,9 @@ class ProtoGeo(NamedTuple):
     uv1: jnp.ndarray
     uv2: jnp.ndarray
     mat_id: jnp.ndarray  # [T]
+    obj_lo: np.ndarray   # [3] object-space AABB, host-side (computed
+    obj_hi: np.ndarray   # once at build — re-posing only touches the
+    #                      4x4 transforms, never the vertex arrays)
 
 
 @jax.tree_util.register_pytree_node_class
@@ -98,7 +101,9 @@ def build_proto(mesh, mat_id: int) -> ProtoGeo:
                     n0=jnp.asarray(n0), n1=jnp.asarray(n1),
                     n2=jnp.asarray(n2), uv0=jnp.asarray(uv0),
                     uv1=jnp.asarray(uv1), uv2=jnp.asarray(uv2),
-                    mat_id=jnp.full((t_count,), mat_id, jnp.int32))
+                    mat_id=jnp.full((t_count,), mat_id, jnp.int32),
+                    obj_lo=lo.min(0).astype(np.float32),
+                    obj_hi=hi.max(0).astype(np.float32))
 
 
 def instance_transforms(protos, instances):
@@ -112,13 +117,13 @@ def instance_transforms(protos, instances):
         m = np.linalg.inv(o2w)
         w2o.append(m.astype(np.float32))
         nrm.append(m[:3, :3].T.astype(np.float32))
-        # world AABB of the prototype's object bounds under o2w
+        # world AABB of the prototype's PREcomputed object bounds under
+        # o2w — no device->host vertex fetch per instance/shutter time
+        # (ADVICE r2: np.asarray(pr.p0) here was a full-mesh transfer
+        # at every repose)
         pr = protos[pid]
-        p0 = np.asarray(pr.p0)
-        lo_o = np.minimum(p0, np.minimum(p0 + np.asarray(pr.e1),
-                                         p0 + np.asarray(pr.e2))).min(0)
-        hi_o = np.maximum(p0, np.maximum(p0 + np.asarray(pr.e1),
-                                         p0 + np.asarray(pr.e2))).max(0)
+        lo_o = np.asarray(pr.obj_lo)
+        hi_o = np.asarray(pr.obj_hi)
         cs = np.array([[x, y, z] for x in (lo_o[0], hi_o[0])
                        for y in (lo_o[1], hi_o[1])
                        for z in (lo_o[2], hi_o[2])])

@@ -107,7 +107,7 @@ TE_INF = (1 << TE_BITS) - 1   # 4095 = +inf sentinel
 CID_MASK = (1 << 20) - 1      # cluster id in the low 20 bits (C < 1M)
 
 
-def _tile_slots(mask, te, q_max: int):
+def _tile_slots(mask, te, q_max: int, return_bound: bool = False):
     """Extract each tile's hit clusters into [T, q_max] packed slots
     ordered EXACTLY by entry t via one batched sort along the cluster
     axis (replaces an earlier 16-bin counting sort: the 16 [T, C] cumsums
@@ -120,7 +120,15 @@ def _tile_slots(mask, te, q_max: int):
     this one (floor ⇒ the dequantized value stays a valid lower bound;
     4095 = +inf). Packing both into one scalar-prefetch array keeps
     SMEM ≈ 0.5 MB. Returns (packed [T, q_max], cnt [T], tmin [T],
-    tscale [T], overflow)."""
+    tscale [T], overflow).
+
+    return_bound: additionally return (te_last [T], cid_last [T],
+    more [T]) — the LAST retained (entry-t, cluster-id) pair in the
+    stable lexicographic order and whether clusters were dropped. Every
+    dropped cluster is lexicographically after (te_last, cid_last), so a
+    hit at t <= te_last is provably the closest (dropped-cluster hits
+    happen at t >= their entry-t >= te_last); the exact-overflow loop in
+    tiled_closest_hit routes the remainder in later passes."""
     T, C = mask.shape
     te_f = jnp.where(mask, te, jnp.inf)
     tmin = jnp.min(te_f, axis=1, keepdims=True)
@@ -153,6 +161,12 @@ def _tile_slots(mask, te, q_max: int):
     bq = jnp.clip(bq, 0, TE_INF - 1).astype(jnp.int32)
     bq = jnp.where(jnp.isfinite(te_next), bq, TE_INF)
     packed = jnp.where(jnp.isfinite(te_slot), slots, 0) | (bq << 20)
+    if return_bound:
+        more = n_hit > q_max
+        te_last = jnp.where(more, te_sorted[:, q_max - 1], jnp.inf)
+        cid_last = jnp.where(more, cid_sorted[:, q_max - 1], 0)
+        return packed, cnt, tmin[:, 0], scale, overflow, \
+            (te_last, cid_last, more)
     return packed, cnt, tmin[:, 0], scale, overflow
 
 
@@ -197,7 +211,10 @@ def tiled_closest_hit(sw: SweptHair, ray: Ray, n_clusters: int, K: int,
                       tile: int = 64, q_max: int = 128, impl: str = "auto",
                       return_overflow: bool = False, mode: str = "closest",
                       sort_rays: bool = False, subcull: bool = False,
-                      two_round: int = 0, compact: bool = True):
+                      two_round: int = 0, compact: bool = True,
+                      resident: bool | None = None,
+                      unroll: int | None = None,
+                      exact_overflow: bool = True):
     """Closest hit over the cluster layout. Returns (t [N], prim_id [N]).
 
     n_clusters, K are the static cluster-layout ints; tile and q_max are
@@ -217,6 +234,11 @@ def tiled_closest_hit(sw: SweptHair, ray: Ray, n_clusters: int, K: int,
     if impl == "auto":
         impl = "pallas" if jax.default_backend() in ("tpu", "axon") \
             else "interpret"
+    # env knobs resolved OUTSIDE any jit trace so they can't be frozen
+    # into a cached compilation (ADVICE r2: a trace-time env read is a
+    # silent no-op on cache hits)
+    if unroll is None:
+        unroll = int(os.environ.get("HAIRPT_UNROLL", "4"))
     order = None
     if sort_rays:
         ray, order = _morton_sort_rays(sw, ray)
@@ -275,7 +297,8 @@ def tiled_closest_hit(sw: SweptHair, ray: Ray, n_clusters: int, K: int,
                     te = te_s.reshape(-1, n_clusters, n_sub).min(-1)
                 else:
                     mask, te = mask_s, te_s
-                slots, cnt, tmin, tscale, ov = _tile_slots(mask, te, q_cap)
+                slots, cnt, tmin, tscale, ov, (te_last, cid_last, more) = \
+                    _tile_slots(mask, te, q_cap, return_bound=True)
                 # ordered traversal: slots are sorted by tile entry-t with
                 # suffix-min bounds, so both query modes check the exit
                 # condition every slot; the packed slot table is
@@ -285,8 +308,58 @@ def tiled_closest_hit(sw: SweptHair, ray: Ray, n_clusters: int, K: int,
                     t_pmax_t, sw.seg_rows_t, K, q_cap,
                     any_hit=(mode == "any"),
                     interpret=(impl == "interpret"),
-                    exit_every=1,
-                    unroll=int(os.environ.get("HAIRPT_UNROLL", "4")))
+                    exit_every=1, resident=resident, unroll=unroll)
+                C_full = mask.shape[1]
+                if exact_overflow and C_full > q_cap:
+                    # EXACT completion for q_cap overflow (the reference's
+                    # contract, hair.cpp:485-542, admits no dropped hits):
+                    # a tile whose candidate set clipped at q_cap re-routes
+                    # the clusters lexicographically AFTER the last
+                    # retained (entry-t, cid) pair and re-runs phase B,
+                    # until every ray either has a hit at t <= the first
+                    # dropped cluster's entry-t (provably closest: hits in
+                    # dropped clusters lie at t >= their entry-t >= bound)
+                    # or candidates are exhausted. Terminates in
+                    # <= ceil(C/q_cap) passes; in practice the common case
+                    # pays only the vector reduce in `cond` (rays in
+                    # overflowing tiles almost always hit near clusters).
+                    cids = jax.lax.broadcasted_iota(jnp.int32, mask.shape,
+                                                    1)
+                    any_mode = (mode == "any")
+
+                    def _unresolved(t_k, p_k, te_l, more_k):
+                        u = (p_k < 0) if any_mode \
+                            else (t_k > te_l[:, None])
+                        return u & more_k[:, None]
+
+                    def ov_cond(carry):
+                        t_k, p_k, te_l, cid_l, more_k = carry
+                        return jnp.any(_unresolved(t_k, p_k, te_l, more_k))
+
+                    def ov_body(carry):
+                        t_k, p_k, te_l, cid_l, more_k = carry
+                        mask_k = mask & ((te > te_l[:, None])
+                                         | ((te == te_l[:, None])
+                                            & (cids > cid_l[:, None])))
+                        s2, c2, tm2, ts2, _, (te_l2, cid_l2, more2) = \
+                            _tile_slots(mask_k, te, q_cap,
+                                        return_bound=True)
+                        rays8_k = rays8_c.at[:, 7, :].set(
+                            jnp.minimum(rays8_c[:, 7, :], t_k))
+                        t2, p2 = tiled_phase_b(
+                            s2, c2, tm2, ts2, rays8_k, t_pmax_t,
+                            sw.seg_rows_t, K, q_cap, any_hit=any_mode,
+                            interpret=(impl == "interpret"),
+                            exit_every=1, resident=resident,
+                            unroll=unroll)
+                        better = t2 < t_k
+                        return (jnp.where(better, t2, t_k),
+                                jnp.where(better, p2, p_k),
+                                te_l2, cid_l2, more2)
+
+                    t_c, p_c, _, _, _ = jax.lax.while_loop(
+                        ov_cond, ov_body,
+                        (t_c, p_c, te_last, cid_last, more))
                 return t_c, p_c, ov
 
             if T <= t_chunk:
@@ -397,9 +470,12 @@ def tiled_closest_hit(sw: SweptHair, ray: Ray, n_clusters: int, K: int,
 def tiled_any_hit(sw: SweptHair, ray: Ray, n_clusters: int, K: int,
                   tile: int = 64, q_max: int = 128, impl: str = "auto",
                   sort_rays: bool = False, subcull: bool = False,
-                  compact: bool = True):
+                  compact: bool = True, resident: bool | None = None,
+                  unroll: int | None = None, exact_overflow: bool = True):
     degenerate = ray.maxt <= ray.mint
     t, p = tiled_closest_hit(sw, ray, n_clusters, K, tile, q_max, impl,
                              mode="any", sort_rays=sort_rays,
-                             subcull=subcull, compact=compact)
+                             subcull=subcull, compact=compact,
+                             resident=resident, unroll=unroll,
+                             exact_overflow=exact_overflow)
     return (p >= 0) & ~degenerate

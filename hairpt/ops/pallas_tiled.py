@@ -490,10 +490,6 @@ def cull_phase_a(rays8, bounds, interpret: bool = False):
 VMEM_RESIDENT_BYTES = 10 * 1024 * 1024
 
 
-@functools.partial(jax.jit,
-                   static_argnames=("K", "q_max", "any_hit", "interpret",
-                                    "exit_every", "nop", "mxu", "n_buf",
-                                    "resident", "unroll"))
 def tiled_phase_b(slots, cnt, tmin, tscale, rays8, t_pmax, seg_rows,
                   K: int, q_max: int, any_hit: bool = False,
                   interpret: bool = False, exit_every: int = 1,
@@ -505,13 +501,34 @@ def tiled_phase_b(slots, cnt, tmin, tscale, rays8, t_pmax, seg_rows,
 
     resident=None auto-pins the whole segment table in VMEM when it fits
     (≤ VMEM_RESIDENT_BYTES) — per-slot cluster access becomes a VMEM
-    dynamic slice instead of a latency-bound HBM DMA."""
-    T, _, TILE = rays8.shape
+    dynamic slice instead of a latency-bound HBM DMA.
+
+    The resident/env resolution happens HERE, outside the jit boundary,
+    so setting HAIRPT_FORCE_NONRESIDENT between same-signature calls is
+    honored (the resolved value is a static arg of the jitted impl —
+    each value gets its own compilation, never a stale cache hit)."""
     if resident is None:
         resident = seg_rows.size * 4 <= VMEM_RESIDENT_BYTES
         if os.environ.get("HAIRPT_FORCE_NONRESIDENT") == "1":
             resident = False    # test/probe knob: exercise the DMA path
             #                     on tables that would fit VMEM
+    return _tiled_phase_b_impl(slots, cnt, tmin, tscale, rays8, t_pmax,
+                               seg_rows, K=K, q_max=q_max, any_hit=any_hit,
+                               interpret=interpret, exit_every=exit_every,
+                               nop=nop, mxu=mxu, n_buf=n_buf,
+                               resident=bool(resident), unroll=unroll)
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("K", "q_max", "any_hit", "interpret",
+                                    "exit_every", "nop", "mxu", "n_buf",
+                                    "resident", "unroll"))
+def _tiled_phase_b_impl(slots, cnt, tmin, tscale, rays8, t_pmax, seg_rows,
+                        K: int, q_max: int, any_hit: bool,
+                        interpret: bool, exit_every: int,
+                        nop: bool, mxu: bool, n_buf: int,
+                        resident: bool, unroll: int):
+    T, _, TILE = rays8.shape
     if not resident and unroll > 1:
         # the unrolled DMA pipeline reads `unroll` buffers per iteration
         # while `unroll` prefetches are in flight — keep them disjoint

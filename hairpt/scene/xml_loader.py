@@ -88,7 +88,24 @@ def _collect_props(node, defines):
         elif ch.tag == "string":
             props[name] = _subst(ch.get("value"), defines)
         elif ch.tag in ("rgb", "spectrum", "srgb"):
-            props[name] = _parse_rgb(_subst(ch.get("value"), defines))
+            val = _subst(ch.get("value"), defines)
+            if ch.tag == "spectrum" and ":" in val:
+                # 'λ1:v1 λ2:v2 …' — InterpolatedSpectrum integrated to
+                # RGB via the CIE CMFs (scenehandler.cpp spectrum tag +
+                # spectrum.cpp InterpolatedSpectrum/toLinearRGB)
+                from ..core.spectrum import InterpolatedSpectrum
+                props[name] = tuple(
+                    InterpolatedSpectrum.from_string(val).to_rgb())
+            else:
+                props[name] = _parse_rgb(val)
+        elif ch.tag == "blackbody":
+            # <blackbody name="radiance" temperature="5000" [scale=..]/>
+            # — exact Planck integrated against the CIE CMFs
+            # (spectrum.cpp:1528 BlackBodySpectrum)
+            from ..core.spectrum import blackbody_rgb_exact
+            temp = float(_subst(ch.get("temperature"), defines))
+            sc = float(_subst(ch.get("scale", "1.0"), defines))
+            props[name] = tuple(blackbody_rgb_exact(temp, scale=sc))
         elif ch.tag == "vector":
             props[name] = (float(ch.get("x", 0)), float(ch.get("y", 0)),
                            float(ch.get("z", 0)))

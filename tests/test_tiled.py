@@ -178,18 +178,25 @@ def test_cull_phase_a_kernel_matches_jnp():
     assert np.all(np.isfinite(te_p[m_j]))
 
 
-def test_tiled_nonresident_unrolled_dma_matches_resident(monkeypatch):
+def test_tiled_nonresident_unrolled_dma_matches_resident():
     """The unrolled DMA pipeline (non-resident segment table, k-slot
     unroll with n_buf > unroll prefetch buffers) must produce the same
-    hits as the VMEM-resident path."""
+    hits as the VMEM-resident path.
+
+    resident is passed EXPLICITLY (not via HAIRPT_FORCE_NONRESIDENT):
+    it is a static arg of the jitted kernel wrapper, so resident=True
+    and resident=False are guaranteed distinct compilations — the DMA
+    path genuinely executes (ADVICE r2: the env-var form was a silent
+    jit-cache hit on the resident path)."""
     (p0, p1, n0, n1, rad), rays = _geom_and_rays()
     K = 32
     swept = sw.build_swept_hair(p0, p1, n0, n1, rad, K=K)
     C = int(swept.seg_rows.shape[0]) // K
 
-    t_res, prim_res = tl.tiled_closest_hit(swept, rays, C, K, q_max=192)
-    monkeypatch.setenv("HAIRPT_FORCE_NONRESIDENT", "1")
-    t_dma, prim_dma = tl.tiled_closest_hit(swept, rays, C, K, q_max=192)
+    t_res, prim_res = tl.tiled_closest_hit(swept, rays, C, K, q_max=192,
+                                           resident=True)
+    t_dma, prim_dma = tl.tiled_closest_hit(swept, rays, C, K, q_max=192,
+                                           resident=False, unroll=4)
 
     np.testing.assert_array_equal(np.asarray(prim_dma) >= 0,
                                   np.asarray(prim_res) >= 0)
@@ -198,5 +205,83 @@ def test_tiled_nonresident_unrolled_dma_matches_resident(monkeypatch):
                                rtol=1e-6, atol=1e-7)
     assert (np.asarray(prim_dma)[m] == np.asarray(prim_res)[m]).all()
 
-    occ_r = tl.tiled_any_hit(swept, rays, C, K, q_max=192)
+    occ_r = tl.tiled_any_hit(swept, rays, C, K, q_max=192, resident=False,
+                             unroll=4)
     np.testing.assert_array_equal(np.asarray(occ_r), m)
+
+
+def _adversarial_pencil(n_decoy=2000, K=32):
+    """A grazing pencil through MANY near-collinear decoy clusters: every
+    decoy fiber's AABB straddles the ray (slab test hits, so its cluster
+    lands in the tile's candidate set) but the cylinder itself is offset
+    so the ray misses; the ONLY true hit sits at the far end. With a tiny
+    q_max the router overflows and, without exact completion, drops the
+    far cluster containing the real hit — the VERDICT-r2 missable-hit
+    scenario (reference contract: hair.cpp:485-542, no dropped hits)."""
+    r = 0.01
+    xs = 0.1 + 0.05 * np.arange(n_decoy)
+    # decoy fibers: vertical, tilted in z from -1.5r to +5r so the AABB
+    # spans z=0 (slab hit for a z=0 ray) but at the y=0 crossing the
+    # axis sits at z=1.75r > r (cylinder miss)
+    p0 = np.stack([xs, np.full_like(xs, -0.5),
+                   np.full_like(xs, -1.5 * r)], -1)
+    p1 = np.stack([xs, np.full_like(xs, 0.5),
+                   np.full_like(xs, 5.0 * r)], -1)
+    # the one REAL hit: a fiber crossing the ray axis exactly, far end
+    x_hit = 0.1 + 0.05 * n_decoy + 1.0
+    p0 = np.concatenate([p0, [[x_hit, -0.5, 0.0]]]).astype(np.float32)
+    p1 = np.concatenate([p1, [[x_hit, 0.5, 0.0]]]).astype(np.float32)
+    axis = p1 - p0
+    axis /= np.linalg.norm(axis, axis=-1, keepdims=True)
+    n0 = n1 = axis.astype(np.float32)
+    rad = np.full(len(p0), r, np.float32)
+    swept = sw.build_swept_hair(p0, p1, n0, n1, rad, K=K)
+    C = int(swept.seg_rows.shape[0]) // K
+    # a full 64-ray tile of identical grazing rays down the +x axis
+    n_rays = 64
+    o = np.zeros((n_rays, 3), np.float32)
+    d = np.tile(np.array([[1.0, 0.0, 0.0]], np.float32), (n_rays, 1))
+    rays = Ray(o=jnp.asarray(o), d=jnp.asarray(d),
+               mint=jnp.zeros(n_rays), maxt=jnp.full(n_rays, np.inf))
+    return swept, C, rays, x_hit, len(p0) - 1
+
+
+def test_tiled_overflow_exact_completion():
+    """q_max overflow must not drop true hits (closest AND any mode)."""
+    K = 32
+    swept, C, rays, x_hit, hit_seg = _adversarial_pencil(K=K)
+    assert C > 8
+
+    t, p, ovf = tl.tiled_closest_hit(swept, rays, C, K, q_max=8,
+                                     return_overflow=True)
+    assert int(ovf) > 0   # the trap genuinely overflows the router
+    # exact completion: every ray finds the far hit
+    np.testing.assert_allclose(np.asarray(t), x_hit - 0.01, atol=1e-3)
+    assert np.all(np.asarray(p) == hit_seg)
+    occ = tl.tiled_any_hit(swept, rays, C, K, q_max=8)
+    assert np.all(np.asarray(occ))
+
+    # the naive router (exact_overflow=False) DROPS the hit — the trap
+    # is real, and the completion pass is what fixes it
+    t_naive, p_naive = tl.tiled_closest_hit(swept, rays, C, K, q_max=8,
+                                            exact_overflow=False)
+    assert not np.any(np.asarray(p_naive) >= 0)
+
+
+def test_tiled_overflow_exact_matches_large_q_random():
+    """On ordinary geometry a small q_max with exact completion must
+    reproduce the large-q_max (no overflow) result bit-for-bit."""
+    (p0, p1, n0, n1, rad), rays = _geom_and_rays(n_fibers=300,
+                                                 n_rays=1024)
+    K = 32
+    swept = sw.build_swept_hair(p0, p1, n0, n1, rad, K=K)
+    C = int(swept.seg_rows.shape[0]) // K
+    t_big, p_big = tl.tiled_closest_hit(swept, rays, C, K, q_max=192)
+    t_sm, p_sm, ovf = tl.tiled_closest_hit(swept, rays, C, K, q_max=8,
+                                           return_overflow=True)
+    assert int(ovf) > 0
+    np.testing.assert_array_equal(np.asarray(p_sm) >= 0,
+                                  np.asarray(p_big) >= 0)
+    m = np.asarray(p_big) >= 0
+    np.testing.assert_allclose(np.asarray(t_sm)[m], np.asarray(t_big)[m],
+                               rtol=1e-6, atol=1e-7)
