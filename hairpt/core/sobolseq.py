@@ -8,16 +8,22 @@ two components land inside that pixel (sobol.cpp:183-211, after
 Gruenschloss et al., "Enumerating Quasi-Monte Carlo Point Sequences in
 Elementary Intervals").
 
-The reference ships a 2.2 MB precomputed direction-number table
-(sobolseq.h:29-80 / sobolseq.cpp). We *generate* our matrices instead:
-primitive polynomials over GF(2) are enumerated in the canonical order
-(increasing degree), and initial direction numbers are drawn odd from a
-fixed-seed PCG — a valid Sobol' construction (every 1-D projection is a
-(0,1)-sequence; dims 0/1 are the canonical van-der-Corput + x+1 pair, so
-the pixel lookup's (0,2)-net property holds exactly). Dimensions ≥ 2 get
-a fixed per-dimension digital XOR shift (Kollig-Keller style) which
-preserves all net properties while decorrelating the raw random-init
-projections.
+Direction numbers: the reference ships a 2.2 MB precomputed table
+(sobolseq.h:29-80 / sobolseq.cpp — Gruenschloss's published matrices
+with Joe-Kuo-style optimized initial numbers). hairpt uses those
+optimized matrices for dims < 1024 (extracted to
+data/sobol_matrices.npz by tools/extract_sobol_matrices.py — published
+DATA, same provenance category as the Hosek tables): round-2 had
+random-init odd direction numbers instead, and the pairwise-projection
+audit (tests/test_sobol.py::test_pairwise_projection_discrepancy...)
+measured 18/136 bounce-dim pairs with >2x worse L2 star discrepancy —
+exactly the VERDICT-r2 #4 concern. Dimensions >= 1024 (bounce depth
+> 63) are still generated: primitive polynomials over GF(2) in
+canonical order, initial numbers odd from a fixed-seed PCG, plus a
+fixed per-dimension digital XOR shift (Kollig-Keller style; valid
+Sobol' construction, net properties exact). Dims 0/1 are the canonical
+van-der-Corput + x+1 pair in BOTH sources, so the pixel lookup's
+(0,2)-net inversion is unchanged.
 
 All per-lane math is branch-free u32 bit fiddling on the VPU.
 """
@@ -146,12 +152,37 @@ def _direction_vectors(n_dims: int = N_DIMS) -> np.ndarray:
 
 
 _DIRS = None
+_TABLE_DIMS = 0     # dims taken from the optimized reference table
+#                     (no digital shift applied to those — the table's
+#                     projections are already optimized and the star
+#                     discrepancy is not shift-invariant)
 
 
-def direction_vectors() -> np.ndarray:
-    global _DIRS
+def _load_reference_table():
+    import os
+    path = os.path.join(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))), "data", "sobol_matrices.npz")
+    if os.path.exists(path):
+        return np.load(path)["matrices32"].astype(np.uint32)
+    return None
+
+
+def direction_vectors(optimized: bool = True) -> np.ndarray:
+    """[N_DIMS, 32] direction vectors. optimized=True (default) overlays
+    the reference's published optimized matrices on dims < 1024;
+    optimized=False returns the pure generated construction (used by the
+    projection-quality test as the comparison subject)."""
+    global _DIRS, _TABLE_DIMS
+    if not optimized:
+        return _direction_vectors()
     if _DIRS is None:
-        _DIRS = _direction_vectors()
+        V = _direction_vectors()
+        ref = _load_reference_table()
+        if ref is not None:
+            nd = min(ref.shape[0], V.shape[0])
+            V[:nd] = ref[:nd]
+            _TABLE_DIMS = nd
+        _DIRS = V
     return _DIRS
 
 
@@ -213,12 +244,13 @@ def make_np_tables():
     created inside a trace is a tracer and must not be cached across
     traces). Convert with jnp.asarray at each use site."""
     dirs = direction_vectors()
-    # per-dimension digital shift (dims 0/1 unshifted: pixel mapping)
+    # per-dimension digital shift for GENERATED dims only (dims 0/1
+    # unshifted: pixel mapping; table dims unshifted: their projections
+    # are pre-optimized and star discrepancy is not shift-invariant)
     rs = np.random.RandomState(0xD161)
     shift = rs.randint(0, 1 << 32, size=N_DIMS, dtype=np.uint64) \
         .astype(np.uint32)
-    shift[0] = 0
-    shift[1] = 0
+    shift[:max(_TABLE_DIMS, 2)] = 0
     return dirs, shift
 
 

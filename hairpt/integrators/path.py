@@ -20,6 +20,7 @@ from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp
+from jax.ad_checkpoint import checkpoint_name
 
 from ..core import rng
 from ..core.math import Ray, dot
@@ -61,6 +62,65 @@ def _mi_weight(pdf_a, pdf_b):
                      0.0)
 
 
+def _camera_uv_partials(arr, cam_l, pos, ap, ray, hit):
+    """Screen-space uv footprint Jacobian at the FIRST (camera) hit —
+    parity with Intersection::computePartials (reference:
+    include/mitsuba/render/records.inl: offset-ray plane transfer +
+    dpdu/dpdv least squares). Returns (duv_dx, duv_dy) [N, 2] in
+    unscaled uv units; zeros for hair/miss/degenerate-uv lanes (callers
+    fall back to the isotropic LOD there)."""
+    sh = arr.tri_shading
+    i = jnp.maximum(hit.prim, 0)
+    duv1 = sh.uv1[i] - sh.uv0[i]
+    duv2 = sh.uv2[i] - sh.uv0[i]
+    e1 = arr.tri.e1[i]
+    e2 = arr.tri.e2[i]
+    det_uv = duv1[..., 0] * duv2[..., 1] - duv1[..., 1] * duv2[..., 0]
+    inv_uv = 1.0 / jnp.where(jnp.abs(det_uv) < 1e-12, 1.0, det_uv)
+    dpdu = (duv2[..., 1:2] * e1 - duv1[..., 1:2] * e2) * inv_uv[..., None]
+    dpdv = (-duv2[..., 0:1] * e1 + duv1[..., 0:1] * e2) * inv_uv[..., None]
+
+    # offset rays through the adjacent pixel centers, transferred to the
+    # hit's tangent plane (the reference's rayDifferential construction,
+    # perspective.cpp:271 sampleRayDifferential)
+    one_x = jnp.asarray([1.0, 0.0], jnp.float32)
+    one_y = jnp.asarray([0.0, 1.0], jnp.float32)
+    ray_dx = sensors.sample_ray(cam_l, pos + one_x, ap)
+    ray_dy = sensors.sample_ray(cam_l, pos + one_y, ap)
+    n = hit.geo_n
+    d_dot = dot(ray.d, n)
+
+    def transfer(rd):
+        tq = dot(hit.p - rd.o, n) / jnp.where(
+            jnp.abs(dot(rd.d, n)) < 1e-12, 1.0, dot(rd.d, n))
+        return rd.o + rd.d * tq[..., None] - hit.p
+
+    dpdx = transfer(ray_dx)
+    dpdy = transfer(ray_dy)
+
+    # least-squares projection onto (dpdu, dpdv)
+    g00 = dot(dpdu, dpdu)
+    g01 = dot(dpdu, dpdv)
+    g11 = dot(dpdv, dpdv)
+    det_g = g00 * g11 - g01 * g01
+    inv_g = 1.0 / jnp.where(jnp.abs(det_g) < 1e-20, 1.0, det_g)
+
+    def solve(dp):
+        bu = dot(dpdu, dp)
+        bv = dot(dpdv, dp)
+        return jnp.stack([(g11 * bu - g01 * bv) * inv_g,
+                          (g00 * bv - g01 * bu) * inv_g], axis=-1)
+
+    # uv_density > 0 restricts to direct triangle hits (instanced lanes
+    # carry prototype prim ids that must not index the scene tri table)
+    ok = (hit.valid & ~hit.is_hair & (hit.uv_density > 0)
+          & (jnp.abs(det_uv) > 1e-12)
+          & (jnp.abs(det_g) > 1e-20) & (jnp.abs(d_dot) > 1e-6))
+    z = jnp.zeros(pos.shape, jnp.float32)
+    return (jnp.where(ok[..., None], solve(dpdx), z),
+            jnp.where(ok[..., None], solve(dpdy), z))
+
+
 class PathState(NamedTuple):
     depth: jnp.ndarray          # [] int32 (uniform across wavefront)
     active: jnp.ndarray         # [N]
@@ -76,6 +136,9 @@ class PathState(NamedTuple):
     prev_delta: jnp.ndarray     # [N]
     emission_allowed: jnp.ndarray  # [N] loop-top Le gate (first hit only)
     n_rays: jnp.ndarray         # [] float32 — rays traced (perf counter)
+    duv_dx: jnp.ndarray         # [N, 2] camera-ray uv footprint Jacobian
+    duv_dy: jnp.ndarray         # [N, 2] (zeros when unavailable — EWA
+    #                             falls back to the isotropic LOD)
 
 
 def _env_radiance(arr, d):
@@ -350,6 +413,20 @@ def make_li_fn(scene: Scene, differentiable: bool = False,
         hit0 = scene_intersect(arr, ray, cfg.traversal, cfg.block,
                                _swept_params(cfg))
 
+        # EWA footprint Jacobian at the camera hit (mipmap.h parity);
+        # bounce hits fall back to the isotropic LOD inside the loop.
+        # Untextured scenes carry ZERO-width fields — no dead [N,2]
+        # state threaded through the bounce loop at wavefront scale
+        has_ewa = (arr.checkers is not None
+                   and arr.checkers.mips.shape[1] > 0
+                   and arr.tri is not None)
+        if has_ewa:
+            duv0_dx, duv0_dy = _camera_uv_partials(arr, cam_l, pos, ap,
+                                                   ray, hit0)
+        else:
+            duv0_dx = jnp.zeros((n, 0), jnp.float32)
+            duv0_dy = jnp.zeros((n, 0), jnp.float32)
+
         state = PathState(
             depth=jnp.int32(1),
             active=jnp.ones((n,), bool),
@@ -362,6 +439,7 @@ def make_li_fn(scene: Scene, differentiable: bool = False,
             prev_delta=jnp.zeros((n,), bool),
             emission_allowed=jnp.ones((n,), bool),
             n_rays=jnp.float32(n),
+            duv_dx=duv0_dx, duv_dy=duv0_dy,
         )
 
         def cond(st: PathState):
@@ -426,13 +504,19 @@ def make_li_fn(scene: Scene, differentiable: bool = False,
             # mip LOD from the ray footprint: uv-space footprint ≈
             # t · (pixel angle) · uv_density, in texels at the base level
             lod = None
+            duv = None
             if arr.checkers is not None and arr.checkers.mips.shape[1] > 0:
                 pix_ang = 2.0 * cam.tan_half_fov / cfg.width
                 res_t = arr.checkers.bitmaps.shape[1]
                 foot = hit.t * pix_ang * hit.uv_density * res_t
                 lod = jnp.log2(jnp.maximum(foot, 1.0))
+                # camera-hit lanes with a real Jacobian get anisotropic
+                # EWA; zero-Jacobian lanes (bounces, hair, degenerate uv)
+                # keep the isotropic trilinear LOD above
+                if st.duv_dx.shape[-1] == 2:
+                    duv = (st.duv_dx, st.duv_dy)
             gm = mat.gather(arr.materials, arr.checkers, hit.mat_id, hit.uv,
-                            lod, hit.bary, hit.vcolor)
+                            lod, hit.bary, hit.vcolor, duv)
 
             # ---- dipole subsurface lanes: gather Lo, terminate ----
             if mat.DIPOLE in set(int(k) for k in active_kinds) \
@@ -493,6 +577,11 @@ def make_li_fn(scene: Scene, differentiable: bool = False,
                         arr, shadow, cfg.traversal, cfg.block,
                         _swept_params(cfg),
                         sort_rays=("nosort" not in ablate), compact=False)
+                    # saved across the remat boundary in differentiable
+                    # mode (policy below): geometry queries carry no
+                    # tangents, so re-running the any-hit Pallas kernels
+                    # during backward is pure waste
+                    occluded = checkpoint_name(occluded, "isect")
                 vis = nee_ok & ~occluded
                 w_nee = jnp.where(is_dl, 1.0,
                                   _mi_weight(pdf_nee, bsdf_pdf_nee))
@@ -551,6 +640,11 @@ def make_li_fn(scene: Scene, differentiable: bool = False,
                                    cfg.block, _swept_params(cfg),
                                    sort_rays=("nosort" not in ablate),
                                    compact=False)
+            # tag the full hit record for the differentiable remat
+            # policy (identity in forward-only mode)
+            hit2 = jax.tree_util.tree_map(
+                lambda x: checkpoint_name(x, "isect"),
+                hit2)
 
             # ---- RR ---- (disabled in differentiable mode: the survival
             # decision is not differentiable and max_depth is small there)
@@ -580,12 +674,23 @@ def make_li_fn(scene: Scene, differentiable: bool = False,
                 prev_delta=is_delta,
                 emission_allowed=jnp.zeros((n,), bool),
                 n_rays=n_rays,
+                # the camera-hit Jacobian is consumed at depth 1; bounce
+                # hits use the isotropic footprint
+                duv_dx=jnp.zeros_like(st.duv_dx),
+                duv_dy=jnp.zeros_like(st.duv_dy),
             )
 
         if differentiable:
-            # fixed-length, rematerialized per bounce (reverse-mode safe)
+            # fixed-length, rematerialized per bounce (reverse-mode
+            # safe). The policy SAVES the tagged intersection results:
+            # the backward replay recomputes shading (cheap, carries the
+            # tangents) but never re-runs the closest-hit/any-hit Pallas
+            # kernels (tangent-free, ~half the forward cost). Memory:
+            # one Hit record + one occlusion mask per bounce per lane.
             ckpt_body = jax.checkpoint(
-                lambda st: body(st, pixel_idx, sample_idx))
+                lambda st: body(st, pixel_idx, sample_idx),
+                policy=jax.checkpoint_policies.save_only_these_names(
+                    "isect"))
             final, _ = jax.lax.scan(lambda st, _: (ckpt_body(st), None),
                                     state, None,
                                     length=max(cfg.max_depth - 1, 0))

@@ -172,9 +172,101 @@ def pack_materials(rows, cloth=None) -> MaterialTable:
         nrm_kind=arr("nrm_kind", np.int32), nrm_scale=arr("nrm_scale"))
 
 
+def _bilinear_mip(tex: CheckerboardTable, tid, su, sv, level_idx):
+    """Bilinear lookup in mip level `level_idx` [N] of texture `tid` [N]
+    at scaled-uv (su, sv) [N] (repeat wrap, v flipped)."""
+    r = tex.bitmaps.shape[1]
+    fu = jnp.mod(su, 1.0) * r - 0.5
+    fv = jnp.mod(1.0 - jnp.mod(sv, 1.0), 1.0) * r - 0.5
+    x0 = jnp.floor(fu).astype(jnp.int32)
+    y0 = jnp.floor(fv).astype(jnp.int32)
+    wx = (fu - x0)[..., None]
+    wy = (fv - y0)[..., None]
+    x0m = jnp.mod(x0, r); x1m = jnp.mod(x0 + 1, r)
+    y0m = jnp.mod(y0, r); y1m = jnp.mod(y0 + 1, r)
+    bm_l = tex.mips[tid, level_idx]
+    lanes = jnp.arange(bm_l.shape[0])
+    return ((bm_l[lanes, y0m, x0m] * (1 - wx)
+             + bm_l[lanes, y0m, x1m] * wx) * (1 - wy)
+            + (bm_l[lanes, y1m, x0m] * (1 - wx)
+               + bm_l[lanes, y1m, x1m] * wx) * wy)
+
+
+def ewa_eval_bitmap(tex: CheckerboardTable, tid, su, sv, duv_dx, duv_dy,
+                    n_probes: int = 7, max_aniso: float | None = None):
+    """Anisotropic elliptical filtering of the bitmap pyramid — the
+    vector-architecture form of the reference's EWA
+    (include/mitsuba/render/mipmap.h evalEWA): instead of rasterizing a
+    dynamic texel bounding box (data-dependent loop, hostile to XLA),
+    the footprint ellipse (image of the pixel under the uv Jacobian
+    [duv_dx | duv_dy], in SCALED-uv units) is integrated by a STATIC set
+    of Gaussian-weighted trilinear probes spaced along its major axis at
+    the mip level matching the minor axis — McCormack et al.'s Feline
+    construction, the standard bounded-cost EWA approximation. Per-lane
+    Jacobians, fully batched; cost = n_probes x 2 bilinear mip reads.
+
+    max_aniso defaults to (n_probes+1)/2 — the largest ratio the probe
+    set can cover WITHOUT gaps (probe spacing <= minor-axis filter
+    radius); beyond it the minor axis widens, exactly the hardware
+    'max anisotropy' clamp semantics."""
+    if max_aniso is None:
+        max_aniso = (n_probes + 1) / 2.0
+    r = tex.bitmaps.shape[1]
+    L = tex.mips.shape[1]
+    # Jacobian in texel units
+    a = duv_dx[..., 0] * r
+    c = duv_dx[..., 1] * r
+    b = duv_dy[..., 0] * r
+    d = duv_dy[..., 1] * r
+    # principal axes of the footprint ellipse = eigen-structure of A Aᵀ
+    m00 = a * a + b * b
+    m11 = c * c + d * d
+    m01 = a * c + b * d
+    tr = m00 + m11
+    diff = jnp.sqrt(jnp.maximum((m00 - m11) ** 2 + 4 * m01 * m01, 0.0))
+    s_major = jnp.sqrt(jnp.maximum(0.5 * (tr + diff), 1e-12))
+    s_minor = jnp.sqrt(jnp.maximum(0.5 * (tr - diff), 0.0))
+    # clamp: minor >= major/max_aniso (bounds probe count error) and
+    # >= 1 texel (bilinear handles sub-texel)
+    s_minor = jnp.maximum(jnp.maximum(s_minor, s_major / max_aniso), 1.0)
+    s_major = jnp.maximum(s_major, s_minor)
+    theta = 0.5 * jnp.arctan2(2 * m01, m00 - m11)
+    maj_u = jnp.cos(theta) / r       # major-axis direction, uv units
+    maj_v = jnp.sin(theta) / r
+    lvl = jnp.clip(jnp.log2(s_minor), 0.0, L - 1.001)
+    l0 = jnp.floor(lvl).astype(jnp.int32)
+    fl = (lvl - l0)[..., None]
+    l1 = jnp.minimum(l0 + 1, L - 1)
+
+    # probes along the major line, length 2*(major - minor), Gaussian
+    # weighted (alpha=2 as in Feline); n_probes=1 degenerates to
+    # trilinear at the minor-axis level
+    half = jnp.maximum(s_major - s_minor, 0.0)
+    acc = jnp.zeros(su.shape + (3,), jnp.float32)
+    wsum = jnp.zeros(su.shape + (1,), jnp.float32)
+    for i in range(n_probes):
+        u_i = (2.0 * i / max(n_probes - 1, 1) - 1.0) if n_probes > 1 \
+            else 0.0
+        w = jnp.exp(jnp.float32(-2.0 * u_i * u_i))[None] \
+            * jnp.ones_like(su)[..., None]
+        off = half * u_i
+        pu = su + maj_u * off
+        pv = sv + maj_v * off
+        v0 = _bilinear_mip(tex, tid, pu, pv, l0)
+        v1 = _bilinear_mip(tex, tid, pu, pv, l1)
+        acc = acc + w * (v0 * (1 - fl) + v1 * fl)
+        wsum = wsum + w
+    return acc / wsum
+
+
 def eval_checkerboard(tex: CheckerboardTable, tex_id, uv, base,
-                      lod=None, bary=None, vcolor=None):
-    """Resolve textured reflectance; lanes with tex_id < 0 keep `base`."""
+                      lod=None, bary=None, vcolor=None, duv=None):
+    """Resolve textured reflectance; lanes with tex_id < 0 keep `base`.
+
+    duv: optional (duv_dx [N,2], duv_dy [N,2]) uv-space pixel-footprint
+    Jacobian (UNscaled uv units) — enables anisotropic EWA filtering of
+    bitmap lanes (mipmap.h parity); scalar `lod` remains the isotropic
+    fallback."""
     if tex is None:
         return base
     tid = jnp.maximum(tex_id, 0)
@@ -225,6 +317,15 @@ def eval_checkerboard(tex: CheckerboardTable, tex_id, uv, base,
         v0 = bil(l0)
         v1 = bil(jnp.minimum(l0 + 1, L - 1))
         val_bm = v0 * (1 - fl) + v1 * fl
+        if duv is not None:
+            # anisotropic EWA where a true footprint Jacobian is available
+            # (zero-Jacobian lanes keep the trilinear value)
+            sc_dx = duv[0] * scale
+            sc_dy = duv[1] * scale
+            has_j = (jnp.sum(jnp.abs(sc_dx), -1)
+                     + jnp.sum(jnp.abs(sc_dy), -1)) > 0
+            val_ewa = ewa_eval_bitmap(tex, tid, su, sv, sc_dx, sc_dy)
+            val_bm = jnp.where(has_j[..., None], val_ewa, val_bm)
         val = jnp.where((tex.kind[tid] == 1)[..., None], val_bm, val)
     # gridtexture (src/textures/gridtexture.cpp): color1 lines of width
     # `lineWidth` along integer cell borders, color0 inside cells
@@ -251,11 +352,12 @@ def eval_checkerboard(tex: CheckerboardTable, tex_id, uv, base,
 
 
 def gather(table: MaterialTable, tex: Optional[CheckerboardTable],
-           mat_id, uv, lod=None, bary=None, vcolor=None) -> GatheredMat:
+           mat_id, uv, lod=None, bary=None, vcolor=None,
+           duv=None) -> GatheredMat:
     m = jnp.maximum(mat_id, 0)
     diffuse = table.diffuse[m]
     diffuse = eval_checkerboard(tex, table.tex_id[m], uv, diffuse, lod,
-                                bary, vcolor)
+                                bary, vcolor, duv)
     gm = GatheredMat(
         kind=table.kind[m], diffuse=diffuse, specular=table.specular[m],
         transmit=table.transmit[m], exponent=table.exponent[m],

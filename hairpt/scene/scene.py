@@ -176,6 +176,10 @@ class SceneBuilder:
         self.mesh_motion = {}      # mesh index → 4x4 relative motion (world)
         self.camera1 = None        # Camera at the motion target time
         self.animated_meshes = {}  # mesh index → AnimatedTransform
+        self.morph_meshes = {}     # mesh index → (mesh@t0, mesh@t1) world
+        #                            keyframe pair (deformable.cpp): the
+        #                            vertex lerp re-evaluates per shutter
+        #                            time under motion blur
         self.shutter = (0.0, 0.0)  # (open, close); close > open ⇒ blur
         self.media_rows = []       # shape-bounded media (1-based ids)
         self.mesh_media = {}       # mesh index → (interior_id, exterior_id)
@@ -310,6 +314,23 @@ class SceneBuilder:
             cols[:, 1] = np.where(k >= 0, v, 0.0)
             mesh = mesh._replace(colors=cols)
         self.tri_meshes.append((mesh, mat_id, emitter_id))
+
+    def add_morph_mesh(self, m0: shp.Mesh, m1: shp.Mesh, mat_id: int,
+                       to_world=None, radiance=None, time: float = 0.0):
+        """Keyframe-morph mesh (reference: src/shapes/deformable.cpp —
+        vertices lerped at the intersection's ray time). The scene is
+        built at `time`; under an open shutter the rebuild_geo hook
+        re-lerps the WORLD-space keyframe pair at each wave's stratified
+        shutter time, hairpt's per-ray-time equivalent (render() stratifies
+        time over sample indices; see integrators/path.render)."""
+        k = len(self.tri_meshes)
+        self.add_mesh(shp.lerp_mesh(m0, m1, float(np.clip(time, 0, 1))),
+                      mat_id, to_world=to_world, radiance=radiance)
+        w0 = shp.transform_mesh(m0, to_world) if to_world is not None \
+            else m0
+        w1 = shp.transform_mesh(m1, to_world) if to_world is not None \
+            else m1
+        self.morph_meshes[k] = (w0, w1)
 
     def add_fibers(self, fs: hairgen.FiberSet, mat_id: int):
         self.fibers.append((fs, mat_id))
@@ -607,7 +628,7 @@ class SceneBuilder:
         # AnimatedTransform evaluation during traversal, trimesh/instance
         # animation — here time is stratified per sample index instead).
         rebuild = None
-        if self.animated_meshes:
+        if self.animated_meshes or self.morph_meshes:
             cam_b, film_b = camera, film
             kwargs_b = dict(config_kwargs)
             t_open = float(self.shutter[0])
@@ -618,11 +639,21 @@ class SceneBuilder:
                 b2.tri_meshes = list(_b.tri_meshes)
                 b2.animated_meshes = {}
                 b2.mesh_motion = {}
+                b2.morph_meshes = {}
                 b2.camera1 = None
+                # deformable keyframe morph at this shutter time
+                # (deformable.cpp per-ray-time vertex lerp; identical
+                # shapes ⇒ one jitted wave serves every time)
+                for k, (w0, w1) in _b.morph_meshes.items():
+                    _, mid, eid = _b.tri_meshes[k]
+                    b2.tri_meshes[k] = (
+                        shp.lerp_mesh(w0, w1,
+                                      float(np.clip(t, 0.0, 1.0))),
+                        mid, eid)
                 for k, anim in _b.animated_meshes.items():
                     rel = (anim.eval(float(t))
                            @ np.linalg.inv(anim.eval(t_open)))
-                    mesh0, mid, eid = _b.tri_meshes[k]
+                    mesh0, mid, eid = b2.tri_meshes[k]
                     b2.tri_meshes[k] = (shp.transform_mesh(mesh0, rel),
                                         mid, eid)
                 return b2.build(cam_b, film_b, **kwargs_b).arrays

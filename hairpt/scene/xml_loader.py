@@ -47,6 +47,9 @@ BSDF_KINDS = {
     # "marschner" = the fork's MarschnerDiffuse build; corrected mode is
     # the default here, faithful quirks behind <boolean name="faithful">
     "marschner": mat.MARSCHNER_PURE,
+    # alias used by some fork scene files (hair_curl_diffuse.xml names
+    # the class, not the SConscript plugin name)
+    "marschner_diffuse": mat.MARSCHNER_PURE,
     "marschnerdielectric": mat.MARSCHNERDIELECTRIC,
     "hk": mat.HK,
     "irawan": mat.CLOTH,
@@ -431,10 +434,19 @@ def _read_texture_image(fname: str, scene_dir: str, gamma: float = 2.2):
 def _standin_fibers(scene_dir: str, filename: str, radius: float,
                     quality: float):
     """Procedural replacement for missing .mitshair files, keyed by the
-    scene directory / file name."""
+    scene directory / file name.
+
+    quality < 1 reduces the fiber count; the radius is enlarged by
+    1/sqrt(quality) — the reference's own Cook-style stochastic
+    `reduction` semantics (hair.cpp:620-628), which conserves projected
+    coverage. Without it, low-quality stand-ins leak background sky
+    through inter-fiber gaps the real dense asset doesn't have — the
+    measured source of the furball golden-image blue skew (7.7% of hair
+    bbox pixels were sky-dominant vs 0% in the reference render)."""
     key = (os.path.basename(os.path.normpath(scene_dir)) + " "
            + os.path.basename(filename)).lower()
     q = quality
+    radius = radius / np.sqrt(min(max(q, 1e-6), 1.0))
     if "furball" in key:
         return hairgen.gen_furball(n_fibers=int(6000 * q), radius=radius)
     if "curly" in key:
@@ -453,10 +465,16 @@ def load_scene(path: str, defines: dict | None = None,
                spp_override: int | None = None,
                res_scale: float = 1.0,
                hair_quality: float = 1.0,
-               max_depth_override: int | None = None) -> Scene:
+               max_depth_override: int | None = None,
+               validate: bool = True) -> Scene:
     defines = defines or {}
     scene_dir = os.path.dirname(os.path.abspath(path))
     root = ET.parse(path).getroot()
+    if validate:
+        # early structured errors instead of a late KeyError mid-build
+        # (reference: XSD validation, scenehandler.cpp:197)
+        from .xml_validate import validate as _validate_xml
+        _validate_xml(root, path)
     b = SceneBuilder()
 
     # integrator
@@ -767,8 +785,11 @@ def load_scene(path: str, defines: dict | None = None,
                                                                1.0))),
                        mid, to_world=to_world, radiance=radiance)
         elif stype == "deformable":
-            # keyframe morph evaluated at the scene's fixed time
-            # (reference: src/shapes/deformable.cpp; -D time=t)
+            # keyframe morph (reference: src/shapes/deformable.cpp —
+            # vertices lerped at the ray's time). Registered as a morph
+            # pair: still renders evaluate at `time` (-D time=t); with
+            # an open shutter the pair re-lerps per stratified wave time
+            # — true deformation motion blur (scene.add_morph_mesh)
             f0 = os.path.join(scene_dir, p.get("filename", ""))
             f1 = os.path.join(scene_dir, p.get("filename2",
                                                p.get("filename", "")))
@@ -780,8 +801,8 @@ def load_scene(path: str, defines: dict | None = None,
                 if os.path.exists(f1) and f1 != f0:
                     m1 = shp.load_obj(f1) if f1.endswith(".obj") \
                         else shp.load_serialized(f1)
-                b.add_mesh(shp.lerp_mesh(m0, m1, t_anim), mid,
-                           to_world=to_world, radiance=radiance)
+                b.add_morph_mesh(m0, m1, mid, to_world=to_world,
+                                 radiance=radiance, time=t_anim)
         if motion_m is not None:
             for k in range(pre_mesh_count, len(b.tri_meshes)):
                 b.mesh_motion[k] = motion_m

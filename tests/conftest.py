@@ -14,3 +14,35 @@ if "xla_force_host_platform_device_count" not in flags:
 import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
+
+
+# ---------------------------------------------------------------------------
+# fast/slow tiers (VERDICT r2 #9): `pytest -m fast` is the <2-min gate;
+# the full suite exceeds a 10-minute CPU budget on small hosts. Slow
+# modules (full renders, χ² batteries, MLT chains, golden images) are
+# auto-marked; individual tests can also opt in with @pytest.mark.slow.
+# ---------------------------------------------------------------------------
+import pytest  # noqa: E402
+
+SLOW_MODULES = {
+    "test_golden", "test_render_e2e", "test_tiled", "test_swept",
+    "test_media", "test_mlt_mutators", "test_bdpt", "test_photonmap",
+    "test_grad_and_sharding", "test_motion", "test_bsdf", "test_emitters",
+    "test_singlescatter", "test_bounded_media", "test_cloth",
+    "test_manifold", "test_vpl", "test_intersect", "test_sobol",
+    "test_instancing", "test_texture_ewa",
+}
+
+
+def pytest_configure(config):
+    config.addinivalue_line("markers", "slow: long-running (renders, χ²)")
+    config.addinivalue_line("markers", "fast: quick gate tier")
+
+
+def pytest_collection_modifyitems(config, items):
+    for item in items:
+        mod = item.nodeid.split("::")[0].rsplit("/", 1)[-1].split(".")[0]
+        if mod in SLOW_MODULES or "slow" in item.keywords:
+            item.add_marker(pytest.mark.slow)
+        else:
+            item.add_marker(pytest.mark.fast)

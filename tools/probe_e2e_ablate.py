@@ -54,12 +54,21 @@ def main():
     swz = block_swizzle(res, res)
 
     def run_variant(name):
+        import dataclasses
         ablate = ()
         sc = scene
         if name == "pcg":
             sc = scene_pcg
         elif name == "stage1":
             os.environ["HAIRPT_STAGES"] = "1"
+        elif name.startswith("stages"):
+            os.environ["HAIRPT_STAGES"] = name[6:]
+        elif name.startswith("d") and name[1:].isdigit():
+            sc = scene._replace(config=dataclasses.replace(
+                scene.config, max_depth=int(name[1:])))
+        elif name.startswith("q") and name[1:].isdigit():
+            sc = scene._replace(config=dataclasses.replace(
+                scene.config, tiled_q=int(name[1:])))
         elif name != "full":
             ablate = tuple(name.split("+"))
         li_fn = path_int.make_li_fn(sc, ablate=ablate)
@@ -89,7 +98,7 @@ def main():
                                          weight)
         barrier(weight)
         dt = (time.time() - t0) / reps
-        if name == "stage1":
+        if name.startswith("stage"):
             os.environ.pop("HAIRPT_STAGES", None)
         print(f"[ab] {name:12s}: {dt*1e3:7.0f} ms/wave "
               f"({float(n_rays)/1e6:.2f} Mrays → "
