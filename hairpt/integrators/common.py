@@ -274,13 +274,13 @@ def scene_occluded(arr: SceneArrays, ray: Ray, traversal: str = "packed",
         ray2 = ray._replace(maxt=jnp.where(occ, 0.0, ray.maxt))
         if traversal in ("tiled", "tiled_sub") and arr.hair_swept is not None:
             c, k, _, _, q_max = swept
-            # shadow/any-hit queries route with a SMALL slot cap: an
-            # occluder is almost always in the nearest few clusters, and
-            # the exact-overflow completion loop (intersect_tiled)
-            # guarantees the rare far-occluder case is still found —
-            # routing cost (slot extraction + SMEM) drops ~4x
+            # NOTE: a smaller any-hit slot cap (q=64) was tried and
+            # measured CATASTROPHIC (6.1s vs 3.8s waves at 512²): an
+            # UNOCCLUDED shadow ray must prove a miss against every
+            # candidate, so a small cap forces many exact-overflow
+            # completion passes. Full q_max keeps overflow rare.
             occ = occ | itiled.tiled_any_hit(arr.hair_swept, ray2, c, k,
-                                             q_max=min(q_max, 64),
+                                             q_max=q_max,
                                              subcull=(traversal
                                                       == "tiled_sub"),
                                              sort_rays=sort_rays,

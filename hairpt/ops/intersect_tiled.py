@@ -271,9 +271,11 @@ def tiled_closest_hit(sw: SweptHair, ray: Ray, n_clusters: int, K: int,
                 else (sw.cl_lo, sw.cl_hi)
             C_eff = cull_bounds[0].shape[0]
             from .pallas_tiled import tiled_phase_b
-            # tile-chunk size: ≤ 0.5 MB of SMEM slots for phase B and
-            # ≤ ~128 MB of [Tc, C] f32 cull temporaries
-            t_chunk = max(1, (1 << 17) // q_cap)
+            # tile-chunk size: ≤ 1 MB of SMEM slots for phase B and
+            # ≤ ~128 MB of [Tc, C] f32 cull temporaries (the larger
+            # exact-overflow q_caps would otherwise shrink chunks and
+            # multiply per-chunk routing-sort overhead)
+            t_chunk = max(1, (1 << 18) // q_cap)
             t_chunk = min(t_chunk, max(1, (1 << 25) // max(C_eff, 1)))
 
             def chunk_fn(args):
@@ -297,69 +299,86 @@ def tiled_closest_hit(sw: SweptHair, ray: Ray, n_clusters: int, K: int,
                     te = te_s.reshape(-1, n_clusters, n_sub).min(-1)
                 else:
                     mask, te = mask_s, te_s
-                slots, cnt, tmin, tscale, ov, (te_last, cid_last, more) = \
-                    _tile_slots(mask, te, q_cap, return_bound=True)
-                # ordered traversal: slots are sorted by tile entry-t with
-                # suffix-min bounds, so both query modes check the exit
-                # condition every slot; the packed slot table is
-                # scalar-prefetched into SMEM.
-                t_c, p_c = tiled_phase_b(
-                    slots, cnt, tmin, tscale, rays8_c,
-                    t_pmax_t, sw.seg_rows_t, K, q_cap,
-                    any_hit=(mode == "any"),
-                    interpret=(impl == "interpret"),
-                    exit_every=1, resident=resident, unroll=unroll)
                 C_full = mask.shape[1]
-                if exact_overflow and C_full > q_cap:
-                    # EXACT completion for q_cap overflow (the reference's
-                    # contract, hair.cpp:485-542, admits no dropped hits):
-                    # a tile whose candidate set clipped at q_cap re-routes
-                    # the clusters lexicographically AFTER the last
-                    # retained (entry-t, cid) pair and re-runs phase B,
-                    # until every ray either has a hit at t <= the first
-                    # dropped cluster's entry-t (provably closest: hits in
-                    # dropped clusters lie at t >= their entry-t >= bound)
-                    # or candidates are exhausted. Terminates in
-                    # <= ceil(C/q_cap) passes; in practice the common case
-                    # pays only the vector reduce in `cond` (rays in
-                    # overflowing tiles almost always hit near clusters).
-                    cids = jax.lax.broadcasted_iota(jnp.int32, mask.shape,
-                                                    1)
-                    any_mode = (mode == "any")
+                any_mode = (mode == "any")
+                if not (exact_overflow and C_full > q_cap):
+                    # capacity covers every cluster: single pass, no
+                    # completion machinery in the program at all
+                    slots, cnt, tmin, tscale, ov = _tile_slots(
+                        mask, te, q_cap)
+                    # ordered traversal: slots are sorted by tile
+                    # entry-t with suffix-min bounds; the packed slot
+                    # table is scalar-prefetched into SMEM.
+                    t_c, p_c = tiled_phase_b(
+                        slots, cnt, tmin, tscale, rays8_c,
+                        t_pmax_t, sw.seg_rows_t, K, q_cap,
+                        any_hit=any_mode,
+                        interpret=(impl == "interpret"),
+                        exit_every=1, resident=resident, unroll=unroll)
+                    return t_c, p_c, ov
 
-                    def _unresolved(t_k, p_k, te_l, more_k):
-                        u = (p_k < 0) if any_mode \
-                            else (t_k > te_l[:, None])
-                        return u & more_k[:, None]
+                # EXACT completion for q_cap overflow (the reference's
+                # contract, hair.cpp:485-542, admits no dropped hits):
+                # route + phase B run INSIDE one while_loop — the first
+                # iteration IS the ordinary pass (bound = -inf), and
+                # overflowing tiles re-route the clusters
+                # lexicographically AFTER the last retained
+                # (entry-t, cid) pair until every ray either holds a hit
+                # at t <= the first dropped cluster's entry-t (provably
+                # closest: dropped-cluster hits lie at t >= their
+                # entry-t >= bound), has exhausted its own candidates
+                # (personal t_pmax below the bound), or candidates ran
+                # out. Terminates in <= ceil(C/q_cap) passes; ONE
+                # phase-B instance in the program either way.
+                cids = jax.lax.broadcasted_iota(jnp.int32, mask.shape, 1)
+                Tc = mask.shape[0]
+                TILE_ = rays8_c.shape[2]
 
-                    def ov_cond(carry):
-                        t_k, p_k, te_l, cid_l, more_k = carry
-                        return jnp.any(_unresolved(t_k, p_k, te_l, more_k))
+                def _unresolved(t_k, p_k, te_l, more_k):
+                    u = (p_k < 0) if any_mode \
+                        else (t_k > te_l[:, None])
+                    # per-ray candidate exhaustion: a ray whose max
+                    # PERSONAL entry-t (t_pmax) is below the bound has
+                    # no remaining candidates — its personal entry into
+                    # any dropped cluster c satisfies entry_r(c) >=
+                    # tile_te(c) >= te_l > t_pmax(r). Without this,
+                    # unoccluded shadow rays would force completion
+                    # passes over the whole cluster list.
+                    return u & more_k[:, None] \
+                        & (te_l[:, None] <= t_pmax_t)
 
-                    def ov_body(carry):
-                        t_k, p_k, te_l, cid_l, more_k = carry
-                        mask_k = mask & ((te > te_l[:, None])
-                                         | ((te == te_l[:, None])
-                                            & (cids > cid_l[:, None])))
-                        s2, c2, tm2, ts2, _, (te_l2, cid_l2, more2) = \
-                            _tile_slots(mask_k, te, q_cap,
-                                        return_bound=True)
-                        rays8_k = rays8_c.at[:, 7, :].set(
-                            jnp.minimum(rays8_c[:, 7, :], t_k))
-                        t2, p2 = tiled_phase_b(
-                            s2, c2, tm2, ts2, rays8_k, t_pmax_t,
-                            sw.seg_rows_t, K, q_cap, any_hit=any_mode,
-                            interpret=(impl == "interpret"),
-                            exit_every=1, resident=resident,
-                            unroll=unroll)
-                        better = t2 < t_k
-                        return (jnp.where(better, t2, t_k),
-                                jnp.where(better, p2, p_k),
-                                te_l2, cid_l2, more2)
+                def ov_cond(carry):
+                    t_k, p_k, te_l, cid_l, more_k, _, _ = carry
+                    return jnp.any(_unresolved(t_k, p_k, te_l, more_k))
 
-                    t_c, p_c, _, _, _ = jax.lax.while_loop(
-                        ov_cond, ov_body,
-                        (t_c, p_c, te_last, cid_last, more))
+                def ov_body(carry):
+                    t_k, p_k, te_l, cid_l, more_k, ov_acc, k_pass = carry
+                    mask_k = mask & ((te > te_l[:, None])
+                                     | ((te == te_l[:, None])
+                                        & (cids > cid_l[:, None])))
+                    s2, c2, tm2, ts2, ov_k, (te_l2, cid_l2, more2) = \
+                        _tile_slots(mask_k, te, q_cap, return_bound=True)
+                    rays8_k = rays8_c.at[:, 7, :].set(
+                        jnp.minimum(rays8_c[:, 7, :], t_k))
+                    t2, p2 = tiled_phase_b(
+                        s2, c2, tm2, ts2, rays8_k, t_pmax_t,
+                        sw.seg_rows_t, K, q_cap, any_hit=any_mode,
+                        interpret=(impl == "interpret"),
+                        exit_every=1, resident=resident, unroll=unroll)
+                    better = t2 < t_k
+                    ov_acc = jnp.where(k_pass == 0, ov_k, ov_acc)
+                    return (jnp.where(better, t2, t_k),
+                            jnp.where(better, p2, p_k),
+                            te_l2, cid_l2, more2, ov_acc, k_pass + 1)
+
+                init = (jnp.full((Tc, TILE_), jnp.inf, jnp.float32),
+                        jnp.full((Tc, TILE_), -1, jnp.int32),
+                        jnp.full((Tc,), -jnp.inf, jnp.float32),
+                        jnp.full((Tc,), -1, jnp.int32),
+                        jnp.ones((Tc,), bool),
+                        jnp.int32(0), jnp.int32(0))
+                t_c, p_c, _, _, _, ov, _ = jax.lax.while_loop(
+                    ov_cond, ov_body, init)
                 return t_c, p_c, ov
 
             if T <= t_chunk:

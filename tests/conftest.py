@@ -30,7 +30,8 @@ SLOW_MODULES = {
     "test_grad_and_sharding", "test_motion", "test_bsdf", "test_emitters",
     "test_singlescatter", "test_bounded_media", "test_cloth",
     "test_manifold", "test_vpl", "test_intersect", "test_sobol",
-    "test_instancing", "test_texture_ewa",
+    "test_instancing", "test_texture_ewa", "test_tiledfilm",
+    "test_spectral", "test_wrappers",
 }
 
 

@@ -80,6 +80,76 @@ def test_golden_straight_hair_tone(xml, png):
     mo = tm[mask].mean(0)
     mr = ref[mask].mean(0)
     ratio = mo / np.maximum(mr, 1e-6)
-    assert (ratio > 0.45).all() and (ratio < 2.2).all(), (mo, mr)
+    # r3 tightening (VERDICT r2 #5): measured ratios after the Cook
+    # radius compensation are [0.86,0.88,0.87] (kkay) and
+    # [0.79,0.74,0.70] (marschner) at the report config — gate at
+    # [0.62, 1.5] (was [0.45, 2.2]); the residual deficit is the
+    # procedural stand-in's coverage (see artifacts/golden/ANALYSIS.md:
+    # sky regions match mitsuba's own renders to 0.96-1.00 per channel,
+    # exonerating sunsky/film; hair_curl's roughplastic matches
+    # mitsuba's own render at 1.01-1.06)
+    assert (ratio > 0.62).all() and (ratio < 1.5).all(), (mo, mr)
     assert mo[0] > mo[1] > mo[2], mo     # warm hue ordering, ours
     assert mr[0] > mr[1] > mr[2], mr     # …and the reference's
+
+    # sky region (top rows): OUR sunsky vs MITSUBA's committed render —
+    # this is the strong radiometric gate (same renderer, same model);
+    # measured 0.96-0.98 per channel
+    sky_o = tm[:tm.shape[0] // 8].reshape(-1, 3).mean(0)
+    sky_r = ref[:ref.shape[0] // 8].reshape(-1, 3).mean(0)
+    sky_ratio = sky_o / np.maximum(sky_r, 1e-6)
+    assert (np.abs(sky_ratio - 1.0) < 0.1).all(), (sky_o, sky_r)
+
+
+def test_golden_hair_curl_roughplastic_tone():
+    """hair-curl vs MITSUBA's own committed render (same renderer class
+    as ours): roughplastic + sunsky response must match closely — the
+    measured report ratios are 1.01-1.06 per channel. Gate at ±25%
+    per channel AND near-channel-neutrality (the ratio spread across
+    channels < 0.2), the signature that the remaining difference is
+    geometric, not spectral."""
+    from hairpt.utils import io as io_utils
+    tm = render(f"{REF}/hair-curl/scene.xml", spp=8, res_scale=0.05,
+                quality=0.4, depth=6)
+    ref = downsample(io_utils.read_png(f"{REF}/hair-curl/scene.png"),
+                     *tm.shape[:2])
+    lum_o = tm.mean(-1)
+    lum_r = ref.mean(-1)
+    mask = (lum_o > 0.08) & (lum_r > 0.08)
+    mo = tm[mask].mean(0)
+    mr = ref[mask].mean(0)
+    ratio = mo / np.maximum(mr, 1e-6)
+    assert (ratio > 0.75).all() and (ratio < 1.35).all(), (mo, mr)
+    assert ratio.max() - ratio.min() < 0.2, ratio
+    # sky parity vs mitsuba's own render
+    sky_o = tm[:tm.shape[0] // 8].reshape(-1, 3).mean(0)
+    sky_r = ref[:ref.shape[0] // 8].reshape(-1, 3).mean(0)
+    assert (np.abs(sky_o / np.maximum(sky_r, 1e-6) - 1.0) < 0.12).all()
+
+
+@pytest.mark.parametrize("xml,png,lo,hi", [
+    # Tungsten cross-renderer ground truth + procedural stand-in
+    # geometry: gates document the measured r3 envelope (ANALYSIS.md) —
+    # furball [1.21, 1.29, 1.89] (blue = sky-through-gap + rim
+    # coverage, measured 7.7% sky-dominant hair-box pixels vs 0% in the
+    # dense real asset), curly [0.77, 0.60, 0.80]
+    ("furball/scene.xml", "furball/TungstenRender.png", 0.8, 2.15),
+    ("curly-hair/scene.xml", "curly-hair/TungstenRender.png", 0.42, 1.1),
+])
+def test_golden_tungsten_hair_tone_envelope(xml, png, lo, hi):
+    """Regression envelope for the Tungsten-compared hair scenes: the
+    per-channel hair-region tone ratio must stay inside the measured r3
+    window — catches future radiometry regressions while acknowledging
+    the cross-renderer + stand-in-geometry floor (ANALYSIS.md)."""
+    from hairpt.utils import io as io_utils
+    tm = render(f"{REF}/{xml}", spp=8, res_scale=0.0625, quality=0.3,
+                depth=6)
+    ref = downsample(io_utils.read_png(f"{REF}/{png}"), *tm.shape[:2])
+    lum_o = tm.mean(-1)
+    lum_r = ref.mean(-1)
+    mask = (lum_o > 0.08) & (lum_r > 0.08)
+    assert mask.mean() > 0.1
+    mo = tm[mask].mean(0)
+    mr = ref[mask].mean(0)
+    ratio = mo / np.maximum(mr, 1e-6)
+    assert (ratio > lo).all() and (ratio < hi).all(), (ratio, mo, mr)

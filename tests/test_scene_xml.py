@@ -20,6 +20,7 @@ SCENES = [
 
 
 @pytest.mark.parametrize("rel,defines", SCENES)
+@pytest.mark.slow
 def test_reference_scene_renders(rel, defines):
     path = os.path.join(REF, rel)
     if not os.path.exists(path):
@@ -33,6 +34,7 @@ def test_reference_scene_renders(rel, defines):
     assert img.shape[0] >= 8 and img.shape[2] == 3
 
 
+@pytest.mark.slow
 def test_determinism_same_seed():
     """Stateless sampling: two renders of the same scene are bit-identical."""
     path = os.path.join(REF, "straight-hair/scene_kkay.xml")
@@ -45,6 +47,7 @@ def test_determinism_same_seed():
     np.testing.assert_array_equal(a, b)
 
 
+@pytest.mark.slow
 def test_instancing_and_serialized(tmp_path):
     import io, zlib
     from hairpt.models import shapes as shp

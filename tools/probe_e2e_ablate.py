@@ -69,6 +69,13 @@ def main():
         elif name.startswith("q") and name[1:].isdigit():
             sc = scene._replace(config=dataclasses.replace(
                 scene.config, tiled_q=int(name[1:])))
+        elif name == "sub":
+            sc = scene._replace(config=dataclasses.replace(
+                scene.config, traversal="tiled_sub"))
+        elif name.startswith("subq"):
+            sc = scene._replace(config=dataclasses.replace(
+                scene.config, traversal="tiled_sub",
+                tiled_q=int(name[4:])))
         elif name != "full":
             ablate = tuple(name.split("+"))
         li_fn = path_int.make_li_fn(sc, ablate=ablate)
