@@ -271,11 +271,13 @@ def tiled_closest_hit(sw: SweptHair, ray: Ray, n_clusters: int, K: int,
                 else (sw.cl_lo, sw.cl_hi)
             C_eff = cull_bounds[0].shape[0]
             from .pallas_tiled import tiled_phase_b
-            # tile-chunk size: ≤ 1 MB of SMEM slots for phase B and
-            # ≤ ~128 MB of [Tc, C] f32 cull temporaries (the larger
-            # exact-overflow q_caps would otherwise shrink chunks and
-            # multiply per-chunk routing-sort overhead)
-            t_chunk = max(1, (1 << 18) // q_cap)
+            # tile-chunk size: ~0.87 MB of SMEM slots for phase B (the
+            # hardware SMEM budget is exactly 1 MB — leave slack for
+            # GROUP_T padding rows + the cnt/tmin/tscale prefetch
+            # arrays) and ≤ ~128 MB of [Tc, C] f32 cull temporaries
+            # (larger exact-overflow q_caps would otherwise shrink
+            # chunks and multiply per-chunk routing-sort overhead)
+            t_chunk = max(1, ((1 << 18) * 7 // 8) // q_cap)
             t_chunk = min(t_chunk, max(1, (1 << 25) // max(C_eff, 1)))
 
             def chunk_fn(args):
