@@ -66,7 +66,11 @@ def build_scene(quality: float, res: int, spp: int, depth: int,
                    traversal=os.environ.get("BENCH_TRAVERSAL", "tiled"),
                    swept_k=int(os.environ.get("BENCH_K", "128")),
                    swept_pmax=24, swept_chunk=64,
-                   tiled_q=int(os.environ.get("BENCH_Q", "256")))
+                   # q=2048 measured best with the exact-overflow loop
+                   # (r3 sweep: 256→3644ms, 1024→2754, 2048→2273 per
+                   # 512² wave); camera waves never overflow past 384,
+                   # bounce-wave unions need the headroom
+                   tiled_q=int(os.environ.get("BENCH_Q", "2048")))
 
 
 def main():

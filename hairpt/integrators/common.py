@@ -119,11 +119,13 @@ def scene_intersect(arr: SceneArrays, ray: Ray, traversal: str = "packed",
     if arr.hair is not None:
         hair_ray = ray._replace(maxt=jnp.minimum(ray.maxt, t_tri))
         if traversal in ("tiled", "tiled_sub") and arr.hair_swept is not None:
-            c, k, _, _, q_max = swept
+            c, k, _, _, q_max = swept[:5]
+            short_t = swept[5] if len(swept) > 5 else 0.0
             t_hair, prim_hair = itiled.tiled_closest_hit(
                 arr.hair_swept, hair_ray, c, k, q_max=q_max,
                 subcull=(traversal == "tiled_sub"),
-                sort_rays=sort_rays, compact=compact)
+                sort_rays=sort_rays, compact=compact,
+                short_t=short_t)
         elif traversal == "swept" and arr.hair_swept is not None:
             c, k, pmax, chunk = swept[:4]
             t_hair, prim_hair = iswept.swept_closest_hit(
@@ -273,7 +275,8 @@ def scene_occluded(arr: SceneArrays, ray: Ray, traversal: str = "packed",
     if arr.hair is not None:
         ray2 = ray._replace(maxt=jnp.where(occ, 0.0, ray.maxt))
         if traversal in ("tiled", "tiled_sub") and arr.hair_swept is not None:
-            c, k, _, _, q_max = swept
+            c, k, _, _, q_max = swept[:5]
+            short_t = swept[5] if len(swept) > 5 else 0.0
             # NOTE: a smaller any-hit slot cap (q=64) was tried and
             # measured CATASTROPHIC (6.1s vs 3.8s waves at 512²): an
             # UNOCCLUDED shadow ray must prove a miss against every
@@ -284,7 +287,8 @@ def scene_occluded(arr: SceneArrays, ray: Ray, traversal: str = "packed",
                                              subcull=(traversal
                                                       == "tiled_sub"),
                                              sort_rays=sort_rays,
-                                             compact=compact)
+                                             compact=compact,
+                                             short_t=short_t)
         elif traversal == "swept" and arr.hair_swept is not None:
             c, k, pmax, chunk = swept[:4]
             occ = occ | iswept.swept_any_hit(arr.hair_swept, ray2, c, k,

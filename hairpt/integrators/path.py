@@ -53,7 +53,7 @@ D_SSS_POS = 11              # +12: single-scatter light position
 
 def _swept_params(cfg):
     return (cfg.swept_c, cfg.swept_k, cfg.swept_pmax, cfg.swept_chunk,
-            cfg.tiled_q)
+            cfg.tiled_q, cfg.tiled_short)
 
 
 def _mi_weight(pdf_a, pdf_b):

@@ -214,7 +214,8 @@ def tiled_closest_hit(sw: SweptHair, ray: Ray, n_clusters: int, K: int,
                       two_round: int = 0, compact: bool = True,
                       resident: bool | None = None,
                       unroll: int | None = None,
-                      exact_overflow: bool = True):
+                      exact_overflow: bool = True,
+                      short_t: float = 0.0):
     """Closest hit over the cluster layout. Returns (t [N], prim_id [N]).
 
     n_clusters, K are the static cluster-layout ints; tile and q_max are
@@ -239,6 +240,42 @@ def tiled_closest_hit(sw: SweptHair, ray: Ray, n_clusters: int, K: int,
     # silent no-op on cache hits)
     if unroll is None:
         unroll = int(os.environ.get("HAIRPT_UNROLL", "4"))
+
+    if short_t > 0.0 and sort_rays:
+        # SHORT-RAY-FIRST two-phase query for bounce/shadow waves: in
+        # dense fur almost every secondary ray terminates within a few
+        # cluster diameters of its origin, yet an UNclamped ray's
+        # phase-A candidate set is every cluster along its whole line
+        # (measured mean 731 clusters/tile for incoherent rays vs 82
+        # for camera tiles). Phase 1 clamps maxt to short_t — the cull
+        # only keeps clusters ENTERED within the clamp, so unions
+        # collapse — and resolves the vast majority. Phase 2 re-runs
+        # ONLY escaping rays (mint moved to the clamp, dead lanes
+        # elsewhere) — the Morton dead-last sort + liveness compaction
+        # inside the recursive call shrinks that pass to a fraction of
+        # the wave width. Exact: a phase-1 hit t <= short_t is globally
+        # closest; the phase-2 interval [short_t(1-1e-4), maxt] keeps
+        # boundary-straddling clusters via the slab tf >= mint test.
+        kw = dict(tile=tile, q_max=q_max, impl=impl, mode=mode,
+                  sort_rays=True, subcull=subcull, compact=compact,
+                  resident=resident, unroll=unroll,
+                  exact_overflow=exact_overflow, short_t=0.0)
+        ray1 = ray._replace(maxt=jnp.minimum(ray.maxt, short_t))
+        t1, p1, ov1 = tiled_closest_hit(sw, ray1, n_clusters, K,
+                                        return_overflow=True, **kw)
+        unresolved = (p1 < 0) & (ray.maxt > short_t) \
+            & (ray.maxt > ray.mint)
+        ray2 = ray._replace(
+            mint=jnp.maximum(ray.mint, short_t * (1.0 - 1e-4)),
+            maxt=jnp.where(unresolved, ray.maxt, 0.0))
+        t2, p2, ov2 = tiled_closest_hit(sw, ray2, n_clusters, K,
+                                        return_overflow=True, **kw)
+        hit1 = p1 >= 0
+        t = jnp.where(hit1, t1, t2)
+        p = jnp.where(hit1, p1, p2)
+        if return_overflow:
+            return t, p, ov1 + ov2
+        return t, p
     order = None
     if sort_rays:
         ray, order = _morton_sort_rays(sw, ray)
@@ -492,11 +529,13 @@ def tiled_any_hit(sw: SweptHair, ray: Ray, n_clusters: int, K: int,
                   tile: int = 64, q_max: int = 128, impl: str = "auto",
                   sort_rays: bool = False, subcull: bool = False,
                   compact: bool = True, resident: bool | None = None,
-                  unroll: int | None = None, exact_overflow: bool = True):
+                  unroll: int | None = None, exact_overflow: bool = True,
+                  short_t: float = 0.0):
     degenerate = ray.maxt <= ray.mint
     t, p = tiled_closest_hit(sw, ray, n_clusters, K, tile, q_max, impl,
                              mode="any", sort_rays=sort_rays,
                              subcull=subcull, compact=compact,
                              resident=resident, unroll=unroll,
-                             exact_overflow=exact_overflow)
+                             exact_overflow=exact_overflow,
+                             short_t=short_t)
     return (p >= 0) & ~degenerate

@@ -101,6 +101,9 @@ class RenderConfig:
     swept_pmax: int = 24       # phase-A candidate clusters per ray
     swept_chunk: int = 64      # pairs per phase-B chunk
     tiled_q: int = 128         # candidate clusters per 64-ray tile ('tiled')
+    tiled_short: float = 0.0   # short-ray-first clamp for bounce/shadow
+    #                            queries (0 = off; set at build to a few
+    #                            cluster diameters for hair scenes)
     nee_probs: tuple = (1.0, 0.0, 0.0)  # (env, area, delta) selection probs
     integrator: str = "path"   # scene-XML integrator type (CLI default)
     tiled_film: bool = False   # tiledhdrfilm: stream bands to disk
@@ -361,6 +364,15 @@ class SceneBuilder:
     # -- finalize ----------------------------------------------------------
 
     def build(self, camera: Camera, film: Film, **config_kwargs) -> Scene:
+        # hair scenes on TPU default to the tile-routed Pallas
+        # intersector (the north-star fast path); CPU keeps the packed
+        # BVH (the tiled kernel would run in interpret mode). Explicit
+        # traversal kwargs always win.
+        if "traversal" not in config_kwargs and self.fibers:
+            import jax
+            if jax.default_backend() in ("tpu", "axon"):
+                config_kwargs["traversal"] = "tiled"
+                config_kwargs.setdefault("tiled_q", 2048)
         cfg = RenderConfig(width=film.width, height=film.height,
                            **config_kwargs)
 
@@ -497,8 +509,17 @@ class SceneBuilder:
             # prim ids index arr.hair directly
             hair_swept = iswept.build_swept_hair(p0[o], p1[o], n0[o], n1[o],
                                                  rad[o], K=cfg.swept_k)
+            # short-ray-first clamp (intersect_tiled short_t) stays
+            # OPT-IN: measured ~4% slower than plain q=2048 on the
+            # furball e2e wave — escaping rays are common enough in fur
+            # that the compacted long-ray pass dominates anyway. A
+            # positive tiled_short enables it; <0 disables explicitly.
+            short = cfg.tiled_short
+            if short == 0.0:
+                short = -1.0
             cfg = dataclasses.replace(
-                cfg, swept_c=int(hair_swept.seg_rows.shape[0]) // cfg.swept_k)
+                cfg, swept_c=int(hair_swept.seg_rows.shape[0]) // cfg.swept_k,
+                tiled_short=short)
 
         cloth_table = None
         if self.cloth:

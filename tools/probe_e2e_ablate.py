@@ -55,29 +55,39 @@ def main():
 
     def run_variant(name):
         import dataclasses
-        ablate = ()
+        ablate = []
         sc = scene
-        if name == "pcg":
-            sc = scene_pcg
-        elif name == "stage1":
-            os.environ["HAIRPT_STAGES"] = "1"
-        elif name.startswith("stages"):
-            os.environ["HAIRPT_STAGES"] = name[6:]
-        elif name.startswith("d") and name[1:].isdigit():
-            sc = scene._replace(config=dataclasses.replace(
-                scene.config, max_depth=int(name[1:])))
-        elif name.startswith("q") and name[1:].isdigit():
-            sc = scene._replace(config=dataclasses.replace(
-                scene.config, tiled_q=int(name[1:])))
-        elif name == "sub":
-            sc = scene._replace(config=dataclasses.replace(
-                scene.config, traversal="tiled_sub"))
-        elif name.startswith("subq"):
-            sc = scene._replace(config=dataclasses.replace(
-                scene.config, traversal="tiled_sub",
-                tiled_q=int(name[4:])))
-        elif name != "full":
-            ablate = tuple(name.split("+"))
+        for part in name.split("+"):
+            if part == "pcg":
+                sc = sc._replace(config=dataclasses.replace(
+                    sc.config, sampler=1))
+            elif part == "stage1":
+                os.environ["HAIRPT_STAGES"] = "1"
+            elif part.startswith("stages"):
+                os.environ["HAIRPT_STAGES"] = part[6:]
+            elif part.startswith("d") and part[1:].isdigit():
+                sc = sc._replace(config=dataclasses.replace(
+                    sc.config, max_depth=int(part[1:])))
+            elif part.startswith("subq"):
+                sc = sc._replace(config=dataclasses.replace(
+                    sc.config, traversal="tiled_sub",
+                    tiled_q=int(part[4:])))
+            elif part.startswith("q") and part[1:].isdigit():
+                sc = sc._replace(config=dataclasses.replace(
+                    sc.config, tiled_q=int(part[1:])))
+            elif part == "sub":
+                sc = sc._replace(config=dataclasses.replace(
+                    sc.config, traversal="tiled_sub"))
+            elif part == "noshort":
+                sc = sc._replace(config=dataclasses.replace(
+                    sc.config, tiled_short=-1.0))
+            elif part.startswith("short"):
+                sc = sc._replace(config=dataclasses.replace(
+                    sc.config, tiled_short=sc.config.tiled_short
+                    * float(part[5:]) / 4.0))
+            elif part != "full":
+                ablate.append(part)
+        ablate = tuple(ablate)
         li_fn = path_int.make_li_fn(sc, ablate=ablate)
 
         @jax.jit
