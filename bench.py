@@ -79,7 +79,10 @@ def main():
     spp = int(os.environ.get("BENCH_SPP", "64"))
     waves = int(os.environ.get("BENCH_WAVES", "3"))
     depth = int(os.environ.get("BENCH_DEPTH", "65"))
-    bwd_res = int(os.environ.get("BENCH_BWD_RES", "512"))
+    # r3: the backward phase measures at the TRUE north-star film size
+    # (VERDICT r2 #2 — the headline metric is fwd+bwd on furball at
+    # 1024²; depth stays the documented gradient-mode depth)
+    bwd_res = int(os.environ.get("BENCH_BWD_RES", "1024"))
     bwd_depth = int(os.environ.get("BENCH_BWD_DEPTH", "6"))
     run_bwd = os.environ.get("BENCH_BWD", "1") == "1"
 

@@ -42,6 +42,8 @@ def _tile_cluster_mask(sw: SweptHair, ray: Ray, tile: int,
       te     [T, C]  — min over the tile's rays of the entry t (inf = miss)
       t_pmax [N]     — per ray, max entry t over ITS candidate clusters
                        (-1 if it has none); bounds when a ray is exhausted.
+      octm   [T, C]  — int32, bit o set iff any ray of the tile's o-th
+                       8-ray octet enters the cluster (phase-B skip bits)
     Dense slab tests, chunked over clusters. `bounds` overrides the
     (lo, hi) cluster AABB tables (sub-cluster granularity for tiled32)."""
     N = ray.o.shape[0]
@@ -55,6 +57,7 @@ def _tile_cluster_mask(sw: SweptHair, ray: Ray, tile: int,
 
     masks = []
     tes = []
+    octs = []
     t_pmax = jnp.full((N,), -1.0, jnp.float32)
     n_chunks = (C + c_chunk - 1) // c_chunk
     for ci in range(n_chunks):
@@ -74,6 +77,11 @@ def _tile_cluster_mask(sw: SweptHair, ray: Ray, tile: int,
             & (tn <= ray.maxt[:, None]) & live[:, None]
         t_in = jnp.where(hit, jnp.maximum(tn, 0.0), jnp.inf)   # [N, Cc]
         masks.append(hit.reshape(T, tile, -1).any(axis=1))
+        hit_o = hit.reshape(T, tile // 8, 8, -1).any(axis=2)   # [T, 8, Cc]
+        oc = jnp.zeros((T, hit_o.shape[-1]), jnp.int32)
+        for ob in range(tile // 8):
+            oc = oc | (hit_o[:, ob, :].astype(jnp.int32) << ob)
+        octs.append(oc)
         tes.append(jnp.where(jnp.isfinite(t_in), t_in,
                              jnp.inf).reshape(T, tile, -1).min(axis=1))
         t_pmax = jnp.maximum(
@@ -81,14 +89,15 @@ def _tile_cluster_mask(sw: SweptHair, ray: Ray, tile: int,
                             axis=1))
     if n_chunks > 1:
         return (jnp.concatenate(masks, axis=1),
-                jnp.concatenate(tes, axis=1), t_pmax)
-    return masks[0], tes[0], t_pmax
+                jnp.concatenate(tes, axis=1), t_pmax,
+                jnp.concatenate(octs, axis=1))
+    return masks[0], tes[0], t_pmax, octs[0]
 
 
-def _cull_pallas(rays8, cl_lo, cl_hi):
+def _cull_pallas(rays8, cl_lo, cl_hi, emit_oct: bool = False):
     """Pallas phase-A culling (pallas_tiled.cull_phase_a) over [C] AABBs,
     lane-padded to CULL_CH with empty boxes. Returns (te [T, C] with
-    inf = miss, t_pmax [T, tile])."""
+    inf = miss, t_pmax [T, tile][, octm [T, C] octet-hit bits])."""
     from .pallas_tiled import cull_phase_a, CULL_CH
     C = cl_lo.shape[0]
     c_pad = -(-C // CULL_CH) * CULL_CH
@@ -96,6 +105,9 @@ def _cull_pallas(rays8, cl_lo, cl_hi):
     bounds = bounds.at[3:6].set(-3e37)
     bounds = bounds.at[0:3, :C].set(cl_lo.T)
     bounds = bounds.at[3:6, :C].set(cl_hi.T)
+    if emit_oct:
+        te, tpmax, octm = cull_phase_a(rays8, bounds, emit_oct=True)
+        return te[:, :C], tpmax, octm[:, :C]
     te, tpmax = cull_phase_a(rays8, bounds)
     return te[:, :C], tpmax
 
@@ -107,7 +119,8 @@ TE_INF = (1 << TE_BITS) - 1   # 4095 = +inf sentinel
 CID_MASK = (1 << 20) - 1      # cluster id in the low 20 bits (C < 1M)
 
 
-def _tile_slots(mask, te, q_max: int, return_bound: bool = False):
+def _tile_slots(mask, te, q_max: int, return_bound: bool = False,
+                oct=None):
     """Extract each tile's hit clusters into [T, q_max] packed slots
     ordered EXACTLY by entry t via one batched sort along the cluster
     axis (replaces an earlier 16-bin counting sort: the 16 [T, C] cumsums
@@ -161,12 +174,25 @@ def _tile_slots(mask, te, q_max: int, return_bound: bool = False):
     bq = jnp.clip(bq, 0, TE_INF - 1).astype(jnp.int32)
     bq = jnp.where(jnp.isfinite(te_next), bq, TE_INF)
     packed = jnp.where(jnp.isfinite(te_slot), slots, 0) | (bq << 20)
+    oct_slot = None
+    if oct is not None:
+        # per-slot octet bits, gathered through the same sorted order
+        # (empty slots carry 0 — phase B skips every octet)
+        oct_slot = jnp.where(
+            jnp.isfinite(te_slot),
+            jnp.take_along_axis(oct, jnp.minimum(slots, C - 1), axis=1),
+            0)
     if return_bound:
         more = n_hit > q_max
         te_last = jnp.where(more, te_sorted[:, q_max - 1], jnp.inf)
         cid_last = jnp.where(more, cid_sorted[:, q_max - 1], 0)
-        return packed, cnt, tmin[:, 0], scale, overflow, \
-            (te_last, cid_last, more)
+        bound = (te_last, cid_last, more)
+        if oct is not None:
+            return packed, cnt, tmin[:, 0], scale, overflow, bound, \
+                oct_slot
+        return packed, cnt, tmin[:, 0], scale, overflow, bound
+    if oct is not None:
+        return packed, cnt, tmin[:, 0], scale, overflow, oct_slot
     return packed, cnt, tmin[:, 0], scale, overflow
 
 
@@ -215,7 +241,7 @@ def tiled_closest_hit(sw: SweptHair, ray: Ray, n_clusters: int, K: int,
                       resident: bool | None = None,
                       unroll: int | None = None,
                       exact_overflow: bool = True,
-                      short_t: float = 0.0):
+                      short_t: float = 0.0, octets: bool = False):
     """Closest hit over the cluster layout. Returns (t [N], prim_id [N]).
 
     n_clusters, K are the static cluster-layout ints; tile and q_max are
@@ -259,7 +285,8 @@ def tiled_closest_hit(sw: SweptHair, ray: Ray, n_clusters: int, K: int,
         kw = dict(tile=tile, q_max=q_max, impl=impl, mode=mode,
                   sort_rays=True, subcull=subcull, compact=compact,
                   resident=resident, unroll=unroll,
-                  exact_overflow=exact_overflow, short_t=0.0)
+                  exact_overflow=exact_overflow, short_t=0.0,
+                  octets=octets)
         ray1 = ray._replace(maxt=jnp.minimum(ray.maxt, short_t))
         t1, p1, ov1 = tiled_closest_hit(sw, ray1, n_clusters, K,
                                         return_overflow=True, **kw)
@@ -314,7 +341,8 @@ def tiled_closest_hit(sw: SweptHair, ray: Ray, n_clusters: int, K: int,
             # arrays) and ≤ ~128 MB of [Tc, C] f32 cull temporaries
             # (larger exact-overflow q_caps would otherwise shrink
             # chunks and multiply per-chunk routing-sort overhead)
-            t_chunk = max(1, ((1 << 18) * 7 // 8) // q_cap)
+            slot_bytes = 8 if octets else 4   # packed + octet words
+            t_chunk = max(1, ((1 << 20) * 7 // 8) // (q_cap * slot_bytes))
             t_chunk = min(t_chunk, max(1, (1 << 25) // max(C_eff, 1)))
 
             def chunk_fn(args):
@@ -324,27 +352,42 @@ def tiled_closest_hit(sw: SweptHair, ray: Ray, n_clusters: int, K: int,
                 if impl == "pallas":
                     # phase A as a Pallas kernel: the jnp form streams
                     # [N, C] temporaries through HBM (51/60 ms per query)
-                    te_s, t_pmax_t = _cull_pallas(rays8_c,
-                                                  cull_bounds[0],
-                                                  cull_bounds[1])
+                    if octets:
+                        te_s, t_pmax_t, oct_s = _cull_pallas(
+                            rays8_c, cull_bounds[0], cull_bounds[1],
+                            emit_oct=True)
+                    else:
+                        te_s, t_pmax_t = _cull_pallas(
+                            rays8_c, cull_bounds[0], cull_bounds[1])
+                        oct_s = None
                     mask_s = jnp.isfinite(te_s)
                 else:
-                    mask_s, te_s, t_pmax = _tile_cluster_mask(
+                    mask_s, te_s, t_pmax, oct_s = _tile_cluster_mask(
                         sw, ray_c, tile, bounds=cull_bounds)
+                    if not octets:
+                        oct_s = None
                     t_pmax_t = t_pmax.reshape(-1, tile)
                 if subcull:
                     n_sub = K // 32   # sub-clusters per row (build: %32)
                     mask = mask_s.reshape(-1, n_clusters, n_sub).any(-1)
                     te = te_s.reshape(-1, n_clusters, n_sub).min(-1)
+                    octm = None
+                    if oct_s is not None:
+                        oc3 = oct_s.reshape(-1, n_clusters, n_sub)
+                        octm = oc3[:, :, 0]
+                        for si_ in range(1, n_sub):
+                            octm = octm | oc3[:, :, si_]
                 else:
-                    mask, te = mask_s, te_s
+                    mask, te, octm = mask_s, te_s, oct_s
                 C_full = mask.shape[1]
                 any_mode = (mode == "any")
+                octm_in = octm if octets else None
                 if not (exact_overflow and C_full > q_cap):
                     # capacity covers every cluster: single pass, no
                     # completion machinery in the program at all
-                    slots, cnt, tmin, tscale, ov = _tile_slots(
-                        mask, te, q_cap)
+                    slots, cnt, tmin, tscale, ov, oct_sl = _tile_slots(
+                        mask, te, q_cap, oct=octm) if octets else \
+                        (*_tile_slots(mask, te, q_cap), None)
                     # ordered traversal: slots are sorted by tile
                     # entry-t with suffix-min bounds; the packed slot
                     # table is scalar-prefetched into SMEM.
@@ -353,7 +396,8 @@ def tiled_closest_hit(sw: SweptHair, ray: Ray, n_clusters: int, K: int,
                         t_pmax_t, sw.seg_rows_t, K, q_cap,
                         any_hit=any_mode,
                         interpret=(impl == "interpret"),
-                        exit_every=1, resident=resident, unroll=unroll)
+                        exit_every=1, resident=resident, unroll=unroll,
+                        oct=oct_sl)
                     return t_c, p_c, ov
 
                 # EXACT completion for q_cap overflow (the reference's
@@ -395,15 +439,24 @@ def tiled_closest_hit(sw: SweptHair, ray: Ray, n_clusters: int, K: int,
                     mask_k = mask & ((te > te_l[:, None])
                                      | ((te == te_l[:, None])
                                         & (cids > cid_l[:, None])))
-                    s2, c2, tm2, ts2, ov_k, (te_l2, cid_l2, more2) = \
-                        _tile_slots(mask_k, te, q_cap, return_bound=True)
+                    if octets:
+                        s2, c2, tm2, ts2, ov_k, \
+                            (te_l2, cid_l2, more2), oct_sl = _tile_slots(
+                                mask_k, te, q_cap, return_bound=True,
+                                oct=octm_in)
+                    else:
+                        s2, c2, tm2, ts2, ov_k, \
+                            (te_l2, cid_l2, more2) = _tile_slots(
+                                mask_k, te, q_cap, return_bound=True)
+                        oct_sl = None
                     rays8_k = rays8_c.at[:, 7, :].set(
                         jnp.minimum(rays8_c[:, 7, :], t_k))
                     t2, p2 = tiled_phase_b(
                         s2, c2, tm2, ts2, rays8_k, t_pmax_t,
                         sw.seg_rows_t, K, q_cap, any_hit=any_mode,
                         interpret=(impl == "interpret"),
-                        exit_every=1, resident=resident, unroll=unroll)
+                        exit_every=1, resident=resident, unroll=unroll,
+                        oct=oct_sl)
                     better = t2 < t_k
                     ov_acc = jnp.where(k_pass == 0, ov_k, ov_acc)
                     return (jnp.where(better, t2, t_k),
@@ -530,12 +583,12 @@ def tiled_any_hit(sw: SweptHair, ray: Ray, n_clusters: int, K: int,
                   sort_rays: bool = False, subcull: bool = False,
                   compact: bool = True, resident: bool | None = None,
                   unroll: int | None = None, exact_overflow: bool = True,
-                  short_t: float = 0.0):
+                  short_t: float = 0.0, octets: bool = False):
     degenerate = ray.maxt <= ray.mint
     t, p = tiled_closest_hit(sw, ray, n_clusters, K, tile, q_max, impl,
                              mode="any", sort_rays=sort_rays,
                              subcull=subcull, compact=compact,
                              resident=resident, unroll=unroll,
                              exact_overflow=exact_overflow,
-                             short_t=short_t)
+                             short_t=short_t, octets=octets)
     return (p >= 0) & ~degenerate

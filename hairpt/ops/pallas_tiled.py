@@ -203,9 +203,192 @@ def _cyl_test_mxu(rows, rays):
     return t_best, pid_best
 
 
+def _cyl_test_oct(rows, rays_o):
+    """Octet cylinder test: rows [PRIM_F, K] (one cluster), rays_o
+    [8, 8] = 8 rays on SUBLANES x 8 ray components on lanes (the
+    ray-major layout the cull kernel uses) → (t_best [8, 1],
+    pid_best [8, 1]). One [8, K] vreg per intermediate — the minimal
+    VPU tile — so skipping inactive octets (cull's oct bits) removes
+    their compute entirely instead of masking it."""
+    def seg(j):
+        return rows[j][None, :]           # [1, K]
+
+    def rayc(j):
+        return rays_o[:, j:j + 1]         # [8, 1]
+
+    p0x, p0y, p0z = seg(0), seg(1), seg(2)
+    p1x, p1y, p1z = seg(3), seg(4), seg(5)
+    n0x, n0y, n0z = seg(6), seg(7), seg(8)
+    n1x, n1y, n1z = seg(9), seg(10), seg(11)
+    rr = seg(12)
+    pid_row = pltpu.bitcast(rows[PRIM_F - 1][None, :], jnp.int32)
+
+    ox, oy, oz = rayc(0), rayc(1), rayc(2)
+    dx, dy, dz = rayc(3), rayc(4), rayc(5)
+    mint2 = rayc(6)
+    maxt2 = rayc(7)
+
+    sx, sy, sz = p1x - p0x, p1y - p0y, p1z - p0z
+    inv_len = jax.lax.rsqrt(jnp.maximum(sx * sx + sy * sy + sz * sz,
+                                        1e-30))
+    ax_, ay_, az_ = sx * inv_len, sy * inv_len, sz * inv_len
+
+    rx, ry, rz = ox - p0x, oy - p0y, oz - p0z
+    ar = ax_ * rx + ay_ * ry + az_ * rz
+    pox, poy, poz = rx - ar * ax_, ry - ar * ay_, rz - ar * az_
+    ad = ax_ * dx + ay_ * dy + az_ * dz
+    pdx, pdy, pdz = dx - ad * ax_, dy - ad * ay_, dz - ad * az_
+
+    a = pdx * pdx + pdy * pdy + pdz * pdz
+    b = pox * pdx + poy * pdy + poz * pdz
+    ok = a > 1e-18
+    a_safe = jnp.where(ok, a, 1.0)
+    inv_a = 1.0 / a_safe
+    t_mid = -b * inv_a
+    qx, qy, qz = pox + pdx * t_mid, poy + pdy * t_mid, poz + pdz * t_mid
+    c_mid = qx * qx + qy * qy + qz * qz - rr * rr
+    disc = -c_mid * inv_a
+    ok = ok & (disc >= 0.0)
+    dt = jnp.sqrt(jnp.maximum(disc, 0.0))
+    t_near = t_mid - dt
+    t_far = t_mid + dt
+
+    on0 = rx * n0x + ry * n0y + rz * n0z
+    dn0 = dx * n0x + dy * n0y + dz * n0z
+    sn1 = sx * n1x + sy * n1y + sz * n1z
+    on1 = rx * n1x + ry * n1y + rz * n1z - sn1
+    dn1 = dx * n1x + dy * n1y + dz * n1z
+
+    def miter_ok(t):
+        return (on0 + t * dn0 >= 0.0) & (on1 + t * dn1 <= 0.0)
+
+    near_ok = ok & (t_near >= mint2) & (t_near <= maxt2) \
+        & miter_ok(t_near)
+    far_ok = ok & (t_far >= mint2) & (t_far <= maxt2) & miter_ok(t_far)
+    t = jnp.where(near_ok, t_near, t_far)
+    hit = (pid_row >= 0) & (near_ok | far_ok)
+
+    t_m = jnp.where(hit, t, jnp.inf)
+    t_best = jnp.min(t_m, axis=-1, keepdims=True)           # [8, 1]
+    is_best = t_m <= t_best
+    pid_best = jnp.max(jnp.where(is_best & hit, pid_row, -1), axis=-1,
+                       keepdims=True)
+    return t_best, pid_best
+
+
 TE_BITS = 12
 TE_INF = (1 << TE_BITS) - 1
 CID_MASK = (1 << 20) - 1
+
+
+def _tiled_kernel_oct(slots_ref,        # scalar prefetch [T*q_max] packed
+                      cnt_ref,          # scalar prefetch [T]
+                      tmin_ref,         # scalar prefetch [T]
+                      tscale_ref,       # scalar prefetch [T]
+                      oct_ref,          # scalar prefetch [T*q_max] octet
+                      #                   bits per slot (bit o = octet o
+                      #                   enters this slot's cluster)
+                      rays_ref,         # VMEM [GROUP_T, TILE, 8] ray-major
+                      tpmax_ref,        # VMEM [GROUP_T, TILE, 1]
+                      seg_rows_hbm,     # HBM [C, PRIM_F, K] (or VMEM)
+                      t_out_ref,        # VMEM [GROUP_T, TILE, 1]
+                      pid_out_ref,      # VMEM [GROUP_T, TILE, 1]
+                      seg_vmem=None,
+                      sems=None,
+                      *, q_max: int, any_hit: bool, n_buf: int = 2,
+                      resident: bool = False):
+    """Octet-skipping phase B: like _tiled_kernel, but each slot only
+    tests the 8-ray octets whose cull bit is set. Real bounce waves
+    measured a mean 64-ray tile union of 188 clusters vs 13 per ray —
+    a ~14x dense-test redundancy; per-octet unions are ~3.4x smaller
+    than tile unions, and the DMA stays amortized across the whole
+    tile. Ray/output layout is ray-major ([TILE, 8] / [TILE, 1]) so an
+    octet is a SUBLANE slice (8-aligned, Mosaic-legal) — lane slicing
+    below 128 would be rejected."""
+    i = pl.program_id(0)
+
+    t_out_ref[...] = jnp.full(t_out_ref.shape, jnp.inf, jnp.float32)
+    pid_out_ref[...] = jnp.full(pid_out_ref.shape, -1, jnp.int32)
+
+    for g in range(GROUP_T):
+        t_glob = i * GROUP_T + g
+        n_q = cnt_ref[t_glob]
+
+        def cid(q):
+            return slots_ref[t_glob * q_max + q] & CID_MASK
+
+        def dma(buf_slot, q):
+            return pltpu.make_async_copy(
+                seg_rows_hbm.at[cid(q)], seg_vmem.at[buf_slot],
+                sems.at[buf_slot])
+
+        @pl.when(n_q > 0)
+        def _():
+            if not resident:
+                for w in range(n_buf - 1):
+                    if w == 0:
+                        dma(0, 0).start()
+                    else:
+                        @pl.when(w < n_q)
+                        def _(w=w):
+                            dma(w, w).start()
+            t_pmax = tpmax_ref[g]                    # [TILE, 1]
+            tmin = tmin_ref[t_glob]
+            tscale = tscale_ref[t_glob]
+
+            def resolved(q):
+                packed = slots_ref[t_glob * q_max + q]
+                bq = (packed >> 20) & TE_INF
+                te_next = jnp.where(bq == TE_INF, jnp.inf,
+                                    tmin + bq.astype(jnp.float32) * tscale)
+                best = t_out_ref[g]                  # [TILE, 1]
+                if any_hit:
+                    done_ray = jnp.isfinite(best) | (te_next > t_pmax)
+                else:
+                    done_ray = (best <= te_next) | (te_next > t_pmax)
+                return jnp.all(done_ray)
+
+            def cond(carry):
+                q, done = carry
+                return jnp.logical_not(done) & (q < n_q)
+
+            def body(carry):
+                q, _ = carry
+                if resident:
+                    rows = seg_rows_hbm[cid(q)]
+                else:
+                    @pl.when(q + n_buf - 1 < n_q)
+                    def _():
+                        dma((q + n_buf - 1) % n_buf, q + n_buf - 1).start()
+                    pltpu.make_async_copy(
+                        seg_vmem.at[q % n_buf], seg_vmem.at[q % n_buf],
+                        sems.at[q % n_buf]).wait()
+                    rows = seg_vmem[q % n_buf]
+                m8 = oct_ref[t_glob * q_max + q]
+                for ob in range(8):
+                    @pl.when(((m8 >> ob) & 1) != 0)
+                    def _(ob=ob):
+                        rays_o = rays_ref[g, 8 * ob:8 * (ob + 1), :]
+                        t_o, p_o = _cyl_test_oct(rows, rays_o)
+                        prev = t_out_ref[g, 8 * ob:8 * (ob + 1), :]
+                        better = t_o < prev
+                        t_out_ref[g, 8 * ob:8 * (ob + 1), :] = \
+                            jnp.where(better, t_o, prev)
+                        prev_p = pid_out_ref[g, 8 * ob:8 * (ob + 1), :]
+                        pid_out_ref[g, 8 * ob:8 * (ob + 1), :] = \
+                            jnp.where(better, p_o, prev_p)
+                return q + 1, resolved(q)
+
+            q_end, _ = jax.lax.while_loop(cond, body,
+                                          (jnp.int32(0), jnp.bool_(False)))
+            if not resident:
+                for w in range(n_buf - 1):
+                    @pl.when(q_end + w < n_q)
+                    def _(w=w):
+                        pltpu.make_async_copy(
+                            seg_vmem.at[(q_end + w) % n_buf],
+                            seg_vmem.at[(q_end + w) % n_buf],
+                            sems.at[(q_end + w) % n_buf]).wait()
 
 
 def _tiled_kernel(slots_ref,            # scalar prefetch [T * q_max] packed
@@ -399,7 +582,12 @@ def _cull_kernel(rays_ref,     # VMEM [GROUP_T, TILE, 8] (ray-major)
                  bounds_ref,   # VMEM [8, C_pad] (lo.xyz, hi.xyz rows)
                  te_ref,       # out VMEM [GROUP_T, C_pad] (inf = miss)
                  tpmax_ref,    # out VMEM [GROUP_T, TILE, 1]
-                 *, c_pad: int):
+                 oct_ref=None,  # out VMEM [GROUP_T, C_pad] i32 (only when
+                 #               emit_oct): bit o = any ray of 8-ray
+                 #               octet o enters cluster (phase-B octet
+                 #               skip bits — measured SLOWER than the
+                 #               dense form on v5e, kept for study)
+                 *, c_pad: int, emit_oct: bool = False):
     # every intermediate stays 2-D: Mosaic rejects 1-D→2-D vector
     # reshapes (vector<64xi1> → 64x1), so ray components are sliced as
     # [TILE, 1] columns and reductions keep dims
@@ -422,6 +610,8 @@ def _cull_kernel(rays_ref,     # VMEM [GROUP_T, TILE, 8] (ray-major)
         # groups dead lanes last) skip the slab math entirely
         te_ref[g:g + 1, :] = jnp.full((1, c_pad), inf, jnp.float32)
         tpmax_ref[g] = jnp.full(mint.shape, -1.0, jnp.float32)
+        if emit_oct:
+            oct_ref[g:g + 1, :] = jnp.zeros((1, c_pad), jnp.int32)
 
         @pl.when(jnp.any(maxt > mint))
         def _(o=o, inv_d=inv_d, mint=mint, maxt_eff=maxt_eff):
@@ -444,17 +634,29 @@ def _cull_kernel(rays_ref,     # VMEM [GROUP_T, TILE, 8] (ray-major)
                 t_in = jnp.where(hit, tn0, inf)            # [TILE, CH]
                 te_ref[g:g + 1, c0:c0 + CULL_CH] = \
                     jnp.min(t_in, axis=0, keepdims=True)
+                if emit_oct:
+                    # per-octet hit bits (sublane-sliced 8-row reduces)
+                    oc = jnp.zeros((1, CULL_CH), jnp.int32)
+                    n_oct = hit.shape[0] // 8
+                    for ob in range(n_oct):
+                        any_o = jnp.any(hit[8 * ob:8 * (ob + 1), :],
+                                        axis=0, keepdims=True)
+                        oc = oc | (any_o.astype(jnp.int32) << ob)
+                    oct_ref[g:g + 1, c0:c0 + CULL_CH] = oc
                 tpmax = jnp.maximum(
                     tpmax, jnp.max(jnp.where(hit, tn0, -1.0), axis=1,
                                    keepdims=True))
             tpmax_ref[g] = tpmax
 
 
-@functools.partial(jax.jit, static_argnames=("interpret",))
-def cull_phase_a(rays8, bounds, interpret: bool = False):
+@functools.partial(jax.jit, static_argnames=("interpret", "emit_oct"))
+def cull_phase_a(rays8, bounds, interpret: bool = False,
+                 emit_oct: bool = False):
     """Tile-level cluster culling. rays8 [T, 8, TILE]; bounds [8, C_pad]
     (C_pad a multiple of CULL_CH; padded slots lo=+big, hi=-big).
-    Returns (te [T, C_pad] with inf = miss, t_pmax [T, TILE])."""
+    Returns (te [T, C_pad] with inf = miss, t_pmax [T, TILE]) plus the
+    octet-bit matrix when emit_oct (an extra [T, C] HBM write — only
+    the octet phase-B variant wants it)."""
     T, _, R = rays8.shape
     c_pad = bounds.shape[1]
     rays_t = jnp.swapaxes(rays8, 1, 2)           # [T, TILE, 8]
@@ -464,8 +666,20 @@ def cull_phase_a(rays8, bounds, interpret: bool = False):
             [rays_t, jnp.zeros((pad, R, 8), jnp.float32)
              .at[:, :, 7].set(-1.0)])
     T_pad = T + pad
-    te, tpmax = pl.pallas_call(
-        functools.partial(_cull_kernel, c_pad=c_pad),
+    out_specs = [
+        pl.BlockSpec((GROUP_T, c_pad), lambda i: (i, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((GROUP_T, R, 1), lambda i: (i, 0, 0),
+                     memory_space=pltpu.VMEM),
+    ]
+    out_shape = [jax.ShapeDtypeStruct((T_pad, c_pad), jnp.float32),
+                 jax.ShapeDtypeStruct((T_pad, R, 1), jnp.float32)]
+    if emit_oct:
+        out_specs.append(pl.BlockSpec((GROUP_T, c_pad), lambda i: (i, 0),
+                                      memory_space=pltpu.VMEM))
+        out_shape.append(jax.ShapeDtypeStruct((T_pad, c_pad), jnp.int32))
+    out = pl.pallas_call(
+        functools.partial(_cull_kernel, c_pad=c_pad, emit_oct=emit_oct),
         grid=(T_pad // GROUP_T,),
         in_specs=[
             pl.BlockSpec((GROUP_T, R, 8), lambda i: (i, 0, 0),
@@ -473,16 +687,14 @@ def cull_phase_a(rays8, bounds, interpret: bool = False):
             pl.BlockSpec((8, c_pad), lambda i: (0, 0),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=[
-            pl.BlockSpec((GROUP_T, c_pad), lambda i: (i, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((GROUP_T, R, 1), lambda i: (i, 0, 0),
-                         memory_space=pltpu.VMEM),
-        ],
-        out_shape=(jax.ShapeDtypeStruct((T_pad, c_pad), jnp.float32),
-                   jax.ShapeDtypeStruct((T_pad, R, 1), jnp.float32)),
+        out_specs=out_specs,
+        out_shape=tuple(out_shape),
         interpret=interpret,
     )(rays_t, bounds)
+    if emit_oct:
+        te, tpmax, octm = out
+        return te[:T], tpmax[:T, :, 0], octm[:T]
+    te, tpmax = out
     return te[:T], tpmax[:T, :, 0]
 
 # segment tables at most this large are pinned whole in VMEM (v5e has
@@ -494,7 +706,8 @@ def tiled_phase_b(slots, cnt, tmin, tscale, rays8, t_pmax, seg_rows,
                   K: int, q_max: int, any_hit: bool = False,
                   interpret: bool = False, exit_every: int = 1,
                   nop: bool = False, mxu: bool = False, n_buf: int = 2,
-                  resident: bool | None = None, unroll: int = 1):
+                  resident: bool | None = None, unroll: int = 1,
+                  oct=None):
     """Run the tiled kernel. slots [T, q_max] (packed cluster|bound),
     cnt/tmin/tscale [T], rays8 [T, 8, TILE], t_pmax [T, TILE],
     seg_rows [C, PRIM_F, K] → (t [T, TILE], pid [T, TILE]).
@@ -512,11 +725,84 @@ def tiled_phase_b(slots, cnt, tmin, tscale, rays8, t_pmax, seg_rows,
         if os.environ.get("HAIRPT_FORCE_NONRESIDENT") == "1":
             resident = False    # test/probe knob: exercise the DMA path
             #                     on tables that would fit VMEM
+    if oct is not None:
+        return _tiled_phase_b_oct_impl(slots, cnt, tmin, tscale, oct,
+                                       rays8, t_pmax, seg_rows, K=K,
+                                       q_max=q_max, any_hit=any_hit,
+                                       interpret=interpret, n_buf=n_buf,
+                                       resident=bool(resident))
     return _tiled_phase_b_impl(slots, cnt, tmin, tscale, rays8, t_pmax,
                                seg_rows, K=K, q_max=q_max, any_hit=any_hit,
                                interpret=interpret, exit_every=exit_every,
                                nop=nop, mxu=mxu, n_buf=n_buf,
                                resident=bool(resident), unroll=unroll)
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("K", "q_max", "any_hit", "interpret",
+                                    "n_buf", "resident"))
+def _tiled_phase_b_oct_impl(slots, cnt, tmin, tscale, oct, rays8, t_pmax,
+                            seg_rows, K: int, q_max: int, any_hit: bool,
+                            interpret: bool, n_buf: int, resident: bool):
+    """Octet-skipping phase B (see _tiled_kernel_oct). Caller-facing
+    layout matches the dense impl (rays8 [T, 8, TILE], t_pmax [T, TILE]);
+    the ray-major transpose happens here."""
+    T, _, TILE = rays8.shape
+    n_buf = max(n_buf, 2)
+    pad = (-T) % GROUP_T
+    if pad:
+        slots = jnp.concatenate([slots, jnp.zeros((pad, q_max), jnp.int32)])
+        oct = jnp.concatenate([oct, jnp.zeros((pad, q_max), jnp.int32)])
+        cnt = jnp.concatenate([cnt, jnp.zeros((pad,), jnp.int32)])
+        tmin = jnp.concatenate([tmin, jnp.zeros((pad,), jnp.float32)])
+        tscale = jnp.concatenate([tscale, jnp.ones((pad,), jnp.float32)])
+        rays8 = jnp.concatenate(
+            [rays8, jnp.zeros((pad, 8, TILE), jnp.float32)])
+        t_pmax = jnp.concatenate(
+            [t_pmax, jnp.full((pad, TILE), -1.0, jnp.float32)])
+    T_pad = T + pad
+    rays_t = jnp.swapaxes(rays8, 1, 2)               # [T, TILE, 8]
+    tpm = t_pmax[..., None]                          # [T, TILE, 1]
+
+    C = seg_rows.shape[0]
+    if resident:
+        seg_spec = pl.BlockSpec((C, PRIM_F, K), lambda i, *_: (0, 0, 0),
+                                memory_space=pltpu.VMEM)
+        scratch = []
+    else:
+        seg_spec = pl.BlockSpec(memory_space=pltpu.ANY)
+        scratch = [
+            pltpu.VMEM((n_buf, PRIM_F, K), jnp.float32),
+            pltpu.SemaphoreType.DMA((n_buf,)),
+        ]
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=5,
+        grid=(T_pad // GROUP_T,),
+        in_specs=[
+            pl.BlockSpec((GROUP_T, TILE, 8), lambda i, *_: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((GROUP_T, TILE, 1), lambda i, *_: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            seg_spec,
+        ],
+        out_specs=[
+            pl.BlockSpec((GROUP_T, TILE, 1), lambda i, *_: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((GROUP_T, TILE, 1), lambda i, *_: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        scratch_shapes=scratch,
+    )
+    t, pid = pl.pallas_call(
+        functools.partial(_tiled_kernel_oct, q_max=q_max, any_hit=any_hit,
+                          n_buf=n_buf, resident=resident),
+        out_shape=(jax.ShapeDtypeStruct((T_pad, TILE, 1), jnp.float32),
+                   jax.ShapeDtypeStruct((T_pad, TILE, 1), jnp.int32)),
+        grid_spec=grid_spec,
+        interpret=interpret,
+    )(slots.reshape(-1), cnt, tmin, tscale, oct.reshape(-1), rays_t, tpm,
+      seg_rows)
+    return t[:T, :, 0], pid[:T, :, 0]
 
 
 @functools.partial(jax.jit,

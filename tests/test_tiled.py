@@ -156,20 +156,26 @@ def test_cull_phase_a_kernel_matches_jnp():
          ray_p.o[:, 2].reshape(T, tile), ray_p.d[:, 0].reshape(T, tile),
          ray_p.d[:, 1].reshape(T, tile), ray_p.d[:, 2].reshape(T, tile),
          ray_p.mint.reshape(T, tile), ray_p.maxt.reshape(T, tile)], axis=1)
-    mask_j, te_j, tp_j = tl._tile_cluster_mask(swept, ray_p, tile)
+    mask_j, te_j, tp_j, oct_j = tl._tile_cluster_mask(swept, ray_p, tile)
 
     C = swept.cl_lo.shape[0]
     c_pad = -(-C // CULL_CH) * CULL_CH
     bounds = jnp.full((8, c_pad), 3e37, jnp.float32).at[3:6].set(-3e37)
     bounds = bounds.at[0:3, :C].set(swept.cl_lo.T)
     bounds = bounds.at[3:6, :C].set(swept.cl_hi.T)
-    te_p, tp_p = cull_phase_a(rays8, bounds, interpret=True)
+    te_p, tp_p, oct_p = cull_phase_a(rays8, bounds, interpret=True,
+                                     emit_oct=True)
     te_p = np.asarray(te_p)[:, :C]
 
     m_j = np.asarray(mask_j)
     np.testing.assert_array_equal(np.isfinite(te_p), m_j)
     np.testing.assert_allclose(te_p[m_j], np.asarray(te_j)[m_j],
                                rtol=1e-6, atol=1e-6)
+    # octet bits: pallas == jnp exactly
+    np.testing.assert_array_equal(np.asarray(oct_p)[:, :C],
+                                  np.asarray(oct_j))
+    # union consistency: OR of octet bits == the tile mask
+    assert ((np.asarray(oct_j) != 0) == m_j).all()
     tp_p = np.asarray(tp_p).reshape(-1)
     tp_j = np.asarray(tp_j)
     close = np.isclose(tp_p, tp_j, rtol=1e-5, atol=1e-5)

@@ -52,16 +52,21 @@ def main():
 
     grad_fn = jax.jit(jax.value_and_grad(loss_fn, argnums=1,
                                          has_aux=True))
+
+    def barrier(x):
+        # through the axon tunnel block_until_ready can return before
+        # the computation lands; a value fetch is the reliable barrier
+        return float(jnp.sum(x))
     p0 = jnp.asarray([0.143016, 0.0156076, 1.80928e-05], jnp.float32)
     t0 = time.time()
     (lv, n_rays), g = grad_fn(arr, p0, jnp.uint32(0))
-    g.block_until_ready()
+    barrier(g)
     print(f"[bwd] compile+first step: {time.time()-t0:.0f}s", flush=True)
     t0 = time.time()
     reps = 3
     for s in range(1, reps + 1):
         (lv, n_rays), g = grad_fn(arr, p0, jnp.uint32(s))
-    g.block_until_ready()
+    barrier(g)
     dt = (time.time() - t0) / reps
     assert np.isfinite(np.asarray(g)).all()
     print(f"[bwd] fwd+bwd {res}² depth {depth}: {dt*1e3:.0f} ms/step, "

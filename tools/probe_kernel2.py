@@ -34,7 +34,7 @@ ray = sens_mod.sample_ray(scene.camera, cpos, None)
 q_max = 128
 ray_p, N = tl._pad_rays(ray, 64)
 T = ray_p.o.shape[0] // 64
-mask, te, t_pmax = tl._tile_cluster_mask(sw, ray_p, 64)
+mask, te, t_pmax, octm = tl._tile_cluster_mask(sw, ray_p, 64)
 slots, cnt, tmin, tscale, ovf = tl._tile_slots(mask, te, q_max)
 rays8 = jnp.stack([ray_p.o[:, i].reshape(T, 64) for i in range(3)]
                   + [ray_p.d[:, i].reshape(T, 64) for i in range(3)]

@@ -90,12 +90,12 @@ def main():
 
     # phase A cull alone
     f_cull = jax.jit(lambda r8c: jax.lax.map(
-        lambda r8: tl_mod._cull_pallas(r8, sw.cl_lo, sw.cl_hi), r8c))
+        lambda r8: tl_mod._cull_pallas(r8, sw.cl_lo, sw.cl_hi)[:2], r8c))
     te, tpmax = timeit("phaseA cull", f_cull, r8_ch)
 
     # cull + routing
     def cull_route(r8):
-        te, tpm = tl_mod._cull_pallas(r8, sw.cl_lo, sw.cl_hi)
+        te, tpm, _o = tl_mod._cull_pallas(r8, sw.cl_lo, sw.cl_hi)
         mask = jnp.isfinite(te)
         return tl_mod._tile_slots(mask, te, q) + (tpm,)
     f_route = jax.jit(lambda r8c: jax.lax.map(cull_route, r8c))

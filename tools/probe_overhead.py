@@ -47,7 +47,7 @@ def main():
     ray_p, _ = tl_mod._pad_rays(ray, tile)
     T = ray_p.o.shape[0] // tile
     mask, te, t_pmax = jax.jit(
-        lambda s, r: tl_mod._tile_cluster_mask(s, r, tile))(sw, ray_p)
+        lambda s, r: tl_mod._tile_cluster_mask(s, r, tile)[:3])(sw, ray_p)
     slots, cnt, tmin, tscale, ovf = jax.jit(
         lambda m, t: tl_mod._tile_slots(m, t, q_max))(mask, te)
     rays8 = jnp.stack([

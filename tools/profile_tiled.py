@@ -41,7 +41,7 @@ def main():
     print(f"backend={jax.default_backend()} C={C} K={K} N={N}")
 
     # stage timings for tiled
-    f_mask = jax.jit(lambda s, r: tl_mod._tile_cluster_mask(s, r, 64))
+    f_mask = jax.jit(lambda s, r: tl_mod._tile_cluster_mask(s, r, 64)[:3])
     (mask, te, t_pmax), _ = timeit(f_mask, sw, ray,
                                    label="tile mask (phase A + OR)")
     f_slots = jax.jit(lambda m, t: tl_mod._tile_slots(m, t, 128))
