@@ -265,7 +265,9 @@ def tiled_closest_hit(sw: SweptHair, ray: Ray, n_clusters: int, K: int,
     # into a cached compilation (ADVICE r2: a trace-time env read is a
     # silent no-op on cache hits)
     if unroll is None:
-        unroll = int(os.environ.get("HAIRPT_UNROLL", "4"))
+        # 8-slot unroll measured best on v5e (r3: 512² e2e wave 2270 →
+        # 2159 ms vs unroll=4; closest-hit 2.35 → 2.41 Mrays/s)
+        unroll = int(os.environ.get("HAIRPT_UNROLL", "8"))
 
     if short_t > 0.0 and sort_rays:
         # SHORT-RAY-FIRST two-phase query for bounce/shadow waves: in
