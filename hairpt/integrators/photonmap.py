@@ -7,12 +7,14 @@ the emitter side (SURVEY §2.4 P7), the balanced kd-tree photon map becomes
 a sorted uniform hash grid (TPU-native: build = one sort, query = 27
 searchsorted range scans), and the gather is a batched density estimate.
 
-v1 scope: photons are emitted from the environment map (importance-sampled
-over the baked table — covers constant/envmap/sunsky) and deposited on
-diffuse-ish surfaces; `render_photonmap` visualizes the global map at the
-first camera hit (the classic biased estimator that photographers of
-photon maps use for validation; final-gather integration is a roadmap
-item). Cross-validated against the path tracer in tests.
+Contents: wavefront photon shooting from every emitter group (env/sunsky
+importance-sampled table + point/spot/area/directional/collimated),
+the global-map visualizer `render_photonmap`, progressive photon mapping
+(`render_ppm`) and stochastic PPM (`render_sppm`) with per-pixel radius
+shrink, and a beam-radiance-estimate volumetric pass (volume photons,
+density-adaptive disc radii, energy-preserving beam march) — all
+cross-validated against the path tracer / volpath in tests
+(tests/test_photonmap.py).
 """
 from __future__ import annotations
 

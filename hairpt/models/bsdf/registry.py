@@ -18,6 +18,7 @@ from __future__ import annotations
 
 from typing import NamedTuple, Optional
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -324,8 +325,18 @@ def eval_checkerboard(tex: CheckerboardTable, tex_id, uv, base,
             sc_dy = duv[1] * scale
             has_j = (jnp.sum(jnp.abs(sc_dx), -1)
                      + jnp.sum(jnp.abs(sc_dy), -1)) > 0
-            val_ewa = ewa_eval_bitmap(tex, tid, su, sv, sc_dx, sc_dy)
-            val_bm = jnp.where(has_j[..., None], val_ewa, val_bm)
+            # whole-wave gate: bounce waves (depth >= 2) thread
+            # all-zero Jacobians, so the 7-probe EWA gathers would be
+            # ~14 dead texture reads per lane every bounce — lax.cond
+            # skips them at runtime when no lane has a footprint
+            # (ADVICE r3; XLA cannot elide a jnp.where branch)
+            val_bm = jax.lax.cond(
+                jnp.any(has_j),
+                lambda: jnp.where(
+                    has_j[..., None],
+                    ewa_eval_bitmap(tex, tid, su, sv, sc_dx, sc_dy),
+                    val_bm),
+                lambda: val_bm)
         val = jnp.where((tex.kind[tid] == 1)[..., None], val_bm, val)
     # gridtexture (src/textures/gridtexture.cpp): color1 lines of width
     # `lineWidth` along integer cell borders, color0 inside cells

@@ -261,9 +261,13 @@ def tiled_closest_hit(sw: SweptHair, ray: Ray, n_clusters: int, K: int,
     if impl == "auto":
         impl = "pallas" if jax.default_backend() in ("tpu", "axon") \
             else "interpret"
-    # env knobs resolved OUTSIDE any jit trace so they can't be frozen
-    # into a cached compilation (ADVICE r2: a trace-time env read is a
-    # silent no-op on cache hits)
+    # env knobs resolved at THIS call's trace time. For direct kernel
+    # calls (probes/tests) that is outside any jit; when
+    # tiled_closest_hit is itself traced inside a jitted wave (e2e
+    # renders), the value read here is frozen into that outer
+    # compilation — change HAIRPT_UNROLL only between process starts,
+    # or pass `unroll=` explicitly (ADVICE r3: env edits between
+    # renders in one process do not retrace a cached wave)
     if unroll is None:
         # 8-slot unroll measured best on v5e (r3: 512² e2e wave 2270 →
         # 2159 ms vs unroll=4; closest-hit 2.35 → 2.41 Mrays/s)

@@ -306,17 +306,24 @@ class SceneBuilder:
         if radiance is not None:
             emitter_id = len(self.area_lights)
             self.area_lights.append(np.asarray(radiance, np.float32))
+        mesh = self._curvature_fixup(mesh, mat_id)
+        self.tri_meshes.append((mesh, mat_id, emitter_id))
+
+    def _curvature_fixup(self, mesh: "shp.Mesh", mat_id: int) -> "shp.Mesh":
+        """Bake the curvature texture's vertex colors (|K|
+        tanh-compressed; negative K red, positive green). Shared by
+        add_mesh and the motion-blur rebuild hook so per-wave re-lerped
+        morph meshes keep the same pytree structure/shading as the
+        build-time mesh (ADVICE r3)."""
         if mat_id in getattr(self, "curvature_mats", set()) \
                 and mesh.colors is None:
-            # curvature texture: bake |K| (tanh-compressed) into vertex
-            # colors — negative K red, positive green
             k = shp.vertex_gaussian_curvature(mesh)
             v = np.tanh(np.abs(k) * self.curvature_scale)
             cols = np.zeros((len(k), 3), np.float32)
             cols[:, 0] = np.where(k < 0, v, 0.0)
             cols[:, 1] = np.where(k >= 0, v, 0.0)
             mesh = mesh._replace(colors=cols)
-        self.tri_meshes.append((mesh, mat_id, emitter_id))
+        return mesh
 
     def add_morph_mesh(self, m0: shp.Mesh, m1: shp.Mesh, mat_id: int,
                        to_world=None, radiance=None, time: float = 0.0):
@@ -667,10 +674,13 @@ class SceneBuilder:
                 # shapes ⇒ one jitted wave serves every time)
                 for k, (w0, w1) in _b.morph_meshes.items():
                     _, mid, eid = _b.tri_meshes[k]
-                    b2.tri_meshes[k] = (
-                        shp.lerp_mesh(w0, w1,
-                                      float(np.clip(t, 0.0, 1.0))),
-                        mid, eid)
+                    lerped = shp.lerp_mesh(w0, w1,
+                                           float(np.clip(t, 0.0, 1.0)))
+                    # same post-processing as add_mesh (curvature
+                    # vertex-color bake) — a re-lerped morph mesh must
+                    # keep the build-time pytree structure (ADVICE r3)
+                    b2.tri_meshes[k] = (_b._curvature_fixup(lerped, mid),
+                                        mid, eid)
                 for k, anim in _b.animated_meshes.items():
                     rel = (anim.eval(float(t))
                            @ np.linalg.inv(anim.eval(t_open)))

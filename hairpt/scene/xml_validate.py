@@ -120,6 +120,7 @@ def validate(root, path_hint: str = "") -> None:
     """Raise SceneXMLError listing every structural problem, or return
     None for a valid tree. `root` is the parsed <scene> element."""
     errors = []
+    unknowns = []
     known = dict(_KNOWN_TYPES)
     known["bsdf"] = _bsdf_types()
 
@@ -198,8 +199,20 @@ def validate(root, path_hint: str = "") -> None:
             elif tag in _OTHER_TAGS:
                 pass
             else:
-                errors.append(f"{here}: unknown element <{tag}>")
+                # unknown elements WARN instead of failing: the loader
+                # ignores vendor/extension tags it does not understand
+                # (matching its pre-validation behavior), so rejecting
+                # them here would break user scenes that loaded fine —
+                # only malformed KNOWN elements are hard errors
+                # (ADVICE r3). validate=False on load_scene skips even
+                # the warning.
+                unknowns.append(f"{here}: unknown element <{tag}> "
+                                "(ignored)")
 
     walk(root, ["scene"])
+    if unknowns:
+        from ..utils import log as _log
+        for u in unknowns:
+            _log.get("scene").warning(u)
     if errors:
         raise SceneXMLError(errors)

@@ -139,8 +139,10 @@ def test_xml_validation_rejects_malformed_early():
     assert "<film> not allowed under <scene>" in msgs
     assert "unknown bsdf type 'nosuchbsdf'" in msgs
     assert "<ref> missing required attribute 'id'" in msgs
-    assert "unknown element <frobnicate>" in msgs
-    assert len(exc.value.errors) >= 7
+    # unknown elements are a WARNING, not an error (vendor/extension
+    # tags the loader ignores must not break scene loading, ADVICE r3)
+    assert "frobnicate" not in msgs
+    assert len(exc.value.errors) >= 6
 
     # missing version attribute
     with pytest.raises(SceneXMLError):
