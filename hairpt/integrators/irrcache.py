@@ -54,9 +54,11 @@ def _direct_light(scene, arr, p, sh_n, mat_id, uv, gm, fr, wi_l, pixel_idx,
 
 
 def build_irradiance_cache(scene: Scene, n_points: int = 4096,
-                           m_rays: int = 16, seed: int = 0):
-    """Pass 1. Returns (pos [M,3], nrm [M,3], e_ind [M,3])."""
-    cfg = scene.config
+                           m_rays: int = 16, seed: int = 0,
+                           grid=None, gradients: bool = False):
+    """Pass 1: area-weighted surface points + irradiance estimates.
+    Returns (pos [M,3], nrm [M,3], e_ind [M,3]) and, when `gradients`,
+    additionally (r_grad [M,3,3], t_grad [M,3,3])."""
     arr = scene.arrays
     assert arr.tri is not None
     p0 = np.asarray(arr.tri.p0)
@@ -64,17 +66,40 @@ def build_irradiance_cache(scene: Scene, n_points: int = 4096,
     e2 = np.asarray(arr.tri.e2)
     pos, nrm, _ = sss_mod.sample_surface_points((p0, e1, e2), n_points,
                                                 seed)
-    pos_j = jnp.asarray(pos)
-    nrm_j = jnp.asarray(nrm)
-    m = n_points
+    out = estimate_irradiance(scene, jnp.asarray(pos), jnp.asarray(nrm),
+                              m_rays=m_rays, seed=seed, grid=grid,
+                              gradients=gradients)
+    return (jnp.asarray(pos), jnp.asarray(nrm)) + out
+
+
+def estimate_irradiance(scene: Scene, pos_j, nrm_j, m_rays: int = 16,
+                        seed: int = 0, grid=None,
+                        gradients: bool = False):
+    """Indirect-irradiance estimate at given surface points. Returns
+    (e_ind [M,3],) or, when `gradients`, (e_ind, r_grad [M,3,3],
+    t_grad [M,3,3]) — the Ward-Heckbert rotational/translational
+    irradiance gradients ([world axis, color]) computed from a
+    stratified hemisphere grid exactly as the reference's
+    HemisphereSampler::process (src/librender/irrcache.cpp:60-145,
+    Krivanek's "Practical Global Illumination" notation).
+
+    grid=(M_el, N_az) switches the estimator from independent
+    cosine-hemisphere rays to the stratified cos-weighted grid
+    (cell centers cosθ_j = sqrt(1-(j+.5)/M), φ_k = 2π(k+.5)/N) that
+    the gradient formulas require; gradients implies a default grid.
+    """
+    cfg = scene.config
+    arr = scene.arrays
+    m = int(pos_j.shape[0])
     idx = jnp.arange(m, dtype=jnp.uint32)
     fr = frame_from_normal(nrm_j)
 
+    if gradients and grid is None:
+        grid = (8, 16)
+
     @jax.jit
-    def one(arr, s):
-        u2 = rng.uniform_2d(idx, s, 11)
-        d_l = warps.square_to_cosine_hemisphere(u2)
-        d = fr.to_world(d_l)
+    def one(arr, s, d_l):
+        d = fr.to_world(jnp.broadcast_to(d_l, (m, 3)))
         o = pos_j + nrm_j * cfg.ray_eps
         r = Ray(o=o, d=d, mint=jnp.zeros(m), maxt=jnp.full(m, jnp.inf))
         hit = scene_intersect(arr, r, cfg.traversal, cfg.block,
@@ -86,28 +111,147 @@ def build_irradiance_cache(scene: Scene, n_points: int = 4096,
         gm2 = mat.gather(arr.materials, arr.checkers, hit.mat_id, hit.uv)
         ld = _direct_light(scene, arr, hit.p, hit.sh_n, hit.mat_id,
                            hit.uv, gm2, fr2, wi_l2, idx, s + 977)
-        le = _emitter_radiance_at_hit(arr, hit, wi_w) if arr.area is not \
-            None else 0.0
-        lr = jnp.where(hit.valid[..., None], ld + le, 0.0)
-        # cosine-weighted sampling: E ≈ π · mean(L)
-        return lr
+        # NO emitted term: the reference fills hemisphere entries with
+        # ERadianceNoEmission queries (misc/irrcache.cpp:312) — direct
+        # lamp emission is handled exactly by the render pass's NEE and
+        # must not leak into the cached indirect irradiance
+        lr = jnp.where(hit.valid[..., None], ld, 0.0)
+        dist = jnp.where(hit.valid, hit.t, jnp.inf)
+        return lr, dist
 
-    e = jnp.zeros((m, 3), jnp.float32)
-    for s in range(m_rays):
-        e = e + one(arr, jnp.uint32(seed * 7919 + s))
-    return pos_j, nrm_j, jnp.pi * e / m_rays
+    @jax.jit
+    def one_rand(arr, s):
+        u2 = rng.uniform_2d(idx, s, 11)
+        d_l = warps.square_to_cosine_hemisphere(u2)
+        d = fr.to_world(d_l)
+        o = pos_j + nrm_j * cfg.ray_eps
+        r = Ray(o=o, d=d, mint=jnp.zeros(m), maxt=jnp.full(m, jnp.inf))
+        hit = scene_intersect(arr, r, cfg.traversal, cfg.block,
+                              _swept_params(cfg))
+        wi_w = -d
+        fr2 = frame(hit)
+        wi_l2 = fr2.to_local(wi_w)
+        gm2 = mat.gather(arr.materials, arr.checkers, hit.mat_id, hit.uv)
+        ld = _direct_light(scene, arr, hit.p, hit.sh_n, hit.mat_id,
+                           hit.uv, gm2, fr2, wi_l2, idx, s + 977)
+        # ERadianceNoEmission parity — see the grid estimator above
+        return jnp.where(hit.valid[..., None], ld, 0.0)
+
+    if grid is None:
+        # legacy estimator: independent cosine rays, E ≈ π · mean(L)
+        e = jnp.zeros((m, 3), jnp.float32)
+        for s in range(m_rays):
+            e = e + one_rand(arr, jnp.uint32(seed * 7919 + s))
+        return (jnp.pi * e / m_rays,)
+
+    M_el, N_az = grid
+    # radiance + hit distance per stratified cell (cell centers, matching
+    # the reference's deterministic cell-center evaluation)
+    L_all = jnp.zeros((M_el, N_az, m, 3), jnp.float32)
+    d_all = jnp.zeros((M_el, N_az, m), jnp.float32)
+    for j in range(M_el):
+        cos_t = np.sqrt(1.0 - (j + 0.5) / M_el)
+        sin_t = np.sqrt((j + 0.5) / M_el)
+        for k in range(N_az):
+            phi = 2.0 * np.pi * (k + 0.5) / N_az
+            d_l = jnp.asarray([sin_t * np.cos(phi), sin_t * np.sin(phi),
+                               cos_t], jnp.float32)
+            lr, dist = one(arr, jnp.uint32(seed * 7919 + j * N_az + k),
+                           d_l)
+            L_all = L_all.at[j, k].set(lr)
+            d_all = d_all.at[j, k].set(dist)
+
+    # E = π/(MN) Σ L  (cosine-weighted stratification)
+    e_ind = jnp.pi * jnp.mean(L_all, axis=(0, 1))
+
+    # local plane vectors (lifted to world per cache point):
+    #   u_k = (cosφ, sinφ, 0), v_k = u rotated -π/2, v_{k-} at cell starts
+    ks = np.arange(N_az)
+    phi_c = 2.0 * np.pi * (ks + 0.5) / N_az
+    vk_ang = phi_c - np.pi / 2.0
+    vkm_ang = (2.0 * np.pi * ks) / N_az + np.pi / 2.0
+    js = np.arange(M_el)
+    cos_tm = np.sqrt(1.0 - js / M_el)            # cosθ_{j-}
+    sin_tm = np.sqrt(js / M_el)
+    cos_tc = np.sqrt(1.0 - (js + 0.5) / M_el)    # cell-center cosθ
+    sin_tc = np.sqrt((js + 0.5) / M_el)
+    cos_tp = np.sqrt(1.0 - (js + 1.0) / M_el)
+    tan_tc = sin_tc / cos_tc
+
+    def to_world(ang):
+        # local (cos a, sin a, 0) lifted through each point's frame
+        lv = jnp.asarray(np.stack([np.cos(ang), np.sin(ang),
+                                   np.zeros_like(ang)], -1), jnp.float32)
+        return (lv[:, None, 0, None] * fr.s[None]
+                + lv[:, None, 1, None] * fr.t[None])      # [N_az, m, 3]
+
+    vk_w = to_world(vk_ang)
+    vkm_w = to_world(vkm_ang)
+    uk_w = to_world(phi_c)
+
+    scale = jnp.pi / (M_el * N_az)
+    # rotational: π/(MN) Σ_{jk} (−tanθ_j) v_k L_jk
+    coef_r = -jnp.asarray(tan_tc, jnp.float32)[:, None, None, None] \
+        * vk_w[None]                                     # [M,N,m,3ax]
+    r_grad = scale * jnp.einsum("jkma,jkmc->mac", coef_r, L_all)
+
+    # translational (Krivanek cell-boundary differences):
+    #  u_k direction — the reference iterates `if (j>1)` (irrcache.cpp
+    #  :104-115), i.e. walls j=2..M-1 only, skipping the wall between
+    #  the two lowest-elevation rows; reproduced exactly
+    dmin_u = jnp.minimum(d_all[2:], d_all[1:-1])          # [M-2,N,m]
+    ok_u = jnp.isfinite(dmin_u) & (dmin_u > 0)
+    fac_u = (2.0 * np.pi / N_az) \
+        * jnp.asarray(cos_tm[2:] * cos_tm[2:] * sin_tm[2:],
+                      jnp.float32)[:, None, None] \
+        / jnp.where(ok_u, dmin_u, 1.0)
+    diff_u = L_all[2:] - L_all[1:-1]                      # [M-2,N,m,3c]
+    t_grad = jnp.einsum(
+        "jkm,jkma,jkmc->mac",
+        jnp.where(ok_u, fac_u, 0.0), jnp.broadcast_to(
+            uk_w[None], (M_el - 2,) + uk_w.shape), diff_u)
+    #  v_k direction, wall between (j,k-1) and (j,k)
+    d_prev = jnp.roll(d_all, 1, axis=1)
+    L_prev = jnp.roll(L_all, 1, axis=1)
+    dmin_v = jnp.minimum(d_all, d_prev)
+    ok_v = jnp.isfinite(dmin_v) & (dmin_v > 0)
+    cos_diff = jnp.asarray(cos_tm - cos_tp, jnp.float32)
+    fac_v = jnp.asarray(cos_tc, jnp.float32)[:, None, None] \
+        * cos_diff[:, None, None] \
+        / (jnp.where(ok_v, dmin_v, 1.0)
+           * jnp.asarray(sin_tc, jnp.float32)[:, None, None])
+    diff_v = L_all - L_prev
+    t_grad = t_grad + jnp.einsum(
+        "jkm,jkma,jkmc->mac",
+        jnp.where(ok_v, fac_v, 0.0),
+        jnp.broadcast_to(vkm_w[None], (M_el,) + vkm_w.shape), diff_v)
+
+    return e_ind, r_grad, t_grad
 
 
 def render_irrcache(scene: Scene, n_points: int = 4096, m_rays: int = 16,
                     spp: int = 4, k_norm_radius: float = 0.25,
-                    seed: int = 0):
-    """Pass 2: direct NEE + interpolated indirect irradiance."""
+                    seed: int = 0, gradients: bool = True, grid=None,
+                    kappa: float = 2.0):
+    """Pass 2: direct NEE + interpolated indirect irradiance.
+
+    gradients=True (the reference's useGradients default,
+    irrcache.cpp:228) extrapolates each record along its Ward
+    translational/rotational gradients before weighting:
+      E' = E + (n_i x n)·rGrad + (x - x_i)·tGrad   (irrcache.cpp:196-207)
+    """
     cfg = scene.config
     arr = scene.arrays
     fl = scene.film
     n_pix = cfg.width * cfg.height
-    cpos, cnrm, e_ind = build_irradiance_cache(scene, n_points, m_rays,
-                                               seed)
+    if gradients:
+        cpos, cnrm, e_ind, r_grad, t_grad = build_irradiance_cache(
+            scene, n_points, m_rays, seed, grid=grid or (8, 16),
+            gradients=True)
+    else:
+        (cpos, cnrm, e_ind) = build_irradiance_cache(scene, n_points,
+                                                     m_rays, seed)
+        r_grad = t_grad = None
 
     @jax.jit
     def wave(arr, sample_id, image, weight):
@@ -130,12 +274,35 @@ def render_irrcache(scene: Scene, n_points: int = 4096, m_rays: int = 16,
 
         # Ward-weighted interpolation over the cache (dense [N, M] — the
         # cache is small; replaces the octree range query)
-        d2 = jnp.sum((hit.p[:, None] - cpos[None]) ** 2, -1)
+        diff = hit.p[:, None] - cpos[None]                  # [N, M, 3]
+        d2 = jnp.sum(diff ** 2, -1)
         ndot = jnp.clip(jnp.sum(hit.sh_n[:, None] * cnrm[None], -1), -1, 1)
-        w = 1.0 / (jnp.sqrt(d2) / k_norm_radius
-                   + jnp.sqrt(jnp.maximum(1.0 - ndot, 0.0)) + 1e-4)
+        arg = jnp.sqrt(d2) / k_norm_radius \
+            + jnp.sqrt(jnp.maximum(1.0 - ndot, 0.0)) + 1e-4
+        w = 1.0 / arg
         w = jnp.where(ndot > 0.2, w, 0.0)
-        e_interp = (w @ e_ind) / jnp.maximum(jnp.sum(w, -1), 1e-9)[:, None]
+        # validity cutoff (reference Record::getWeight rejects records
+        # with weight < 1/kappa): beyond-radius records would otherwise
+        # smear — and make gradient extrapolation overshoot. Falls back
+        # to the smooth weights where no record passes the cutoff.
+        w_cut = jnp.where(arg < kappa, w, 0.0)
+        has_cut = jnp.sum(w_cut, -1, keepdims=True) > 0
+        w = jnp.where(has_cut, w_cut, w)
+        if r_grad is not None:
+            # gradient extrapolation per record (irrcache.cpp:196-207):
+            # E'_i = E_i + (n_i x n)·rGrad_i + (x - x_i)·tGrad_i, >= 0
+            cross_n = jnp.cross(jnp.broadcast_to(cnrm[None], diff.shape),
+                                jnp.broadcast_to(hit.sh_n[:, None],
+                                                 diff.shape))
+            e_rec = e_ind[None] \
+                + jnp.einsum("nma,mac->nmc", cross_n, r_grad) \
+                + jnp.einsum("nma,mac->nmc", diff, t_grad)
+            e_rec = jnp.maximum(e_rec, 0.0)
+            e_interp = jnp.einsum("nm,nmc->nc", w, e_rec) \
+                / jnp.maximum(jnp.sum(w, -1), 1e-9)[:, None]
+        else:
+            e_interp = (w @ e_ind) \
+                / jnp.maximum(jnp.sum(w, -1), 1e-9)[:, None]
         l_ind = gm.diffuse / jnp.pi * e_interp
 
         rad = jnp.where(hit.valid[..., None], ld + le + l_ind,

@@ -34,12 +34,12 @@ def barrier(x):
 
 def timed(fn, *args, reps=5):
     out = fn(*args)
-    barrier(out[0] if isinstance(out, tuple) else out)
+    barrier((out[0] if isinstance(out, tuple) else out).astype("float32"))
     ts = []
     for _ in range(reps):
         t0 = time.time()
         out = fn(*args)
-        barrier(out[0] if isinstance(out, tuple) else out)
+        barrier((out[0] if isinstance(out, tuple) else out).astype("float32"))
         ts.append(time.time() - t0)
     return min(ts), out
 
@@ -91,7 +91,7 @@ def main():
           f"({float(jnp.mean(jnp.isfinite(tb)))*100:.0f}% hit)",
           flush=True)
 
-    ta, (tba, _) = timed(
+    ta, tba = timed(
         lambda r: jax.jit(lambda rr: tl.tiled_any_hit(
             sw, rr, C, K, q_max=q_max, sort_rays=True))(r), bray)
     print(f"[bp] bounce ANY-hit query:        {ta*1e3:8.1f} ms",
