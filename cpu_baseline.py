@@ -70,14 +70,20 @@ def main():
     out = subprocess.run([exe, seg_path, ray_path, str(iters)],
                          check=True, capture_output=True, text=True)
     sys.stderr.write(out.stderr)
-    mrays, hit_frac = (float(x) for x in out.stdout.split())
+    vals = [float(x) for x in out.stdout.split()]
+    mrays, hit_frac = vals[0], vals[1]
+    e2e_mrays = vals[2] if len(vals) > 2 else None
+    avg_bounces = vals[3] if len(vals) > 3 else None
     result = {
         "cpu_mrays": mrays,
         "hit_fraction": hit_frac,
+        "cpu_e2e_mrays": e2e_mrays,
+        "e2e_avg_bounces": avg_bounces,
         "segments": int(n),
         "rays": int(len(raydata)),
         "threads": os.cpu_count(),
-        "note": "native multithreaded SAH-BVH miter-cylinder closest-hit, "
+        "note": "native multithreaded SAH-BVH miter-cylinder closest-hit + "
+                "full NEE path-trace e2e loop (sun shadow rays, RR d>=5), "
                 "AVX-vectorized SoA leaf tests (triaccel_sse.h counterpart); "
                 "reference Mitsuba binary unbuildable here — see docstring",
     }

@@ -196,6 +196,109 @@ def _tile_slots(mask, te, q_max: int, return_bound: bool = False,
     return packed, cnt, tmin[:, 0], scale, overflow
 
 
+def _octet_streams(mask, te, octm, q_max: int, qo: int, W: int):
+    """Routing for the windowed octet-stream kernel (pallas_tiled
+    stream_phase_b): extract tile slots in exact entry-t order (as
+    _tile_slots), then compact each slot's octet-incidence bits into
+    eight per-octet streams whose entries carry the slot index and the
+    12-bit floor-quantized suffix bound of the SAME stream.
+
+    qo must be <= q_max (enforced by the caller).
+    Returns (cids [T, q_max], streams [T, 8, qo], off [T, n_win+1, 8],
+    cnt [T], tmin [T], tscale [T], overflow, (te_l, cid_l, more)):
+    the bound triple covers BOTH slot-level overflow (> q_max
+    candidates) and stream truncation (> qo entries for some octet) —
+    every dropped (slot, octet) incidence is lexicographically after
+    (te_l, cid_l), so the exact-overflow completion loop can re-route
+    the remainder (re-testing some already-covered octets is harmless:
+    closest/any-hit merges are idempotent)."""
+    T, C = mask.shape
+    te_f = jnp.where(mask, te, jnp.inf)
+    tmin = jnp.min(te_f, axis=1, keepdims=True)
+    tmin = jnp.where(jnp.isfinite(tmin), tmin, 0.0)
+    tmax = jnp.max(jnp.where(mask, te, -jnp.inf), axis=1, keepdims=True)
+    tmax = jnp.where(jnp.isfinite(tmax), tmax, 1.0)
+    span = jnp.maximum(tmax - tmin, 1e-6)
+    scale = (span / (TE_INF - 1))[:, 0]
+
+    n_hit = jnp.sum(mask, axis=1)
+    cnt = jnp.minimum(n_hit, q_max)
+    cids_full = jax.lax.broadcasted_iota(jnp.int32, (T, C), 1)
+    te_sorted, cid_sorted = jax.lax.sort((te_f, cids_full), dimension=1,
+                                         num_keys=1)
+    if C < q_max:
+        padn = q_max - C
+        te_sorted = jnp.concatenate(
+            [te_sorted, jnp.full((T, padn), jnp.inf)], axis=1)
+        cid_sorted = jnp.concatenate(
+            [cid_sorted, jnp.zeros((T, padn), jnp.int32)], axis=1)
+    te_slot = te_sorted[:, :q_max]
+    cids = cid_sorted[:, :q_max]
+    valid_slot = jnp.isfinite(te_slot)
+    cids = jnp.where(valid_slot, cids, 0)
+
+    # per-slot octet bits through the sorted order
+    oct_slot = jnp.where(
+        valid_slot,
+        jnp.take_along_axis(octm, jnp.minimum(cids, C - 1), axis=1), 0)
+
+    # eight compacted streams: stable sort set-bit slot indices first
+    qidx = jax.lax.broadcasted_iota(jnp.int32, (T, 8, q_max), 2)
+    bits = ((oct_slot[:, None, :] >> jnp.arange(8)[None, :, None]) & 1) \
+        .astype(bool)
+    key = jnp.where(bits, qidx, (1 << 13) | qidx)
+    key_sorted = jax.lax.sort(key.reshape(T * 8, q_max),
+                              dimension=1).reshape(T, 8, q_max)
+    stream_q = (key_sorted & 0xFFF)[:, :, :qo]
+    valid_s = key_sorted[:, :, :qo] < (1 << 13)
+    cnt8 = jnp.sum(bits, axis=2)                        # [T, 8]
+
+    te_bc = jnp.broadcast_to(te_slot[:, None, :], (T, 8, q_max))
+    te_ent = jnp.take_along_axis(te_bc, stream_q, axis=2)
+    te_ent = jnp.where(valid_s, te_ent, jnp.inf)
+    te_next = jnp.concatenate(
+        [te_ent[:, :, 1:], jnp.full((T, 8, 1), jnp.inf)], axis=2)
+    bq = jnp.floor((te_next - tmin[:, :, None]) / span[:, :, None]
+                   * (TE_INF - 1))
+    bq = jnp.clip(bq, 0, TE_INF - 1).astype(jnp.int32)
+    bq = jnp.where(jnp.isfinite(te_next), bq, TE_INF)
+    streams = jnp.where(valid_s, stream_q | (bq << 12),
+                        jnp.int32(TE_INF << 12))
+
+    # per-window offsets (cumulative stream entries with q < w*W)
+    n_win = (q_max + W - 1) // W
+    thr = (jnp.arange(n_win + 1) * W).astype(jnp.int32)
+    off = jnp.sum((stream_q[:, :, :, None] < thr[None, None, None, :])
+                  & valid_s[:, :, :, None], axis=2)      # [T, 8, n_win+1]
+    off = jnp.swapaxes(off, 1, 2).astype(jnp.int32)      # [T, n_win+1, 8]
+
+    # completion bounds: slot-level overflow + per-octet truncation
+    more_slot = n_hit > q_max
+    te_l_slot = jnp.where(more_slot, te_sorted[:, q_max - 1], jnp.inf)
+    cid_l_slot = jnp.where(more_slot, cid_sorted[:, q_max - 1], 0)
+    trunc = cnt8 > qo                                    # [T, 8]
+    last_q = jnp.where(trunc, stream_q[:, :, qo - 1], 0)
+    te_l_oct = jnp.where(trunc, te_ent[:, :, qo - 1], jnp.inf)
+    cid_l_oct = jnp.take_along_axis(cids, last_q, axis=1)  # [T, 8]
+    cid_l_oct = jnp.where(trunc, cid_l_oct, 0)
+    # lexicographic min over the 8 octet bounds, then vs the slot bound
+    # (ties on te take the smallest cid so no dropped incidence can
+    # precede the bound)
+    te_l = te_l_oct.min(axis=1)
+    cid_l = jnp.min(jnp.where(te_l_oct == te_l[:, None], cid_l_oct,
+                              jnp.int32(2**30)), axis=1)
+    cid_l = jnp.where(jnp.isfinite(te_l), cid_l, 0)
+    take_slot = (te_l_slot < te_l) \
+        | ((te_l_slot == te_l) & (cid_l_slot < cid_l))
+    te_l = jnp.where(take_slot, te_l_slot, te_l)
+    cid_l = jnp.where(take_slot, cid_l_slot, cid_l)
+    more = more_slot | jnp.any(trunc, axis=1)
+    te_l = jnp.where(more, te_l, jnp.inf)
+    overflow = jnp.sum(more.astype(jnp.int32))
+    return (cids, streams, off, cnt, tmin[:, 0], scale, overflow,
+            (te_l, cid_l, more))
+
+
 def _pad_rays(ray: Ray, tile: int):
     N = ray.o.shape[0]
     pad = (-N) % tile
@@ -241,7 +344,9 @@ def tiled_closest_hit(sw: SweptHair, ray: Ray, n_clusters: int, K: int,
                       resident: bool | None = None,
                       unroll: int | None = None,
                       exact_overflow: bool = True,
-                      short_t: float = 0.0, octets: bool = False):
+                      short_t: float = 0.0, octets: bool = False,
+                      streams: bool = False, stream_qo: int | None = None,
+                      stream_w: int = 64, stream_unroll: int = 4):
     """Closest hit over the cluster layout. Returns (t [N], prim_id [N]).
 
     n_clusters, K are the static cluster-layout ints; tile and q_max are
@@ -273,6 +378,19 @@ def tiled_closest_hit(sw: SweptHair, ray: Ray, n_clusters: int, K: int,
         # 2159 ms vs unroll=4; closest-hit 2.35 → 2.41 Mrays/s)
         unroll = int(os.environ.get("HAIRPT_UNROLL", "8"))
 
+    if streams and K < 128 and (impl == "pallas" or impl == "auto"):
+        # Mosaic rejects DMA source slices narrower than 128 lanes; the
+        # stream kernel always streams clusters from HBM, so sub-128
+        # cluster widths keep the dense kernel (VMEM-resident there)
+        streams = False
+    if streams:
+        if stream_qo is None:
+            stream_qo = max(256, q_max // 4)
+        # a per-octet stream can never hold more than q_max entries; a
+        # larger qo would silently mis-shape the SMEM layout (jnp slice
+        # clipping) and misalign every octet past the first
+        stream_qo = min(stream_qo, q_max)
+
     if short_t > 0.0 and sort_rays:
         # SHORT-RAY-FIRST two-phase query for bounce/shadow waves: in
         # dense fur almost every secondary ray terminates within a few
@@ -292,7 +410,8 @@ def tiled_closest_hit(sw: SweptHair, ray: Ray, n_clusters: int, K: int,
                   sort_rays=True, subcull=subcull, compact=compact,
                   resident=resident, unroll=unroll,
                   exact_overflow=exact_overflow, short_t=0.0,
-                  octets=octets)
+                  octets=octets, streams=streams, stream_qo=stream_qo,
+                  stream_w=stream_w, stream_unroll=stream_unroll)
         ray1 = ray._replace(maxt=jnp.minimum(ray.maxt, short_t))
         t1, p1, ov1 = tiled_closest_hit(sw, ray1, n_clusters, K,
                                         return_overflow=True, **kw)
@@ -347,8 +466,16 @@ def tiled_closest_hit(sw: SweptHair, ray: Ray, n_clusters: int, K: int,
             # arrays) and ≤ ~128 MB of [Tc, C] f32 cull temporaries
             # (larger exact-overflow q_caps would otherwise shrink
             # chunks and multiply per-chunk routing-sort overhead)
-            slot_bytes = 8 if octets else 4   # packed + octet words
-            t_chunk = max(1, ((1 << 20) * 7 // 8) // (q_cap * slot_bytes))
+            if streams:
+                # stream mode SMEM per tile: cid table + 8 per-octet
+                # streams + window offsets
+                n_win_s = (q_cap + stream_w - 1) // stream_w
+                per_tile = (q_cap + 8 * stream_qo
+                            + (n_win_s + 1) * 8) * 4
+            else:
+                slot_bytes = 8 if octets else 4   # packed + octet words
+                per_tile = q_cap * slot_bytes
+            t_chunk = max(1, ((1 << 20) * 7 // 8) // per_tile)
             t_chunk = min(t_chunk, max(1, (1 << 25) // max(C_eff, 1)))
 
             def chunk_fn(args):
@@ -358,7 +485,7 @@ def tiled_closest_hit(sw: SweptHair, ray: Ray, n_clusters: int, K: int,
                 if impl == "pallas":
                     # phase A as a Pallas kernel: the jnp form streams
                     # [N, C] temporaries through HBM (51/60 ms per query)
-                    if octets:
+                    if octets or streams:
                         te_s, t_pmax_t, oct_s = _cull_pallas(
                             rays8_c, cull_bounds[0], cull_bounds[1],
                             emit_oct=True)
@@ -370,7 +497,7 @@ def tiled_closest_hit(sw: SweptHair, ray: Ray, n_clusters: int, K: int,
                 else:
                     mask_s, te_s, t_pmax, oct_s = _tile_cluster_mask(
                         sw, ray_c, tile, bounds=cull_bounds)
-                    if not octets:
+                    if not (octets or streams):
                         oct_s = None
                     t_pmax_t = t_pmax.reshape(-1, tile)
                 if subcull:
@@ -388,6 +515,72 @@ def tiled_closest_hit(sw: SweptHair, ray: Ray, n_clusters: int, K: int,
                 C_full = mask.shape[1]
                 any_mode = (mode == "any")
                 octm_in = octm if octets else None
+
+                if streams:
+                    # windowed octet-stream phase B (pallas_tiled
+                    # stream_phase_b): per-octet compacted slot lists,
+                    # union-granularity window DMA
+                    from .pallas_tiled import stream_phase_b
+
+                    def run_streams(mask_k, rays8_k):
+                        cids_s, strm, offs, cnt_s, tmn, tsc, ov_k, bnd = \
+                            _octet_streams(mask_k, te, octm, q_cap,
+                                           stream_qo, stream_w)
+                        t2, p2 = stream_phase_b(
+                            cids_s, strm, offs, cnt_s, tmn, tsc, rays8_k,
+                            t_pmax_t, sw.seg_rows_t, K, q_cap, stream_qo,
+                            stream_w, any_hit=any_mode,
+                            interpret=(impl == "interpret"),
+                            unroll=stream_unroll)
+                        return t2, p2, ov_k, bnd
+
+                    if not (exact_overflow
+                            and (C_full > q_cap or C_full > stream_qo)):
+                        t_c, p_c, ov, _ = run_streams(mask, rays8_c)
+                        return t_c, p_c, ov
+
+                    cids = jax.lax.broadcasted_iota(jnp.int32, mask.shape,
+                                                    1)
+                    Tc = mask.shape[0]
+                    TILE_ = rays8_c.shape[2]
+
+                    def _unresolved(t_k, p_k, te_l, more_k):
+                        u = (p_k < 0) if any_mode \
+                            else (t_k > te_l[:, None])
+                        return u & more_k[:, None] \
+                            & (te_l[:, None] <= t_pmax_t)
+
+                    def ov_cond(carry):
+                        t_k, p_k, te_l, cid_l, more_k, _, _ = carry
+                        return jnp.any(_unresolved(t_k, p_k, te_l,
+                                                   more_k))
+
+                    def ov_body(carry):
+                        t_k, p_k, te_l, cid_l, more_k, ov_acc, k_pass = \
+                            carry
+                        mask_k = mask & ((te > te_l[:, None])
+                                         | ((te == te_l[:, None])
+                                            & (cids > cid_l[:, None])))
+                        rays8_k = rays8_c.at[:, 7, :].set(
+                            jnp.minimum(rays8_c[:, 7, :], t_k))
+                        t2, p2, ov_k, (te_l2, cid_l2, more2) = \
+                            run_streams(mask_k, rays8_k)
+                        better = t2 < t_k
+                        ov_acc = jnp.where(k_pass == 0, ov_k, ov_acc)
+                        return (jnp.where(better, t2, t_k),
+                                jnp.where(better, p2, p_k),
+                                te_l2, cid_l2, more2, ov_acc, k_pass + 1)
+
+                    init = (jnp.full((Tc, TILE_), jnp.inf, jnp.float32),
+                            jnp.full((Tc, TILE_), -1, jnp.int32),
+                            jnp.full((Tc,), -jnp.inf, jnp.float32),
+                            jnp.full((Tc,), -1, jnp.int32),
+                            jnp.ones((Tc,), bool),
+                            jnp.int32(0), jnp.int32(0))
+                    t_c, p_c, _, _, _, ov, _ = jax.lax.while_loop(
+                        ov_cond, ov_body, init)
+                    return t_c, p_c, ov
+
                 if not (exact_overflow and C_full > q_cap):
                     # capacity covers every cluster: single pass, no
                     # completion machinery in the program at all
@@ -589,12 +782,17 @@ def tiled_any_hit(sw: SweptHair, ray: Ray, n_clusters: int, K: int,
                   sort_rays: bool = False, subcull: bool = False,
                   compact: bool = True, resident: bool | None = None,
                   unroll: int | None = None, exact_overflow: bool = True,
-                  short_t: float = 0.0, octets: bool = False):
+                  short_t: float = 0.0, octets: bool = False,
+                  streams: bool = False, stream_qo: int | None = None,
+                  stream_w: int = 64, stream_unroll: int = 4):
     degenerate = ray.maxt <= ray.mint
     t, p = tiled_closest_hit(sw, ray, n_clusters, K, tile, q_max, impl,
                              mode="any", sort_rays=sort_rays,
                              subcull=subcull, compact=compact,
                              resident=resident, unroll=unroll,
                              exact_overflow=exact_overflow,
-                             short_t=short_t, octets=octets)
+                             short_t=short_t, octets=octets,
+                             streams=streams, stream_qo=stream_qo,
+                             stream_w=stream_w,
+                             stream_unroll=stream_unroll)
     return (p >= 0) & ~degenerate

@@ -564,6 +564,261 @@ def _tiled_kernel(slots_ref,            # scalar prefetch [T * q_max] packed
 
 
 # ---------------------------------------------------------------------------
+# WINDOWED OCTET-STREAM phase B.
+#
+# The dense kernel tests each tile-union slot against ALL 64 rays, but a
+# bounce-wave slot is entered by only ~2.3 of the tile's eight 8-ray
+# octets (measured: tile unions 188 vs per-ray candidate lists of 13 —
+# tools/eval_clustering.py models 5.3x less work at octet granularity
+# with per-octet early exit). An earlier octet-SKIPPING kernel lost
+# 2.9x to branch-serialized single-vreg predication; this formulation
+# avoids both failure modes:
+#
+#   * compute walks PER-OCTET compacted slot streams — eight static
+#     sublane slices, unconditional k-unrolled [8,128] chains
+#     (prototyped at parity-or-better per-vreg throughput vs the dense
+#     form, tools/proto_pairblock.py),
+#   * DMA stays at UNION granularity: slots are fetched once per tile
+#     into a double-buffered W-slot VMEM window ring, batch-issued a
+#     window ahead (a per-stream-entry DMA measured a ~140 ns scalar
+#     floor — 2x the whole compute budget of a stream entry),
+#   * each octet carries its own suffix-min entry bound (quantized into
+#     the stream entry) and per-ray t_pmax, so octets exit
+#     independently; fully-resolved tiles skip remaining windows
+#     (including their DMA).
+#
+# Replaces the same reference machinery as the dense kernel (Havran
+# traversal sahkdtree3.h:178-306 + SSE packets triaccel_sse.h), at the
+# granularity the reference's per-ray recursion gets for free.
+# ---------------------------------------------------------------------------
+
+STREAM_QBITS = 12
+STREAM_QMASK = (1 << STREAM_QBITS) - 1
+
+
+def _stream_kernel(cids_ref,      # SMEM [T * q_max] slot cluster ids
+                   streams_ref,   # SMEM [T * 8 * qo] packed q | bq<<12
+                   off_ref,       # SMEM [T * (n_win+1) * 8] stream offsets
+                   cnt_ref,       # SMEM [T] live slots per tile
+                   tmin_ref,      # SMEM [T]
+                   tscale_ref,    # SMEM [T]
+                   rays_ref,      # VMEM [GROUP_T, TILE, 8] ray-major
+                   tpmax_ref,     # VMEM [GROUP_T, TILE, 1]
+                   seg_rows_hbm,  # ANY  [C, PRIM_F, K]
+                   t_out_ref,     # VMEM [GROUP_T, TILE, 1]
+                   pid_out_ref,   # VMEM [GROUP_T, TILE, 1]
+                   seg_win=None,  # VMEM scratch [2, W, PRIM_F, K]
+                   sems=None,     # DMA sems [2, W]
+                   *, q_max: int, qo: int, n_win: int, W: int,
+                   any_hit: bool, unroll: int = 4):
+    i = pl.program_id(0)
+    t_out_ref[...] = jnp.full(t_out_ref.shape, jnp.inf, jnp.float32)
+    pid_out_ref[...] = jnp.full(pid_out_ref.shape, -1, jnp.int32)
+
+    for g in range(GROUP_T):
+        t_glob = i * GROUP_T + g
+        n_slots = cnt_ref[t_glob]
+        nw = (n_slots + W - 1) // W
+        tmin = tmin_ref[t_glob]
+        tscale = tscale_ref[t_glob]
+
+        def issue(w):
+            """Batch-start the DMA of window w's slots into buf w % 2."""
+            lo = w * W
+            hi = jnp.minimum(lo + W, n_slots)
+
+            def body(q, _):
+                cid = cids_ref[t_glob * q_max + q]
+                pltpu.make_async_copy(
+                    seg_rows_hbm.at[cid], seg_win.at[w % 2, q - lo],
+                    sems.at[w % 2, q - lo]).start()
+                return 0
+
+            jax.lax.fori_loop(lo, hi, body, 0)
+
+        def wait_win(w):
+            lo = w * W
+            hi = jnp.minimum(lo + W, n_slots)
+
+            def body(q, _):
+                pltpu.make_async_copy(
+                    seg_win.at[w % 2, q - lo], seg_win.at[w % 2, q - lo],
+                    sems.at[w % 2, q - lo]).wait()
+                return 0
+
+            jax.lax.fori_loop(lo, hi, body, 0)
+
+        @pl.when(n_slots > 0)
+        def _():
+            issue(0)
+            t_pmax = tpmax_ref[g]                     # [TILE, 1]
+
+            def oct_stream(w, oc, done_oc):
+                """Process octet oc's stream entries inside window w.
+                Returns its updated done flag (scalar bool). A done
+                octet (done_oc True) falls straight through the while
+                condition and returns True — no branch needed. The
+                LAST stream entry carries an infinite suffix bound, so
+                stream exhaustion resolves through the same check."""
+                base = t_glob * 8 * qo + oc * qo
+                off_base = t_glob * (n_win + 1) * 8
+                lo_j = off_ref[off_base + w * 8 + oc]
+                hi_j = off_ref[off_base + (w + 1) * 8 + oc]
+                rays_o = rays_ref[g, 8 * oc:8 * (oc + 1), :]
+                tpm_o = t_pmax[8 * oc:8 * (oc + 1), :]
+
+                def bound_of(j):
+                    e = streams_ref[base + j]
+                    bq = (e >> STREAM_QBITS) & TE_INF
+                    return jnp.where(bq == TE_INF, jnp.inf,
+                                     tmin + bq.astype(jnp.float32)
+                                     * tscale)
+
+                def resolved(j):
+                    te_next = bound_of(j)
+                    best = t_out_ref[g, 8 * oc:8 * (oc + 1), :]
+                    if any_hit:
+                        d = jnp.isfinite(best) | (te_next > tpm_o)
+                    else:
+                        d = (best <= te_next) | (te_next > tpm_o)
+                    return jnp.all(d)
+
+                def cond(carry):
+                    j, done = carry
+                    return jnp.logical_not(done) & (j < hi_j)
+
+                def body(carry):
+                    j, _ = carry
+                    t_u = None
+                    p_u = None
+                    for k in range(unroll):
+                        jj = jnp.minimum(j + k, hi_j - 1)
+                        e = streams_ref[base + jj]
+                        wloc = (e & STREAM_QMASK) - w * W
+                        rows = seg_win[w % 2, wloc]
+                        tq, pq = _cyl_test_oct(rows, rays_o)
+                        if k > 0:
+                            tq = jnp.where(j + k < hi_j, tq, jnp.inf)
+                        if t_u is None:
+                            t_u, p_u = tq, pq
+                        else:
+                            take = tq < t_u
+                            t_u = jnp.where(take, tq, t_u)
+                            p_u = jnp.where(take, pq, p_u)
+                    prev = t_out_ref[g, 8 * oc:8 * (oc + 1), :]
+                    better = t_u < prev
+                    t_out_ref[g, 8 * oc:8 * (oc + 1), :] = \
+                        jnp.where(better, t_u, prev)
+                    prev_p = pid_out_ref[g, 8 * oc:8 * (oc + 1), :]
+                    pid_out_ref[g, 8 * oc:8 * (oc + 1), :] = \
+                        jnp.where(better, p_u, prev_p)
+                    j_next = jnp.minimum(j + unroll, hi_j)
+                    return j_next, resolved(j_next - 1)
+
+                _, done_now = jax.lax.while_loop(cond, body,
+                                                 (lo_j, done_oc))
+                return done_now
+
+            def w_cond(carry):
+                w = carry[0]
+                dones = carry[1:]
+                all_done = dones[0]
+                for dflag in dones[1:]:
+                    all_done = all_done & dflag
+                return (w < nw) & jnp.logical_not(all_done)
+
+            def w_body(carry):
+                w = carry[0]
+                dones = list(carry[1:])
+
+                @pl.when(w + 1 < nw)
+                def _():
+                    issue(w + 1)
+                wait_win(w)
+                for oc in range(8):
+                    dones[oc] = oct_stream(w, oc, dones[oc])
+                return tuple([w + 1] + dones)
+
+            init = tuple([jnp.int32(0)] + [jnp.bool_(False)] * 8)
+            final = jax.lax.while_loop(w_cond, w_body, init)
+            w_end = final[0]
+            # drain the window that may still be in flight (issued for
+            # w_end but never waited because the loop exited early)
+            @pl.when(w_end < nw)
+            def _():
+                wait_win(w_end)
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("K", "q_max", "qo", "W", "any_hit",
+                                    "interpret", "unroll"))
+def stream_phase_b(cids, streams, off, cnt, tmin, tscale, rays8, t_pmax,
+                   seg_rows, K: int, q_max: int, qo: int, W: int,
+                   any_hit: bool = False, interpret: bool = False,
+                   unroll: int = 4):
+    """Run the windowed octet-stream kernel.
+
+    cids    [T, q_max]        slot cluster ids (tile entry-t order)
+    streams [T, 8, qo]        packed q | bound<<12 per octet stream
+    off     [T, n_win+1, 8]   per-window stream offsets
+    cnt     [T]               live slots per tile
+    rays8   [T, 8, TILE], t_pmax [T, TILE], seg_rows [C, PRIM_F, K]
+    → (t [T, TILE], pid [T, TILE])."""
+    T, _, TILE = rays8.shape
+    n_win = (q_max + W - 1) // W
+    pad = (-T) % GROUP_T
+    if pad:
+        cids = jnp.concatenate([cids, jnp.zeros((pad, q_max), jnp.int32)])
+        streams = jnp.concatenate(
+            [streams, jnp.zeros((pad, 8, qo), jnp.int32)])
+        off = jnp.concatenate(
+            [off, jnp.zeros((pad, n_win + 1, 8), jnp.int32)])
+        cnt = jnp.concatenate([cnt, jnp.zeros((pad,), jnp.int32)])
+        tmin = jnp.concatenate([tmin, jnp.zeros((pad,), jnp.float32)])
+        tscale = jnp.concatenate([tscale, jnp.ones((pad,), jnp.float32)])
+        rays8 = jnp.concatenate(
+            [rays8, jnp.zeros((pad, 8, TILE), jnp.float32)])
+        t_pmax = jnp.concatenate(
+            [t_pmax, jnp.full((pad, TILE), -1.0, jnp.float32)])
+    T_pad = T + pad
+    rays_t = jnp.swapaxes(rays8, 1, 2)               # [T, TILE, 8]
+    tpm = t_pmax[..., None]                          # [T, TILE, 1]
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=6,
+        grid=(T_pad // GROUP_T,),
+        in_specs=[
+            pl.BlockSpec((GROUP_T, TILE, 8), lambda i, *_: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((GROUP_T, TILE, 1), lambda i, *_: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.ANY),
+        ],
+        out_specs=[
+            pl.BlockSpec((GROUP_T, TILE, 1), lambda i, *_: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((GROUP_T, TILE, 1), lambda i, *_: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((2, W, PRIM_F, K), jnp.float32),
+            pltpu.SemaphoreType.DMA((2, W)),
+        ],
+    )
+    t, pid = pl.pallas_call(
+        functools.partial(_stream_kernel, q_max=q_max, qo=qo,
+                          n_win=n_win, W=W, any_hit=any_hit,
+                          unroll=unroll),
+        out_shape=(jax.ShapeDtypeStruct((T_pad, TILE, 1), jnp.float32),
+                   jax.ShapeDtypeStruct((T_pad, TILE, 1), jnp.int32)),
+        grid_spec=grid_spec,
+        interpret=interpret,
+    )(cids.reshape(-1), streams.reshape(-1), off.reshape(-1), cnt,
+      tmin, tscale, rays_t, tpm, seg_rows)
+    return t[:T, :, 0], pid[:T, :, 0]
+
+
+# ---------------------------------------------------------------------------
 # phase-A culling kernel: per-tile ray-vs-cluster-AABB slab tests.
 #
 # The jnp formulation materializes [N, C] f32 intermediates (150 MB+ per

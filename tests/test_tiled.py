@@ -291,3 +291,73 @@ def test_tiled_overflow_exact_matches_large_q_random():
     m = np.asarray(p_big) >= 0
     np.testing.assert_allclose(np.asarray(t_sm)[m], np.asarray(t_big)[m],
                                rtol=1e-6, atol=1e-7)
+
+
+def test_streams_matches_dense_and_bruteforce():
+    """Windowed octet-stream phase B (streams=True) against both the
+    dense kernel and the brute-force oracle, closest + any-hit."""
+    (p0, p1, n0, n1, rad), rays = _geom_and_rays()
+    n_seg = len(p0)
+    K = 32
+    swept = sw.build_swept_hair(p0, p1, n0, n1, rad, K=K)
+    C = int(swept.seg_rows.shape[0]) // K
+
+    t_d, p_d = tl.tiled_closest_hit(swept, rays, C, K, q_max=192)
+    t_s, p_s, ovf = tl.tiled_closest_hit(swept, rays, C, K, q_max=192,
+                                         streams=True, stream_qo=256,
+                                         stream_w=32,
+                                         return_overflow=True)
+    np.testing.assert_array_equal(np.asarray(p_s) >= 0,
+                                  np.asarray(p_d) >= 0)
+    m = np.asarray(p_d) >= 0
+    np.testing.assert_allclose(np.asarray(t_s)[m], np.asarray(t_d)[m],
+                               rtol=1e-6, atol=1e-7)
+    assert (np.asarray(p_s)[m] == np.asarray(p_d)[m]).mean() > 0.999
+
+    geom = isec.HairGeom(p0=jnp.asarray(p0), p1=jnp.asarray(p1),
+                         n0=jnp.asarray(n0), n1=jnp.asarray(n1),
+                         radius=jnp.asarray(rad))
+    t_ref, prim_ref = isec.brute_force_closest(geom,
+                                               isec.hair_intersect_block,
+                                               n_seg, rays)
+    hit_ref = np.asarray(prim_ref) >= 0
+    np.testing.assert_array_equal(np.asarray(p_s) >= 0, hit_ref)
+
+    occ_s = tl.tiled_any_hit(swept, rays, C, K, q_max=192, streams=True,
+                             stream_qo=256, stream_w=32)
+    np.testing.assert_array_equal(np.asarray(occ_s), hit_ref)
+
+
+def test_streams_truncation_exact_completion():
+    """Stream truncation (stream_qo smaller than per-octet candidate
+    counts) and window splits must complete exactly — bit-identical to
+    the dense large-q result, including the adversarial pencil."""
+    K = 32
+    swept, C, rays, x_hit, hit_seg = _adversarial_pencil(K=K)
+    t_s, p_s, ovf = tl.tiled_closest_hit(swept, rays, C, K, q_max=8,
+                                         streams=True, stream_qo=4,
+                                         stream_w=4,
+                                         return_overflow=True)
+    assert int(ovf) > 0
+    np.testing.assert_allclose(np.asarray(t_s), x_hit - 0.01, atol=1e-3)
+    assert np.all(np.asarray(p_s) == hit_seg)
+    occ = tl.tiled_any_hit(swept, rays, C, K, q_max=8, streams=True,
+                           stream_qo=4, stream_w=4)
+    assert np.all(np.asarray(occ))
+
+    # random geometry, sorted + compacted path, tiny caps
+    (p0, p1, n0, n1, rad), rays2 = _geom_and_rays(n_fibers=300,
+                                                  n_rays=1024)
+    swept2 = sw.build_swept_hair(p0, p1, n0, n1, rad, K=K)
+    C2 = int(swept2.seg_rows.shape[0]) // K
+    t_big, p_big = tl.tiled_closest_hit(swept2, rays2, C2, K, q_max=192)
+    t_sm, p_sm, ov2 = tl.tiled_closest_hit(swept2, rays2, C2, K, q_max=16,
+                                           streams=True, stream_qo=8,
+                                           stream_w=8, sort_rays=True,
+                                           return_overflow=True)
+    assert int(ov2) > 0
+    np.testing.assert_array_equal(np.asarray(p_sm) >= 0,
+                                  np.asarray(p_big) >= 0)
+    m = np.asarray(p_big) >= 0
+    np.testing.assert_allclose(np.asarray(t_sm)[m], np.asarray(t_big)[m],
+                               rtol=1e-6, atol=1e-7)

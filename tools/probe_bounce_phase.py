@@ -91,18 +91,47 @@ def main():
           f"({float(jnp.mean(jnp.isfinite(tb)))*100:.0f}% hit)",
           flush=True)
 
+    if os.environ.get("BP_STREAMS", "1") == "1":
+        @jax.jit
+        def closest_streams(ray):
+            return tl.tiled_closest_hit(sw, ray, C, K, q_max=q_max,
+                                        sort_rays=True, streams=True)
+        t_bs, (tbs, pbs) = timed(closest_streams, bray)
+        match = float(jnp.mean(jnp.isclose(
+            jnp.where(pbs >= 0, tbs, 0.0), jnp.where(pb >= 0, tb, 0.0),
+            rtol=1e-5, atol=1e-7)))
+        print(f"[bp] bounce query STREAMS:        {t_bs*1e3:8.1f} ms "
+              f"(t-match {match*100:.2f}%)", flush=True)
+
+    # shadow rays toward the sun — the production NEE population
+    # (a uniform-direction any-hit measures an unrepresentative
+    # exhaustion pathology: tangential rays graze thousands of
+    # clusters)
+    sun = jnp.asarray([-0.376047, 0.758426, 0.532333])
+    sun = sun / jnp.linalg.norm(sun)
+    sray = Ray(o=hp, d=jnp.broadcast_to(sun, (N, 3)),
+               mint=jnp.full((N,), 1e-3, jnp.float32),
+               maxt=jnp.full((N,), jnp.inf, jnp.float32))
     ta, tba = timed(
         lambda r: jax.jit(lambda rr: tl.tiled_any_hit(
-            sw, rr, C, K, q_max=q_max, sort_rays=True))(r), bray)
-    print(f"[bp] bounce ANY-hit query:        {ta*1e3:8.1f} ms",
-          flush=True)
+            sw, rr, C, K, q_max=q_max, sort_rays=True))(r), sray)
+    print(f"[bp] sun shadow ANY-hit query:    {ta*1e3:8.1f} ms "
+          f"({float(jnp.mean(tba))*100:.0f}% occluded)", flush=True)
+    if os.environ.get("BP_STREAMS", "1") == "1":
+        tas, tbas = timed(
+            lambda r: jax.jit(lambda rr: tl.tiled_any_hit(
+                sw, rr, C, K, q_max=q_max, sort_rays=True,
+                streams=True))(r), sray)
+        agree = float(jnp.mean(tbas == tba))
+        print(f"[bp] sun shadow ANY-hit STREAMS:  {tas*1e3:8.1f} ms "
+              f"(agree {agree*100:.2f}%)", flush=True)
 
     # ---- stage timing on one chunk of sorted bounce rays ----
     sray, _ = jax.jit(lambda r: tl._morton_sort_rays(sw, r))(bray)
     t_sort, _ = timed(
         lambda r: jax.jit(lambda rr: tl._morton_sort_rays(sw, rr)[0].o)(r),
         bray)
-    Tc = int(os.environ.get("BP_CHUNK", "512"))
+    Tc = int(os.environ.get("BP_CHUNK", "96"))
     tile = 64
     n_c = Tc * tile
     ray_c = Ray(o=sray.o[:n_c], d=sray.d[:n_c], mint=sray.mint[:n_c],
