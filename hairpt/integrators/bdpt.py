@@ -9,11 +9,20 @@ weight is computed with the standard pdf-ratio walk over the combined path
 (Veach 10.2; same scoped pdfRev overrides as the reference's
 Path::miWeight, src/libbidir/path.cpp).
 
-Scope: area-light scenes (the classic BDPT test domain), pinhole
-perspective camera; t=1 strategies splat through camera_importance, s=0
-strategies collect directly-hit emission. Delta BSDF vertices participate
-with their discrete pdfs (connections through them are skipped, as in the
-reference).
+Emitters: area lights AND environment emitters (envmap/sky/sunsky —
+the hair scenes' illumination, reference bdpt_proc.cpp +
+bidir/vertex.h infinite-light handling). Env light subpaths start on a
+tangent disk of the scene bounding sphere with a delta emission
+direction (the PBRT InfiniteAreaLight convention): the origin vertex is
+delta (no s=1 connections — NEE-env transport is covered by the s=0
+escape strategy and s>=2 connections from the first surface hit), its
+pdfs are stored in SOLID ANGLE (both generation directions share the
+measure, so the Veach pdf-ratio walk needs no special cases beyond the
+junction overrides). Eye subpaths that ESCAPE the scene materialize an
+env endpoint for the s=0 strategy with the env radiance. Pinhole
+perspective camera; t=1 strategies splat through camera_importance.
+Delta BSDF vertices participate with their discrete pdfs (connections
+through them are skipped, as in the reference).
 """
 from __future__ import annotations
 
@@ -51,6 +60,9 @@ class VPath(NamedTuple):
     mat_id: jnp.ndarray   # [D, N]
     uv: jnp.ndarray       # [D, N, 2]
     emitter_id: jnp.ndarray  # [D, N] (eye path: emissive hit)
+    is_env: jnp.ndarray   # [D, N] env endpoint (escaped eye vertex /
+    #                       env light origin); pdf_fwd there is SOLID
+    #                       ANGLE, elsewhere area
 
 
 def _g_term(pa, pb, nb):
@@ -105,6 +117,7 @@ def _trace_subpath(scene, arr, o0, d0, beta0, pdf_fwd1_w, n_steps,
         hit = scene_intersect(arr, r, cfg.traversal, cfg.block,
                               _swept_params(cfg))
         landed = alive & hit.valid
+        escaped = alive & ~hit.valid   # env endpoint (eye s=0 strategy)
 
         wi_world = d
         two = arr.materials.twosided[jnp.maximum(hit.mat_id, 0)]
@@ -139,12 +152,21 @@ def _trace_subpath(scene, arr, o0, d0, beta0, pdf_fwd1_w, n_steps,
         alive2 = landed & (jnp.max(jnp.abs(w_b), -1) > 0)
 
         vert = dict(p=hit.p, ns=sh_n, ng=geo_n, sh_s=fr.s, sh_t=fr.t,
-                    wi=wi_world, beta=jnp.where(landed[..., None], beta, 0.0),
-                    pdf_fwd=jnp.where(landed, pdf_fwd, 0.0),
+                    wi=wi_world,
+                    beta=jnp.where((landed | escaped)[..., None], beta,
+                                   0.0),
+                    # env endpoints keep the SOLID-ANGLE direction pdf
+                    # (no surface to convert at); the MIS walk pairs it
+                    # with the solid-angle env origin pdf
+                    pdf_fwd=jnp.where(escaped, pdf_dir_w,
+                                      jnp.where(landed, pdf_fwd, 0.0)),
                     pdf_rev_w=jnp.where(landed, pdf_rev_w, 0.0),
-                    delta=is_delta & landed, valid=landed,
+                    # escaped endpoints are delta so the un-samplable
+                    # (1, t-1) NEE-env hypothetical leaves the MIS sum
+                    delta=(is_delta & landed) | escaped, valid=landed,
                     mat_id=hit.mat_id, uv=hit.uv,
                     emitter_id=jnp.where(landed, hit.emitter_id, -1),
+                    is_env=escaped,
                     pdf_next_w=pdf_b)
 
         o2 = hit.p + geo_n * jnp.where(dot(wo_world, geo_n) > 0,
@@ -155,6 +177,20 @@ def _trace_subpath(scene, arr, o0, d0, beta0, pdf_fwd1_w, n_steps,
     init = (o0, d0, beta0, pdf_fwd1_w, jnp.ones(n, bool), o0)
     _, verts = jax.lax.scan(body, init, jnp.arange(n_steps))
     return verts
+
+
+def _light_group_probs(scene, arr):
+    """(p_env, p_area) light-subpath group selection probabilities —
+    cfg.nee_probs renormalized over the groups BDPT samples."""
+    pe_c, pa_c, _ = scene.config.nee_probs
+    has_env = arr.env is not None
+    has_area = arr.area is not None
+    if has_env and has_area:
+        tot = max(pe_c + pa_c, 1e-9)
+        return pe_c / tot, pa_c / tot
+    if has_env:
+        return 1.0, 0.0
+    return 0.0, 1.0
 
 
 def generate_paths(scene: Scene, arr, pixel_idx, sample_idx, t_max: int,
@@ -211,42 +247,101 @@ def generate_paths(scene: Scene, arr, pixel_idx, sample_idx, t_max: int,
         mat_id=cat(jnp.zeros((n,), jnp.int32), ev["mat_id"]),
         uv=cat(jnp.zeros((n, 2), jnp.float32), ev["uv"]),
         emitter_id=cat(jnp.full((n,), -1, jnp.int32), ev["emitter_id"]),
+        is_env=cat(jnp.zeros((n,), bool), ev["is_env"]),
     )
     # pdf_rev[i] (area) from the sampled-direction reverse pdfs: vertex
     # i's pdf_rev comes from vertex i+1's sampling, converted to area
     eye = _fill_pdf_rev(eye, ev["pdf_rev_w"], t_max)
 
     # ---- light subpath ----
-    area_l = arr.area
+    from ..core import warps
+    from ..core.math import frame_from_normal, coordinate_system
+    from ..models import emitters as em
+    pe, pa = _light_group_probs(scene, arr)
     u_sel = rng.next_1d(smode, pixel_idx, sample_idx, 300)
     u_pos = rng.next_2d(smode, pixel_idx, sample_idx, 301)
     u_dir = rng.next_2d(smode, pixel_idx, sample_idx, 303)
-    nl = area_l.cdf.shape[0]
-    li = jnp.clip(jnp.searchsorted(area_l.cdf, u_sel), 0, nl - 1)
-    hi_cdf = area_l.cdf[li]
-    lo_cdf = jnp.where(li > 0, area_l.cdf[jnp.maximum(li - 1, 0)], 0.0)
-    prob_l = hi_cdf - lo_cdf
-    su = jnp.sqrt(jnp.maximum(u_pos[..., 0], 1e-12))
-    b0 = 1.0 - su
-    b1 = u_pos[..., 1] * su
-    q = area_l.p0[li] + area_l.e1[li] * b0[..., None] \
-        + area_l.e2[li] * b1[..., None]
-    n_l = area_l.n[li]
-    pdf_pos = prob_l / jnp.maximum(area_l.area[li], 1e-12)
-    le = area_l.radiance[li]
+    u_grp = rng.next_1d(smode, pixel_idx, sample_idx, 305)
+    grp_env = u_grp < pe
 
-    # cosine-weighted emission direction (diffuse area light,
-    # reference: area.cpp sampleDirection)
-    from ..core import warps
-    from ..core.math import frame_from_normal
-    d_local = warps.square_to_cosine_hemisphere(u_dir)
-    fr_l = frame_from_normal(n_l)
-    d_emit = fr_l.to_world(d_local)
-    pdf_dir_w = jnp.maximum(d_local[..., 2], 1e-9) * INV_PI
+    q = jnp.zeros((n, 3), jnp.float32)
+    n_l = jnp.zeros((n, 3), jnp.float32).at[:, 2].set(1.0)
+    d_emit = jnp.zeros((n, 3), jnp.float32).at[:, 2].set(1.0)
+    pdf_fwd0 = jnp.ones((n,), jnp.float32)
+    beta0_v = jnp.zeros((n, 3), jnp.float32)
+    beta1 = jnp.zeros((n, 3), jnp.float32)
+    pdf_dir_w = jnp.ones((n,), jnp.float32)
+    li = jnp.full((n,), -1, jnp.int32)
+    o_l = q
+    delta0 = jnp.zeros((n,), bool)
 
-    beta1 = le * (jnp.abs(d_local[..., 2])
-                  / jnp.maximum(pdf_pos * pdf_dir_w, 1e-20))[..., None]
-    o_l = q + n_l * cfg.ray_eps
+    if arr.area is not None and pa > 0:
+        area_l = arr.area
+        nl = area_l.cdf.shape[0]
+        li_a = jnp.clip(jnp.searchsorted(area_l.cdf, u_sel), 0, nl - 1)
+        hi_cdf = area_l.cdf[li_a]
+        lo_cdf = jnp.where(li_a > 0, area_l.cdf[jnp.maximum(li_a - 1, 0)],
+                           0.0)
+        prob_l = (hi_cdf - lo_cdf) * pa
+        su = jnp.sqrt(jnp.maximum(u_pos[..., 0], 1e-12))
+        b0 = 1.0 - su
+        b1 = u_pos[..., 1] * su
+        q_a = area_l.p0[li_a] + area_l.e1[li_a] * b0[..., None] \
+            + area_l.e2[li_a] * b1[..., None]
+        n_a = area_l.n[li_a]
+        pdf_pos = prob_l / jnp.maximum(area_l.area[li_a], 1e-12)
+        le = area_l.radiance[li_a]
+        # cosine-weighted emission direction (diffuse area light,
+        # reference: area.cpp sampleDirection)
+        d_local = warps.square_to_cosine_hemisphere(u_dir)
+        fr_l = frame_from_normal(n_a)
+        d_a = fr_l.to_world(d_local)
+        pdf_dir_a = jnp.maximum(d_local[..., 2], 1e-9) * INV_PI
+        b1_a = le * (jnp.abs(d_local[..., 2])
+                     / jnp.maximum(pdf_pos * pdf_dir_a, 1e-20))[..., None]
+        m = (~grp_env)[..., None]
+        q = jnp.where(m, q_a, q)
+        n_l = jnp.where(m, n_a, n_l)
+        d_emit = jnp.where(m, d_a, d_emit)
+        pdf_fwd0 = jnp.where(~grp_env, pdf_pos, pdf_fwd0)
+        beta0_v = jnp.where(m, le / jnp.maximum(pdf_pos,
+                                                1e-20)[..., None],
+                            beta0_v)
+        beta1 = jnp.where(m, b1_a, beta1)
+        pdf_dir_w = jnp.where(~grp_env, pdf_dir_a, pdf_dir_w)
+        li = jnp.where(~grp_env, li_a, li)
+        o_l = jnp.where(m, q_a + n_a * cfg.ray_eps, o_l)
+
+    if arr.env is not None and pe > 0:
+        # env origin: importance-sampled direction + tangent-disk point
+        # (PBRT InfiniteAreaLight convention; same machinery as
+        # ptracer/photon shooting). The origin vertex's pdf_fwd is the
+        # SOLID-ANGLE direction density x group prob; its emission
+        # direction is delta -> delta0 (no s=1 connections).
+        from .photonmap import _scene_bsphere
+        center, radius = _scene_bsphere(arr)
+        d_env, le_env, pdf_env = em.env_sample(arr.env, u_pos)
+        d_e = -d_env
+        disk = warps.square_to_uniform_disk_concentric(u_dir) * radius
+        s_a, t_a = coordinate_system(d_e)
+        o_e = center - d_e * radius * 1.5 \
+            + s_a * disk[..., 0:1] + t_a * disk[..., 1:2]
+        b1_e = le_env * (jnp.pi * radius * radius
+                         / jnp.maximum(pdf_env * pe, 1e-20))[..., None]
+        m = grp_env[..., None]
+        q = jnp.where(m, o_e, q)
+        n_l = jnp.where(m, d_e, n_l)
+        d_emit = jnp.where(m, d_e, d_emit)
+        pdf_fwd0 = jnp.where(grp_env, pdf_env * pe, pdf_fwd0)
+        beta0_v = jnp.where(m, 0.0, beta0_v)
+        beta1 = jnp.where(m, b1_e, beta1)
+        li = jnp.where(grp_env, -1, li)
+        o_l = jnp.where(m, o_e, o_l)
+        delta0 = delta0 | grp_env
+        inv_pi_r2 = 1.0 / (jnp.pi * radius * radius)
+    else:
+        grp_env = jnp.zeros((n,), bool)
+        inv_pi_r2 = 0.0
 
     lv = _trace_subpath(scene, arr, o_l, d_emit, beta1, pdf_dir_w,
                         s_max - 1, pixel_idx, sample_idx, 400, "light")
@@ -254,17 +349,31 @@ def generate_paths(scene: Scene, arr, pixel_idx, sample_idx, t_max: int,
         p=cat(q, lv["p"]), ns=cat(n_l, lv["ns"]), ng=cat(n_l, lv["ng"]),
         sh_s=cat(z3, lv["sh_s"]), sh_t=cat(z3, lv["sh_t"]),
         wi=cat(z3, lv["wi"]),
-        beta=cat(le / jnp.maximum(pdf_pos, 1e-20)[..., None], lv["beta"]),
-        pdf_fwd=cat(pdf_pos, lv["pdf_fwd"]),
+        beta=cat(beta0_v, lv["beta"]),
+        pdf_fwd=cat(pdf_fwd0, lv["pdf_fwd"]),
         pdf_rev=cat(jnp.zeros((n,), jnp.float32),
                     jnp.zeros_like(lv["pdf_fwd"])),
-        delta=cat(jnp.zeros((n,), bool), lv["delta"]),
+        delta=cat(delta0, lv["delta"]),
         valid=cat(jnp.ones((n,), bool), lv["valid"]),
         mat_id=cat(jnp.zeros((n,), jnp.int32), lv["mat_id"]),
         uv=cat(jnp.zeros((n, 2), jnp.float32), lv["uv"]),
         emitter_id=cat(li, lv["emitter_id"]),
+        is_env=cat(grp_env, jnp.zeros_like(lv["valid"])),
     )
     light = _fill_pdf_rev(light, lv["pdf_rev_w"], s_max)
+    if arr.env is not None and pe > 0:
+        # env-lane measure fixes: y1's area pdf is cos/(pi R^2) (the
+        # disk position density projected to the first surface hit,
+        # PBRT Vertex::PdfLight for infinite lights); y0's reverse pdf
+        # (eye side escaping towards the env) stays SOLID ANGLE
+        cos1 = jnp.abs(jnp.sum(light.ns[1] * d_emit, -1))
+        light = light._replace(
+            pdf_fwd=light.pdf_fwd.at[1].set(
+                jnp.where(grp_env & light.valid[1], cos1 * inv_pi_r2,
+                          light.pdf_fwd[1])),
+            pdf_rev=light.pdf_rev.at[0].set(
+                jnp.where(grp_env & light.valid[1], lv["pdf_rev_w"][0],
+                          light.pdf_rev[0])))
     return eye, light
 
 
@@ -281,12 +390,14 @@ def _fill_pdf_rev(path: VPath, pdf_rev_w, d_max):
 
 
 def _light_origin_pdfs(scene, arr, p_from, light_p, light_n, emitter_id):
-    """(pdf of the light POINT in area measure, pdf of emission direction
-    towards p_from converted to area at p_from)."""
+    """(pdf of the light POINT in area measure — including the
+    area-group selection probability — and the pdf of the emission
+    direction towards p_from, solid angle + geometric pieces)."""
     area_l = arr.area
+    _, pa = _light_group_probs(scene, arr)
     lum = jnp.asarray([0.212671, 0.715160, 0.072169])
     power = area_l.area * (area_l.radiance @ lum)
-    prob = power / jnp.maximum(jnp.sum(power), 1e-12)
+    prob = power * (pa / jnp.maximum(jnp.sum(power), 1e-12))
     li = jnp.maximum(emitter_id, 0)
     pdf_pos = prob[li] / jnp.maximum(area_l.area[li], 1e-12)
     d = p_from - light_p
@@ -311,7 +422,8 @@ def render_bdpt(scene: Scene, spp: int = 8, seed: int = 0, s_max: int = 4,
     cam = scene.camera
     fl = scene.film
     n_pix = cfg.width * cfg.height
-    assert arr.area is not None, "bdpt currently needs area lights"
+    assert arr.area is not None or arr.env is not None, \
+        "bdpt needs an area or environment emitter"
 
     def one_wave(arrs, sample_id, image, weight):
         pixel_idx = jnp.arange(n_pix, dtype=jnp.uint32)
@@ -328,22 +440,32 @@ def render_bdpt(scene: Scene, spp: int = 8, seed: int = 0, s_max: int = 4,
         splat_pos = []
         splat_val = []
 
-        # ---------- s = 0: eye path hits an emitter ----------
+        # ---------- s = 0: eye path hits an emitter / escapes to env --
+        from .path import _env_radiance
         for t in range(2, t_max + 1):
             if t - 1 > cfg.max_depth:   # path edges = t-1 (mitsuba depth)
                 continue
             if strategies is not None and (0, t) not in strategies:
                 continue
             zi = t - 1
-            em_id = eye.emitter_id[zi]
-            on = eye.valid[zi] & (em_id >= 0)
-            facing = dot(eye.ng[zi], -eye.wi[zi]) > 0
-            le = arr.area.radiance[jnp.maximum(em_id, 0)]
-            c = eye.beta[zi] * le
             w = _mis_weight(scene, arrs, eye, light, 0, t,
                             s_max=s_max, t_max=t_max)
-            li_acc = li_acc + jnp.where((on & facing)[..., None],
-                                        c * w[..., None], 0.0)
+            if arr.area is not None:
+                em_id = eye.emitter_id[zi]
+                on = eye.valid[zi] & (em_id >= 0)
+                facing = dot(eye.ng[zi], -eye.wi[zi]) > 0
+                le = arr.area.radiance[jnp.maximum(em_id, 0)]
+                c = eye.beta[zi] * le
+                li_acc = li_acc + jnp.where((on & facing)[..., None],
+                                            c * w[..., None], 0.0)
+            if arr.env is not None:
+                # escaped eye endpoint: env radiance (bdpt analog of
+                # the PT miss branch, path.py _env_radiance)
+                esc = eye.is_env[zi]
+                le_e = _env_radiance(arrs, eye.wi[zi])
+                c_e = eye.beta[zi] * le_e
+                li_acc = li_acc + jnp.where(esc[..., None],
+                                            c_e * w[..., None], 0.0)
 
         # ---------- s >= 1, t >= 2: connections ----------
         for s in range(1, s_max + 1):
@@ -457,17 +579,33 @@ def _mis_weight(scene, arr, eye: VPath, light: VPath, s: int, t: int,
     # pt.pdf_rev: pdf of generating the eye endpoint FROM the light side
     if s == 0:
         # from the light itself: PdfLightOrigin → position pdf of the
-        # emitter surface the eye path hit
-        pdf_pos, _, _, _ = _light_origin_pdfs(
-            scene, arr, eye.p[max(zi - 1, 0)], eye.p[zi], eye.ns[zi],
-            eye.emitter_id[zi])
-        pt_rev = pdf_pos
+        # emitter surface the eye path hit (area lights) or the
+        # SOLID-ANGLE env direction density x group prob (escaped
+        # endpoints; pairs with the endpoint's solid-angle pdf_fwd)
+        if arr.area is not None:
+            pdf_pos, _, _, _ = _light_origin_pdfs(
+                scene, arr, eye.p[max(zi - 1, 0)], eye.p[zi], eye.ns[zi],
+                eye.emitter_id[zi])
+        else:
+            pdf_pos = jnp.zeros((n,), jnp.float32)
+        if arr.env is not None:
+            from ..models import emitters as em
+            pe, _ = _light_group_probs(scene, arr)
+            pdf_env = em.env_pdf(arr.env, eye.wi[zi]) * pe
+            pt_rev = jnp.where(eye.is_env[zi], pdf_env, pdf_pos)
+        else:
+            pt_rev = pdf_pos
     elif s == 1:
-        # light vertex emits towards the eye endpoint
-        _, pdf_dir_w, dirn, d2 = _light_origin_pdfs(
-            scene, arr, eye.p[zi], light.p[ys], light.ns[ys],
-            light.emitter_id[ys] if s == 1 else light.emitter_id[0])
-        pt_rev = pdf_dir_w * jnp.abs(jnp.sum(eye.ns[zi] * dirn, -1)) / d2
+        # light vertex emits towards the eye endpoint (area lights only
+        # — env origins are delta and never appear in s=1 strategies)
+        if arr.area is not None:
+            _, pdf_dir_w, dirn, d2 = _light_origin_pdfs(
+                scene, arr, eye.p[zi], light.p[ys], light.ns[ys],
+                light.emitter_id[ys] if s == 1 else light.emitter_id[0])
+            pt_rev = pdf_dir_w * jnp.abs(
+                jnp.sum(eye.ns[zi] * dirn, -1)) / d2
+        else:
+            pt_rev = jnp.zeros((n,), jnp.float32)
     else:
         # pdf of the light vertex scattering towards the eye endpoint
         _, pdf_w_fwd, _ = _bsdf_eval_pdf(scene, arr, light, ys, -conn_dir)
@@ -475,12 +613,25 @@ def _mis_weight(scene, arr, eye: VPath, light: VPath, s: int, t: int,
 
     # pt_minus.pdf_rev: eye endpoint scatters backwards
     if s == 0:
-        # emission direction pdf from the hit emitter towards z_{t-2}
-        _, pdf_dir_w, dirn, d2 = _light_origin_pdfs(
-            scene, arr, eye.p[zi - 1], eye.p[zi], eye.ns[zi],
-            eye.emitter_id[zi])
-        ptm_rev = pdf_dir_w * jnp.abs(
-            jnp.sum(eye.ns[zi - 1] * dirn, -1)) / d2
+        # emission direction pdf from the hit emitter towards z_{t-2};
+        # env endpoints use the tangent-disk position density projected
+        # to z_{t-2}: cos / (pi R^2)
+        if arr.area is not None:
+            _, pdf_dir_w, dirn, d2 = _light_origin_pdfs(
+                scene, arr, eye.p[zi - 1], eye.p[zi], eye.ns[zi],
+                eye.emitter_id[zi])
+            ptm_area = pdf_dir_w * jnp.abs(
+                jnp.sum(eye.ns[zi - 1] * dirn, -1)) / d2
+        else:
+            ptm_area = jnp.zeros((n,), jnp.float32)
+        if arr.env is not None:
+            from .photonmap import _scene_bsphere
+            _, radius = _scene_bsphere(arr)
+            cos_prev = jnp.abs(jnp.sum(eye.ns[zi - 1] * eye.wi[zi], -1))
+            ptm_env = cos_prev / (jnp.pi * radius * radius)
+            ptm_rev = jnp.where(eye.is_env[zi], ptm_env, ptm_area)
+        else:
+            ptm_rev = ptm_area
     else:
         f_in = conn_dir  # incident at eye endpoint from the light side
         fr = _vertex_frame(eye, zi)
@@ -567,6 +718,12 @@ def _mis_weight(scene, arr, eye: VPath, light: VPath, s: int, t: int,
                 continue
             nodelta = ~light.delta[i] & ~(light.delta[i - 1] if i >= 1
                                           else jnp.zeros((n,), bool))
+            if i == 0:
+                # the i=0 term is the s'=0 hypothetical (the eye path
+                # generates everything, escaping to the env): samplable
+                # for env origins even though they are delta for
+                # CONNECTIONS (the delta flag only kills s'=1)
+                nodelta = nodelta | light.is_env[0]
             live = light.valid[i]
             sum_ri = sum_ri + jnp.where(nodelta & live, ri, 0.0)
 

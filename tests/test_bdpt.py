@@ -8,6 +8,7 @@ from hairpt.core.math import matrix_lookat
 from hairpt.film.film import Film
 from hairpt.models import shapes as shp
 from hairpt.models.bsdf import registry as R
+from hairpt.models import emitters as em
 from hairpt.models.sensors import Camera
 from hairpt.scene.scene import SceneBuilder
 from hairpt.integrators import path as path_int
@@ -219,3 +220,75 @@ def test_ptracer_point_light_matches_path_tracer():
     assert m_pt > 1e-4
     assert abs(m_lt - m_pt) / m_pt < 0.15, (m_pt, m_lt)
 
+
+
+def _env_scene(res=16, gradient=True):
+    """Diffuse box lit ONLY by an environment emitter (no area lights) —
+    the BDPT env-generality domain (VERDICT r3 #6): light subpaths must
+    start from the env disk and escaped eye paths must collect env
+    radiance with consistent MIS."""
+    b = SceneBuilder()
+    white = b.add_material(kind=R.DIFFUSE, diffuse=(0.7, 0.7, 0.7))
+    red = b.add_material(kind=R.DIFFUSE, diffuse=(0.7, 0.15, 0.1))
+    floor = shp.rectangle()
+    rot_floor = np.array([[1, 0, 0, 0], [0, 0, -1, 0], [0, 1, 0, 0],
+                          [0, 0, 0, 1]], np.float64)
+    sc = np.diag([2.0, 2.0, 1.0, 1.0])
+    tr = np.eye(4); tr[:3, 3] = [0, 0, 1.0]
+    b.add_mesh(floor, white, to_world=tr @ rot_floor @ sc)
+    left = np.array([[0, 0, 1, -1.8], [0, 1, 0, 1.0], [-1, 0, 0, 1.0],
+                     [0, 0, 0, 1]], np.float64)
+    b.add_mesh(floor, red, to_world=left @ sc)
+    if gradient:
+        # azimuth/elevation gradient so env importance sampling and the
+        # s=0/MIS interplay are non-trivial
+        h, w = 16, 32
+        v = np.linspace(0, 1, h)[:, None, None]
+        u = np.linspace(0, 1, w)[None, :, None]
+        ones = np.ones((h, w, 1))
+        img = np.concatenate([0.2 + 2.0 * (1 - v) * u * ones,
+                              0.3 + 1.0 * (1 - v) * ones,
+                              0.2 + 1.5 * v * (1 - u) * ones], -1)
+        b.env = em.make_envmap(img.astype(np.float32))
+    else:
+        b.env = em.make_constant((1.0, 0.9, 0.8))
+    cam = Camera.perspective(matrix_lookat((0.3, 1.2, -2.6), (0, 0.8, 1.0),
+                                           (0, 1, 0)), 55.0, res, res)
+    return b.build(cam, Film.make(res, res, "box"), spp=1, max_depth=5,
+                   sampler=0, rr_depth=99)
+
+
+def test_bdpt_env_matches_path_tracer():
+    """BDPT on an env-only scene must converge to the PT solution —
+    the env light-subpath origin, s=0 escape collection and the MIS
+    measure conventions all have to be consistent for this to hold."""
+    scene = _env_scene()
+    img_pt = np.asarray(path_int.render(scene, spp=96))
+    img_bd = np.asarray(bdpt_int.render_bdpt(scene, spp=48, s_max=4,
+                                             t_max=4))
+    assert np.isfinite(img_bd).all()
+    m_pt = img_pt.mean()
+    m_bd = img_bd.mean()
+    assert abs(m_bd - m_pt) / m_pt < 0.08, (m_pt, m_bd)
+    r = 4
+    a = img_pt.reshape(4, r, 4, r, 3).mean((1, 3, 4))
+    c = img_bd.reshape(4, r, 4, r, 3).mean((1, 3, 4))
+    rel = np.abs(a - c) / np.maximum(a, 5e-2)
+    assert np.percentile(rel, 90) < 0.18, rel
+
+
+def test_bdpt_env_plus_area_matches_path_tracer():
+    """Mixed emitters: area lamp + constant env — the group-selection
+    probabilities must enter both sampling and the MIS origin pdfs."""
+    scene = _box_scene(res=16)
+    # graft a constant env onto the box scene arrays
+    import dataclasses
+    b_env = em.make_constant((0.25, 0.25, 0.3))
+    scene = scene._replace(arrays=scene.arrays._replace(env=b_env))
+    img_pt = np.asarray(path_int.render(scene, spp=96))
+    img_bd = np.asarray(bdpt_int.render_bdpt(scene, spp=48, s_max=4,
+                                             t_max=4))
+    assert np.isfinite(img_bd).all()
+    m_pt = img_pt.mean()
+    m_bd = img_bd.mean()
+    assert abs(m_bd - m_pt) / m_pt < 0.08, (m_pt, m_bd)
