@@ -32,6 +32,9 @@ def main():
                          "variance at low spp — 3.0 keeps the demo's "
                          "24-step budget convergent")
     ap.add_argument("--cpu", action="store_true")
+    ap.add_argument("--log", type=str, default=None,
+                    help="write the loss curve + recovered-vs-true table "
+                         "to this file (the committed artifact)")
     args = ap.parse_args()
 
     import jax
@@ -89,9 +92,31 @@ def main():
 
     sa = np.asarray(params["sigma_a"])[0]
     br = float(np.asarray(params["beta_r"])[0])
-    print(f"recovered sigma_a = {sa}  (true {np.asarray(true_params['sigma_a'])[0]})")
-    print(f"recovered beta_r  = {br:.3f} (true {float(true_params['beta_r'][0]):.3f})")
+    sa_t = np.asarray(true_params["sigma_a"])[0]
+    br_t = float(true_params["beta_r"][0])
+    print(f"recovered sigma_a = {sa}  (true {sa_t})")
+    print(f"recovered beta_r  = {br:.3f} (true {br_t:.3f})")
     print(f"loss: {losses[0]:.5f} -> {losses[-1]:.5f}")
+    if args.log:
+        import datetime
+        import jax as _jax
+        with open(args.log, "w") as f:
+            f.write("# furball inverse rendering (BASELINE.json config "
+                    "5)\n")
+            f.write(f"# {datetime.datetime.now().isoformat()} backend="
+                    f"{_jax.default_backend()} res={args.res} "
+                    f"fibers={args.fibers} spp={args.spp} "
+                    f"depth={args.depth} steps={args.steps}\n")
+            f.write("# loss curve (two-sample cross loss per step)\n")
+            for i, l in enumerate(losses):
+                f.write(f"step {i:3d}  loss {l:.6f}\n")
+            f.write("# recovered vs true\n")
+            f.write(f"sigma_a  recovered {sa[0]:.4f} {sa[1]:.4f} "
+                    f"{sa[2]:.4f}   true {sa_t[0]:.4f} {sa_t[1]:.4f} "
+                    f"{sa_t[2]:.4f}\n")
+            f.write(f"beta_r   recovered {br:.4f}           true "
+                    f"{br_t:.4f}\n")
+        print(f"wrote {args.log}")
 
 
 if __name__ == "__main__":

@@ -868,6 +868,126 @@ def _struct_mchain(st: PathRec, arr):
         & x4.valid & ~st.v_delta[3] & (_lum(traj_w(st)) > 0)
 
 
+def _step_bidir2(ctx: _Ctx, st: PathRec, it):
+    """Variable-length bidirectional mutation, length-2 class
+    (mut_bidir.h samples variable-size replacement subpaths; the driver
+    alternates this TWO-vertex regrow with _step_bidir's one-vertex
+    class — each class is reversible within itself and the 50/50
+    selection probability cancels in the acceptance ratio).
+
+    BSDF-sample fresh directions at x1 AND at the newly landed y2,
+    land y3, reconnect to the retained x4. The two sampled hops'
+    proposal pdfs cancel against the canonical weights; the ratio
+    carries the reconnection eval pdfs and Jacobians exactly as the
+    one-vertex class does one index earlier."""
+    scene, arr, kinds, n, idx = (ctx.scene, ctx.arr, ctx.kinds, ctx.n,
+                                 ctx.idx)
+    cfg = scene.config
+    seed = ctx.seed
+    l = _lum(traj_w(st))
+    x1, x2, x3, x4 = _vtx(st, 0), _vtx(st, 1), _vtx(st, 2), _vtx(st, 3)
+    struct = x1.valid & ~st.v_delta[0] & x2.valid & ~st.v_delta[1] \
+        & x3.valid & ~st.v_delta[2] & x4.valid & (l > 0)
+
+    # fresh BSDF direction at x1
+    wi_cam = normalize(jnp.broadcast_to(ctx.cam_o, x1.p.shape) - x1.p)
+    two = arr.materials.twosided[jnp.maximum(x1.mat_id, 0)]
+    flip = two & (dot(x1.sh_n, wi_cam) < 0)
+    nrm = jnp.where(flip[..., None], -x1.sh_n, x1.sh_n)
+    tng = jnp.where(flip[..., None], -x1.sh_t, x1.sh_t)
+    fr = Frame(s=x1.sh_s, t=tng, n=nrm)
+    gm = mat.gather(arr.materials, arr.checkers, x1.mat_id, x1.uv)
+    u_l = rng.uniform_1d(idx, jnp.uint32(seed + 44), it * 6)
+    u2 = rng.uniform_2d(idx, jnp.uint32(seed + 45), it * 6 + 1)
+    u2b = rng.uniform_2d(idx, jnp.uint32(seed + 46), it * 6 + 2)
+    wo_l, w0y, p0y, is_d0, _ = mat.sample_mix(
+        kinds, arr.materials, arr.checkers, x1.mat_id, x1.uv, gm,
+        fr.to_local(wi_cam), u_l, u2, u2b, arr.hair_tables)
+    w0_y = fr.to_world(wo_l)
+    w0y = _san(w0y)
+    ok = struct & ~is_d0 & (p0y > 0) & (jnp.max(jnp.abs(w0y), -1) > 0)
+
+    o1 = _offset_ray(x1.p, x1.geo_n, w0_y, cfg.ray_eps)
+    r1 = Ray(o=o1, d=w0_y, mint=jnp.zeros(n),
+             maxt=jnp.where(ok, jnp.inf, 0.0))
+    h2y = _intersect(ctx, r1)
+    ok = ok & h2y.valid
+    y2 = _hit_to_vertex(h2y, ok)
+
+    # fresh BSDF direction at y2
+    gm2 = mat.gather(arr.materials, arr.checkers, y2.mat_id, y2.uv)
+    fr2 = Frame(s=y2.sh_s, t=y2.sh_t, n=y2.sh_n)
+    u_l2 = rng.uniform_1d(idx, jnp.uint32(seed + 47), it * 6 + 3)
+    u22 = rng.uniform_2d(idx, jnp.uint32(seed + 48), it * 6 + 4)
+    u22b = rng.uniform_2d(idx, jnp.uint32(seed + 49), it * 6 + 5)
+    wo_l2, w1y, p1y_s, is_d1, _ = mat.sample_mix(
+        kinds, arr.materials, arr.checkers, y2.mat_id, y2.uv, gm2,
+        fr2.to_local(-w0_y), u_l2, u22, u22b, arr.hair_tables)
+    w1_y = fr2.to_world(wo_l2)
+    w1y = _san(w1y)
+    ok = ok & ~is_d1 & (p1y_s > 0) & (jnp.max(jnp.abs(w1y), -1) > 0)
+
+    o2 = _offset_ray(y2.p, y2.geo_n, w1_y, cfg.ray_eps)
+    r2 = Ray(o=o2, d=w1_y, mint=jnp.zeros(n),
+             maxt=jnp.where(ok, jnp.inf, 0.0))
+    h3y = _intersect(ctx, r2)
+    ok = ok & h3y.valid
+    y3 = _hit_to_vertex(h3y, ok)
+
+    # reconnect y3 -> x4
+    seg = x4.p - y3.p
+    dist = jnp.linalg.norm(seg, axis=-1)
+    d34_y = seg / jnp.maximum(dist, 1e-12)[..., None]
+    occ = _shadow(ctx, y3.p, y3.geo_n, x4.p, ok)
+    ok = ok & ~occ
+    f2y, p2y = _eval_bsdf(arr, kinds, y3, -w1_y, d34_y)
+    w2y = _san(f2y / jnp.maximum(p2y, 1e-20)[..., None])
+    j_y = jnp.abs(dot(d34_y, x4.geo_n)) / jnp.maximum(dist * dist,
+                                                      1e-12)
+    d34_x = normalize(x4.p - x3.p)
+    dist_x = jnp.linalg.norm(x4.p - x3.p, axis=-1)
+    j_x = jnp.abs(dot(d34_x, x4.geo_n)) / jnp.maximum(dist_x * dist_x,
+                                                      1e-12)
+    # x4's decision re-evaluated under the changed incoming direction
+    f3y, p3y = _eval_bsdf(arr, kinds, x4, -d34_y, st.wo[3])
+    w3y = _san(f3y / jnp.maximum(p3y, 1e-20)[..., None])
+    ok = ok & (p2y > 0) & (p3y > 1e-12) & (st.pdf[2] > 1e-12) \
+        & (st.pdf[3] > 1e-12) & (j_y > 1e-16) & (j_x > 1e-16)
+
+    em_y2 = _emitted(arr, y2, -w0_y) * w0y
+    em_y3 = _emitted(arr, y3, -w1_y) * w0y * w1y
+    em_x4 = _emitted(arr, x4, -d34_y) * w0y * w1y * w2y
+    tp_new = w0y * w1y * w2y * w3y
+    tp_old = st.w[0] * st.w[1] * st.w[2] * st.w[3]
+    r4v = _safe_ratio(tp_new, tp_old)
+    r3v = _safe_ratio(w0y * w1y * w2y, st.w[0] * st.w[1] * st.w[2])
+    w_y = st.w_em[0] + em_y2 + em_y3 + em_x4 \
+        + st.w_env[3] * r3v + st.w_rest * r4v
+    w_y = jnp.where(ok[..., None], w_y, 0.0)
+    l_y = _lum(w_y)
+
+    num = l_y * p2y * j_y * p3y
+    den = l * st.pdf[2] * j_x * st.pdf[3]
+    a = jnp.where(ok, jnp.clip(_san(num / jnp.maximum(den, 1e-24)),
+                               0.0, 1.0), 0.0)
+
+    v = _set_vtx(st.v, 1, y2)
+    v = _set_vtx(v, 2, y3)
+    vd = st.v_delta.at[1].set(jnp.zeros((n,), bool))
+    vd = vd.at[2].set(jnp.zeros((n,), bool))
+    wo = st.wo.at[0].set(w0_y).at[1].set(w1_y).at[2].set(d34_y)
+    w = st.w.at[0].set(w0y).at[1].set(w1y).at[2].set(w2y).at[3].set(w3y)
+    pdf = st.pdf.at[0].set(p0y).at[1].set(p1y_s).at[2].set(p2y) \
+        .at[3].set(p3y)
+    w_em = st.w_em.at[1].set(em_y2).at[2].set(em_y3).at[3].set(em_x4)
+    zero3 = jnp.zeros((n, 3), jnp.float32)
+    w_env = st.w_env.at[1].set(zero3).at[2].set(zero3)
+    w_env = w_env.at[3].set(st.w_env[3] * r3v)
+    prop = st._replace(v=v, v_delta=vd, wo=wo, w=w, pdf=pdf, w_em=w_em,
+                       w_env=w_env, w_rest=st.w_rest * r4v)
+    return prop, a
+
+
 def _step_mchain(ctx: _Ctx, st: PathRec, it):
     """Veach multi-chain perturbation (mut_mchain.h) scoped to the
     stored-vertex window: pattern E-S-D-S-D. The pixel is perturbed, the
@@ -1058,7 +1178,15 @@ def render_mlt(scene: Scene, n_chains: int = 1 << 14,
                 elif ph == "mchain":
                     prop, a = _step_mchain(ctx2, st, itu)
                 else:
-                    prop, a = _step_bidir(ctx2, st, itu)
+                    # variable-length bidirectional mutation: alternate
+                    # the one-vertex and two-vertex regrow classes
+                    # (mut_bidir.h's variable subpath sizes; each class
+                    # is reversible and the deterministic alternation
+                    # keeps detailed balance per class)
+                    prop, a = jax.lax.cond(
+                        (r % 2) == 1,
+                        lambda: _step_bidir2(ctx2, st, itu),
+                        lambda: _step_bidir(ctx2, st, itu))
                 st, splat = mh_step(st, splat, prop, a, itu,
                                     jnp.uint32(seed + 4 + 13 * ph_i))
             return (st, splat), None

@@ -608,9 +608,10 @@ def _stream_kernel(cids_ref,      # SMEM [T * q_max] slot cluster ids
                    t_out_ref,     # VMEM [GROUP_T, TILE, 1]
                    pid_out_ref,   # VMEM [GROUP_T, TILE, 1]
                    seg_win=None,  # VMEM scratch [2, W, PRIM_F, K]
-                   sems=None,     # DMA sems [2, W]
+                   sems=None,     # DMA sems [2] counted / [2, W] per-slot
                    *, q_max: int, qo: int, n_win: int, W: int,
-                   any_hit: bool, unroll: int = 4):
+                   any_hit: bool, unroll: int = 4,
+                   counted_sems: bool = True):
     i = pl.program_id(0)
     t_out_ref[...] = jnp.full(t_out_ref.shape, jnp.inf, jnp.float32)
     pid_out_ref[...] = jnp.full(pid_out_ref.shape, -1, jnp.int32)
@@ -623,20 +624,39 @@ def _stream_kernel(cids_ref,      # SMEM [T * q_max] slot cluster ids
         tscale = tscale_ref[t_glob]
 
         def issue(w):
-            """Batch-start the DMA of window w's slots into buf w % 2."""
+            """Batch-start the DMA of window w's slots into buf w % 2.
+            counted_sems: every copy of the window signals ONE shared
+            per-buffer DMA semaphore — DMA sems count transfer sizes,
+            so the consumer can wait the WHOLE window with a single
+            window-shaped wait (a per-slot wait chain measured ~140
+            ns/slot of serialized scalar time — more than a stream
+            entry's whole compute). Partial last windows pad with
+            duplicate-cluster copies so every window signals exactly
+            W slots' worth."""
             lo = w * W
             hi = jnp.minimum(lo + W, n_slots)
 
             def body(q, _):
-                cid = cids_ref[t_glob * q_max + q]
-                pltpu.make_async_copy(
-                    seg_rows_hbm.at[cid], seg_win.at[w % 2, q - lo],
-                    sems.at[w % 2, q - lo]).start()
+                cid = cids_ref[t_glob * q_max
+                               + jnp.minimum(q, n_slots - 1)]
+                dst = seg_win.at[w % 2, q - lo]
+                sem = sems.at[w % 2] if counted_sems \
+                    else sems.at[w % 2, q - lo]
+                pltpu.make_async_copy(seg_rows_hbm.at[cid], dst,
+                                      sem).start()
                 return 0
 
-            jax.lax.fori_loop(lo, hi, body, 0)
+            jax.lax.fori_loop(lo, lo + W if counted_sems else hi,
+                              body, 0)
 
         def wait_win(w):
+            if counted_sems:
+                # one wait for the whole window: the W copies' size
+                # signals sum to exactly this window-slice's size
+                pltpu.make_async_copy(
+                    seg_win.at[w % 2], seg_win.at[w % 2],
+                    sems.at[w % 2]).wait()
+                return
             lo = w * W
             hi = jnp.minimum(lo + W, n_slots)
 
@@ -802,13 +822,17 @@ def stream_phase_b(cids, streams, off, cnt, tmin, tscale, rays8, t_pmax,
         ],
         scratch_shapes=[
             pltpu.VMEM((2, W, PRIM_F, K), jnp.float32),
-            pltpu.SemaphoreType.DMA((2, W)),
+            # real TPU: one counted semaphore per window buffer;
+            # interpret mode keeps per-slot waits (semaphore_wait with
+            # a dynamic count is a Mosaic-level primitive)
+            pltpu.SemaphoreType.DMA((2,)) if not interpret
+            else pltpu.SemaphoreType.DMA((2, W)),
         ],
     )
     t, pid = pl.pallas_call(
         functools.partial(_stream_kernel, q_max=q_max, qo=qo,
                           n_win=n_win, W=W, any_hit=any_hit,
-                          unroll=unroll),
+                          unroll=unroll, counted_sems=not interpret),
         out_shape=(jax.ShapeDtypeStruct((T_pad, TILE, 1), jnp.float32),
                    jax.ShapeDtypeStruct((T_pad, TILE, 1), jnp.int32)),
         grid_spec=grid_spec,

@@ -154,7 +154,8 @@ def test_mutators_preserve_state_consistency():
                 lambda s, it: mlt_int._step_caustic(ctx, s, it),
                 lambda s, it: mlt_int._step_manifold(ctx, s, it),
                 lambda s, it: mlt_int._step_mchain(ctx, s, it),
-                lambda s, it: mlt_int._step_bidir(ctx, s, it)]):
+                lambda s, it: mlt_int._step_bidir(ctx, s, it),
+                lambda s, it: mlt_int._step_bidir2(ctx, s, it)]):
             prop, a = step(st, jnp.uint32(i + 1))
             acc = rng.uniform_1d(idx, jnp.uint32(50 + i),
                                  jnp.uint32(i)) < a

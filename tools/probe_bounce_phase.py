@@ -92,10 +92,16 @@ def main():
           flush=True)
 
     if os.environ.get("BP_STREAMS", "1") == "1":
+        s_w = int(os.environ.get("BP_W", "64"))
+        s_ur = int(os.environ.get("BP_UNROLL", "4"))
+        s_qo = int(os.environ.get("BP_QO", "0")) or None
+
         @jax.jit
         def closest_streams(ray):
             return tl.tiled_closest_hit(sw, ray, C, K, q_max=q_max,
-                                        sort_rays=True, streams=True)
+                                        sort_rays=True, streams=True,
+                                        stream_w=s_w, stream_unroll=s_ur,
+                                        stream_qo=s_qo)
         t_bs, (tbs, pbs) = timed(closest_streams, bray)
         match = float(jnp.mean(jnp.isclose(
             jnp.where(pbs >= 0, tbs, 0.0), jnp.where(pb >= 0, tb, 0.0),
@@ -112,25 +118,36 @@ def main():
     sray = Ray(o=hp, d=jnp.broadcast_to(sun, (N, 3)),
                mint=jnp.full((N,), 1e-3, jnp.float32),
                maxt=jnp.full((N,), jnp.inf, jnp.float32))
-    ta, tba = timed(
-        lambda r: jax.jit(lambda rr: tl.tiled_any_hit(
-            sw, rr, C, K, q_max=q_max, sort_rays=True))(r), sray)
+    @jax.jit
+    def anyhit_dense(ray):
+        return tl.tiled_any_hit(sw, ray, C, K, q_max=q_max,
+                                sort_rays=True)
+    ta, tba = timed(anyhit_dense, sray)
     print(f"[bp] sun shadow ANY-hit query:    {ta*1e3:8.1f} ms "
           f"({float(jnp.mean(tba))*100:.0f}% occluded)", flush=True)
     if os.environ.get("BP_STREAMS", "1") == "1":
-        tas, tbas = timed(
-            lambda r: jax.jit(lambda rr: tl.tiled_any_hit(
-                sw, rr, C, K, q_max=q_max, sort_rays=True,
-                streams=True))(r), sray)
+        @jax.jit
+        def anyhit_streams(ray):
+            return tl.tiled_any_hit(sw, ray, C, K, q_max=q_max,
+                                    sort_rays=True, streams=True,
+                                    stream_w=s_w, stream_unroll=s_ur,
+                                    stream_qo=s_qo)
+        tas, tbas = timed(anyhit_streams, sray)
         agree = float(jnp.mean(tbas == tba))
         print(f"[bp] sun shadow ANY-hit STREAMS:  {tas*1e3:8.1f} ms "
               f"(agree {agree*100:.2f}%)", flush=True)
 
     # ---- stage timing on one chunk of sorted bounce rays ----
-    sray, _ = jax.jit(lambda r: tl._morton_sort_rays(sw, r))(bray)
-    t_sort, _ = timed(
-        lambda r: jax.jit(lambda rr: tl._morton_sort_rays(sw, rr)[0].o)(r),
-        bray)
+    @jax.jit
+    def msort(r):
+        s_, o_ = tl._morton_sort_rays(sw, r)
+        return s_.o, s_.d, s_.mint, s_.maxt
+    so, sd, smin, smax = msort(bray)
+    sray = Ray(o=so, d=sd, mint=smin, maxt=smax)
+    t_sort, _ = timed(lambda r: msort(r)[0], bray)
+    if os.environ.get("BP_STAGES", "0") != "1":
+        print(f"[bp]   (morton sort full wave: {t_sort*1e3:.1f} ms)")
+        return
     Tc = int(os.environ.get("BP_CHUNK", "96"))
     tile = 64
     n_c = Tc * tile
