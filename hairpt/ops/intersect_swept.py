@@ -56,12 +56,69 @@ class SweptHair(NamedTuple):
     cluster_count: jnp.ndarray  # [] int32 == C (device scalar, unused in jit)
 
 
+def _miter_seg_bounds(p0, p1, n0, n1, radius):
+    """Exact per-segment AABBs of the miter-clipped cylinders.
+
+    The accepted-hit region of the intersection kernel
+    (pallas_tiled._cyl_test) is the infinite cylinder of radius r about
+    the axis a=(p1-p0)/|..| clipped by the miter planes (p0,n0) and
+    (p1,n1) — a convex body whose extreme point along any direction lies
+    on one of the two cap ellipses.  The per-axis half-extent of the cap
+    ellipse {v : v.n=0, |v-(v.a)a| <= r} is
+
+        E_i = r/|n.a| * sqrt((1-b^2) g1^2 + 2 a b g1 g2 + (1-a^2) g2^2)
+
+    with (u1,u2) an orthonormal basis of the plane, a=u1.a, b=u2.a and
+    g=(u1_i, u2_i).  Result is clamped against the legacy conservative
+    box (min(p0,p1) - 2r, max + 2r) so near-degenerate miters (n almost
+    perpendicular to the axis) stay finite and never looser than before.
+
+    TPU-first analog of the reference's cylinder-plane "fancy" AABB
+    clipping (src/shapes/hair.cpp:239-444): closed-form cap-ellipse
+    extents at cluster-build time instead of kd-split-plane clipping.
+    Host-side numpy; runs once per scene build.
+    """
+    p0 = np.asarray(p0, np.float64)
+    p1 = np.asarray(p1, np.float64)
+    r = np.asarray(radius, np.float64)[:, None]
+    ax = p1 - p0
+    ax_len = np.sqrt(np.maximum((ax * ax).sum(-1, keepdims=True), 1e-30))
+    ax = ax / ax_len
+
+    def cap_extents(nrm):
+        nrm = np.asarray(nrm, np.float64)
+        nn = np.sqrt(np.maximum((nrm * nrm).sum(-1, keepdims=True), 1e-30))
+        nrm = nrm / nn
+        # u1 = normalize(n x e_k), e_k the axis least aligned with n
+        k = np.argmin(np.abs(nrm), axis=-1)
+        e = np.zeros_like(nrm)
+        e[np.arange(len(k)), k] = 1.0
+        u1 = np.cross(nrm, e)
+        u1 /= np.sqrt(np.maximum((u1 * u1).sum(-1, keepdims=True), 1e-30))
+        u2 = np.cross(nrm, u1)
+        al = (u1 * ax).sum(-1, keepdims=True)       # u1.a
+        be = (u2 * ax).sum(-1, keepdims=True)       # u2.a
+        na = np.abs((nrm * ax).sum(-1, keepdims=True))
+        quad = ((1.0 - be * be) * u1 * u1
+                + 2.0 * al * be * u1 * u2
+                + (1.0 - al * al) * u2 * u2)
+        return (r / np.maximum(na, 1e-6)) * np.sqrt(np.maximum(quad, 0.0))
+
+    e0 = cap_extents(n0)
+    e1 = cap_extents(n1)
+    lo = np.minimum(p0 - e0, p1 - e1)
+    hi = np.maximum(p0 + e0, p1 + e1)
+    # never looser than the legacy conservative box
+    lo = np.maximum(lo, np.minimum(p0, p1) - 2.0 * r)
+    hi = np.minimum(hi, np.maximum(p0, p1) + 2.0 * r)
+    return lo.astype(np.float32), hi.astype(np.float32)
+
+
 def build_swept_hair(p0, p1, n0, n1, radius, K: int = 64) -> SweptHair:
     """Host-side build. Inputs are the raw (unsorted) segment arrays."""
     assert K % 32 == 0, "cluster size must hold whole 32-seg sub-clusters"
     n = len(p0)
-    lo = np.minimum(p0, p1) - (radius[:, None] * 2.0)
-    hi = np.maximum(p0, p1) + (radius[:, None] * 2.0)
+    lo, hi = _miter_seg_bounds(p0, p1, n0, n1, radius)
     centroid = 0.5 * (lo + hi)
     ext = np.maximum(centroid.max(0) - centroid.min(0), 1e-12)
     q = np.clip((centroid - centroid.min(0)) / ext * 1023.0, 0,
@@ -117,12 +174,12 @@ def build_swept_hair(p0, p1, n0, n1, radius, K: int = 64) -> SweptHair:
     # 32-segment sub-cluster AABBs (same tree order): bounds recomputed
     # from the final rows so padding/degenerate slots stay empty
     SUBK = 32
-    sp0f = rows[:, 0:3]
-    sp1f = rows[:, 3:6]
-    srf = rows[:, 12:13]
     validf = rows[:, PRIM_F - 1].view(np.int32) >= 0
-    slof = np.where(validf[:, None], np.minimum(sp0f, sp1f) - 2 * srf, 3e37)
-    shif = np.where(validf[:, None], np.maximum(sp0f, sp1f) + 2 * srf, -3e37)
+    elof, ehif = _miter_seg_bounds(rows[:, 0:3], rows[:, 3:6],
+                                   rows[:, 6:9], rows[:, 9:12],
+                                   rows[:, 12])
+    slof = np.where(validf[:, None], elof, 3e37)
+    shif = np.where(validf[:, None], ehif, -3e37)
     C32 = rows.shape[0] // SUBK
     sub_lo = slof.reshape(C32, SUBK, 3).min(1)
     sub_hi = shif.reshape(C32, SUBK, 3).max(1)
