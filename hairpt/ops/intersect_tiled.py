@@ -82,8 +82,15 @@ def _tile_cluster_mask(sw: SweptHair, ray: Ray, tile: int,
         for ob in range(tile // 8):
             oc = oc | (hit_o[:, ob, :].astype(jnp.int32) << ob)
         octs.append(oc)
-        tes.append(jnp.where(jnp.isfinite(t_in), t_in,
-                             jnp.inf).reshape(T, tile, -1).min(axis=1))
+        te_c = jnp.where(jnp.isfinite(t_in), t_in,
+                         jnp.inf).reshape(T, tile, -1).min(axis=1)
+        # match cull_phase_a's bf16 te (truncated toward zero — valid
+        # lower bound) so CPU/interpret runs exercise the exact same
+        # routing invariants as the TPU Pallas path
+        te_i = jax.lax.bitcast_convert_type(te_c, jnp.int32)
+        te_c = jax.lax.bitcast_convert_type(
+            te_i & jnp.int32(-65536), jnp.float32).astype(jnp.bfloat16)
+        tes.append(te_c)
         t_pmax = jnp.maximum(
             t_pmax, jnp.max(jnp.where(hit, jnp.maximum(tn, 0.0), -1.0),
                             axis=1))
@@ -143,10 +150,15 @@ def _tile_slots(mask, te, q_max: int, return_bound: bool = False,
     happen at t >= their entry-t >= te_last); the exact-overflow loop in
     tiled_closest_hit routes the remainder in later passes."""
     T, C = mask.shape
-    te_f = jnp.where(mask, te, jnp.inf)
-    tmin = jnp.min(te_f, axis=1, keepdims=True)
+    # te may arrive bfloat16 (cull_phase_a te_bf16, truncated toward
+    # zero ⇒ still a valid lower bound): the sort runs on the narrow
+    # dtype (the [T, C] traffic is the point), while the tmin/span/bq
+    # quantization arithmetic is f32 (values cast exactly)
+    te_f = jnp.where(mask, te, jnp.asarray(jnp.inf, te.dtype))
+    tmin = jnp.min(te_f, axis=1, keepdims=True).astype(jnp.float32)
     tmin = jnp.where(jnp.isfinite(tmin), tmin, 0.0)
-    tmax = jnp.max(jnp.where(mask, te, -jnp.inf), axis=1, keepdims=True)
+    tmax = jnp.max(jnp.where(mask, te, jnp.asarray(-jnp.inf, te.dtype)),
+                   axis=1, keepdims=True).astype(jnp.float32)
     tmax = jnp.where(jnp.isfinite(tmax), tmax, 1.0)
     span = jnp.maximum(tmax - tmin, 1e-6)
 
@@ -159,7 +171,8 @@ def _tile_slots(mask, te, q_max: int, return_bound: bool = False,
     if C < q_max:   # fewer clusters than slots: pad with empty entries
         pad = q_max - C
         te_sorted = jnp.concatenate(
-            [te_sorted, jnp.full((T, pad), jnp.inf)], axis=1)
+            [te_sorted, jnp.full((T, pad), jnp.inf, te_sorted.dtype)],
+            axis=1)
         cid_sorted = jnp.concatenate(
             [cid_sorted, jnp.zeros((T, pad), jnp.int32)], axis=1)
     te_slot = te_sorted[:, :q_max]
@@ -167,7 +180,8 @@ def _tile_slots(mask, te, q_max: int, return_bound: bool = False,
     # suffix-min bound of slots AFTER q: exact ordering ⇒ it's just the
     # next slot's entry t (clusters dropped past q_max are farther still)
     te_next = jnp.concatenate(
-        [te_slot[:, 1:], jnp.full((T, 1), jnp.inf)], axis=1)
+        [te_slot[:, 1:], jnp.full((T, 1), jnp.inf, te_slot.dtype)],
+        axis=1).astype(jnp.float32)
     # floor-quantize to TE_BITS (round down preserves the lower bound)
     scale = (span / (TE_INF - 1))[:, 0]                      # [T]
     bq = jnp.floor((te_next - tmin) / span * (TE_INF - 1))
@@ -213,10 +227,11 @@ def _octet_streams(mask, te, octm, q_max: int, qo: int, W: int):
     the remainder (re-testing some already-covered octets is harmless:
     closest/any-hit merges are idempotent)."""
     T, C = mask.shape
-    te_f = jnp.where(mask, te, jnp.inf)
-    tmin = jnp.min(te_f, axis=1, keepdims=True)
+    te_f = jnp.where(mask, te, jnp.asarray(jnp.inf, te.dtype))
+    tmin = jnp.min(te_f, axis=1, keepdims=True).astype(jnp.float32)
     tmin = jnp.where(jnp.isfinite(tmin), tmin, 0.0)
-    tmax = jnp.max(jnp.where(mask, te, -jnp.inf), axis=1, keepdims=True)
+    tmax = jnp.max(jnp.where(mask, te, jnp.asarray(-jnp.inf, te.dtype)),
+                   axis=1, keepdims=True).astype(jnp.float32)
     tmax = jnp.where(jnp.isfinite(tmax), tmax, 1.0)
     span = jnp.maximum(tmax - tmin, 1e-6)
     scale = (span / (TE_INF - 1))[:, 0]
@@ -229,7 +244,8 @@ def _octet_streams(mask, te, octm, q_max: int, qo: int, W: int):
     if C < q_max:
         padn = q_max - C
         te_sorted = jnp.concatenate(
-            [te_sorted, jnp.full((T, padn), jnp.inf)], axis=1)
+            [te_sorted, jnp.full((T, padn), jnp.inf, te_sorted.dtype)],
+            axis=1)
         cid_sorted = jnp.concatenate(
             [cid_sorted, jnp.zeros((T, padn), jnp.int32)], axis=1)
     te_slot = te_sorted[:, :q_max]
@@ -255,9 +271,11 @@ def _octet_streams(mask, te, octm, q_max: int, qo: int, W: int):
 
     te_bc = jnp.broadcast_to(te_slot[:, None, :], (T, 8, q_max))
     te_ent = jnp.take_along_axis(te_bc, stream_q, axis=2)
-    te_ent = jnp.where(valid_s, te_ent, jnp.inf)
+    te_ent = jnp.where(valid_s, te_ent, jnp.asarray(jnp.inf,
+                                                    te_ent.dtype))
     te_next = jnp.concatenate(
-        [te_ent[:, :, 1:], jnp.full((T, 8, 1), jnp.inf)], axis=2)
+        [te_ent[:, :, 1:], jnp.full((T, 8, 1), jnp.inf, te_ent.dtype)],
+        axis=2).astype(jnp.float32)
     bq = jnp.floor((te_next - tmin[:, :, None]) / span[:, :, None]
                    * (TE_INF - 1))
     bq = jnp.clip(bq, 0, TE_INF - 1).astype(jnp.int32)
@@ -573,7 +591,7 @@ def tiled_closest_hit(sw: SweptHair, ray: Ray, n_clusters: int, K: int,
 
                     init = (jnp.full((Tc, TILE_), jnp.inf, jnp.float32),
                             jnp.full((Tc, TILE_), -1, jnp.int32),
-                            jnp.full((Tc,), -jnp.inf, jnp.float32),
+                            jnp.full((Tc,), -jnp.inf, te.dtype),
                             jnp.full((Tc,), -1, jnp.int32),
                             jnp.ones((Tc,), bool),
                             jnp.int32(0), jnp.int32(0))
@@ -664,7 +682,7 @@ def tiled_closest_hit(sw: SweptHair, ray: Ray, n_clusters: int, K: int,
 
                 init = (jnp.full((Tc, TILE_), jnp.inf, jnp.float32),
                         jnp.full((Tc, TILE_), -1, jnp.int32),
-                        jnp.full((Tc,), -jnp.inf, jnp.float32),
+                        jnp.full((Tc,), -jnp.inf, te.dtype),
                         jnp.full((Tc,), -1, jnp.int32),
                         jnp.ones((Tc,), bool),
                         jnp.int32(0), jnp.int32(0))

@@ -887,7 +887,7 @@ def _cull_kernel(rays_ref,     # VMEM [GROUP_T, TILE, 8] (ray-major)
 
         # fully-dead tiles (common at deep bounces — the Morton resort
         # groups dead lanes last) skip the slab math entirely
-        te_ref[g:g + 1, :] = jnp.full((1, c_pad), inf, jnp.float32)
+        te_ref[g:g + 1, :] = jnp.full((1, c_pad), inf, te_ref.dtype)
         tpmax_ref[g] = jnp.full(mint.shape, -1.0, jnp.float32)
         if emit_oct:
             oct_ref[g:g + 1, :] = jnp.zeros((1, c_pad), jnp.int32)
@@ -911,8 +911,17 @@ def _cull_kernel(rays_ref,     # VMEM [GROUP_T, TILE, 8] (ray-major)
                 hit = (tn <= tf) & (tf >= mint) & (tn <= maxt_eff)
                 tn0 = jnp.maximum(tn, 0.0)
                 t_in = jnp.where(hit, tn0, inf)            # [TILE, CH]
+                te_min = jnp.min(t_in, axis=0, keepdims=True)
+                if te_ref.dtype == jnp.bfloat16:
+                    # truncate toward zero (te >= 0 ⇒ rounds DOWN, so
+                    # the value stays a valid entry-t lower bound; inf
+                    # maps to inf) — halves the te matrix HBM traffic
+                    # through the write + the routing sort reads
+                    te_i = jax.lax.bitcast_convert_type(te_min, jnp.int32)
+                    te_min = jax.lax.bitcast_convert_type(
+                        te_i & jnp.int32(-65536), jnp.float32)
                 te_ref[g:g + 1, c0:c0 + CULL_CH] = \
-                    jnp.min(t_in, axis=0, keepdims=True)
+                    te_min.astype(te_ref.dtype)
                 if emit_oct:
                     # per-octet hit bits (sublane-sliced 8-row reduces)
                     oc = jnp.zeros((1, CULL_CH), jnp.int32)
@@ -928,14 +937,23 @@ def _cull_kernel(rays_ref,     # VMEM [GROUP_T, TILE, 8] (ray-major)
             tpmax_ref[g] = tpmax
 
 
-@functools.partial(jax.jit, static_argnames=("interpret", "emit_oct"))
+@functools.partial(jax.jit, static_argnames=("interpret", "emit_oct",
+                                             "te_bf16"))
 def cull_phase_a(rays8, bounds, interpret: bool = False,
-                 emit_oct: bool = False):
+                 emit_oct: bool = False, te_bf16: bool = True):
     """Tile-level cluster culling. rays8 [T, 8, TILE]; bounds [8, C_pad]
     (C_pad a multiple of CULL_CH; padded slots lo=+big, hi=-big).
     Returns (te [T, C_pad] with inf = miss, t_pmax [T, TILE]) plus the
     octet-bit matrix when emit_oct (an extra [T, C] HBM write — only
-    the octet phase-B variant wants it)."""
+    the octet phase-B variant wants it).
+
+    te_bf16: emit te truncated-toward-zero to bfloat16 (ROADMAP §1a).
+    Exactness is preserved by construction: truncation keeps every
+    entry a LOWER bound of the true entry t, the routing sort orders by
+    the truncated values, and the suffix-min / completion bounds are
+    lower bounds of truncated values — so early exit and overflow
+    completion remain conservative. Halves the dominant [T, C] HBM
+    traffic of phase A + routing."""
     T, _, R = rays8.shape
     c_pad = bounds.shape[1]
     rays_t = jnp.swapaxes(rays8, 1, 2)           # [T, TILE, 8]
@@ -945,13 +963,14 @@ def cull_phase_a(rays8, bounds, interpret: bool = False,
             [rays_t, jnp.zeros((pad, R, 8), jnp.float32)
              .at[:, :, 7].set(-1.0)])
     T_pad = T + pad
+    te_dtype = jnp.bfloat16 if te_bf16 else jnp.float32
     out_specs = [
         pl.BlockSpec((GROUP_T, c_pad), lambda i: (i, 0),
                      memory_space=pltpu.VMEM),
         pl.BlockSpec((GROUP_T, R, 1), lambda i: (i, 0, 0),
                      memory_space=pltpu.VMEM),
     ]
-    out_shape = [jax.ShapeDtypeStruct((T_pad, c_pad), jnp.float32),
+    out_shape = [jax.ShapeDtypeStruct((T_pad, c_pad), te_dtype),
                  jax.ShapeDtypeStruct((T_pad, R, 1), jnp.float32)]
     if emit_oct:
         out_specs.append(pl.BlockSpec((GROUP_T, c_pad), lambda i: (i, 0),
