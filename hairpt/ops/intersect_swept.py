@@ -46,7 +46,9 @@ class SweptHair(NamedTuple):
     cl_lo: jnp.ndarray      # [C, 3] cluster bounds (dense phase-A sweep)
     cl_hi: jnp.ndarray      # [C, 3]
     seg_rows: jnp.ndarray   # [C * K, PRIM_F] cluster-major packed segments
-    seg_rows_t: jnp.ndarray  # [C, PRIM_F, K] transposed (pallas DMA layout)
+    seg_rows_t: jnp.ndarray  # [C, PRIM_F, K] transposed pallas DMA layout
+    #                          w/ precomputed unit axis/sn1/r² rows (see
+    #                          build_swept_hair)
     # 32-segment sub-cluster AABBs over the same rows (4×-tighter phase-A
     # culling granularity — see tiled_closest_hit(subcull=True))
     sub_lo: jnp.ndarray     # [C32, 3]
@@ -169,7 +171,24 @@ def build_swept_hair(p0, p1, n0, n1, radius, K: int = 64) -> SweptHair:
     nodes[:, 3:6] = fb.node_max
     nodes[:, 6] = _bitcast_i2f(meta.astype(np.int32))
     nodes[:, 7] = _bitcast_i2f(fb.node_skip)
-    rows_t = rows.reshape(C, K, PRIM_F).transpose(0, 2, 1).copy()
+    # Pallas DMA layout precomputes the per-segment terms the cylinder
+    # test would otherwise recompute per (tile, slot) iteration — the
+    # phase-B kernel is VPU-compute-bound (measured ~320 ns/slot-iter at
+    # ~2 vreg-ops/cycle), so shaving the axis normalization + sn1 dot +
+    # r² (~19 of ~75 VPU ops) comes straight off the bounce-wave time:
+    #   0:3 p0 | 3:6 UNIT axis | 6:9 n0 | 9:12 n1 | 12 r
+    #   13 sn1 = (p1-p0)·n1 | 14 r² | 15 id
+    # (seg_rows keeps the original p0/p1 layout for the non-Pallas
+    # traversals and the bounds builder above.)
+    rows_k = rows.copy()
+    seg_v = rows[:, 3:6].astype(np.float64) - rows[:, 0:3]
+    seg_len = np.sqrt(np.maximum((seg_v * seg_v).sum(-1, keepdims=True),
+                                 1e-30))
+    rows_k[:, 3:6] = (seg_v / seg_len).astype(np.float32)
+    rows_k[:, 13] = (seg_v * rows[:, 9:12].astype(np.float64))\
+        .sum(-1).astype(np.float32)
+    rows_k[:, 14] = rows[:, 12] * rows[:, 12]
+    rows_t = rows_k.reshape(C, K, PRIM_F).transpose(0, 2, 1).copy()
 
     # 32-segment sub-cluster AABBs (same tree order): bounds recomputed
     # from the final rows so padding/degenerate slots stay empty

@@ -95,20 +95,17 @@ def _phaseb_one(chunk_cl_ref, chunk_rays_ref, t_out_ref, pid_out_ref,
         return rays[j][:, None]           # [CH, 1]
 
     p0x, p0y, p0z = seg_col(0), seg_col(1), seg_col(2)
-    p1x, p1y, p1z = seg_col(3), seg_col(4), seg_col(5)
+    ax_, ay_, az_ = seg_col(3), seg_col(4), seg_col(5)
     n0x, n0y, n0z = seg_col(6), seg_col(7), seg_col(8)
     n1x, n1y, n1z = seg_col(9), seg_col(10), seg_col(11)
-    rr = seg_col(12)
+    sn1 = seg_col(13)                     # (p1−p0)·n1, precomputed
+    rr2 = seg_col(14)                     # r², precomputed
     pid_row = pltpu.bitcast(rows[PRIM_F - 1][None, :], jnp.int32)
 
     ox, oy, oz = ray_col(0), ray_col(1), ray_col(2)
     dx, dy, dz = ray_col(3), ray_col(4), ray_col(5)
     mint2 = ray_col(6)
     maxt2 = ray_col(7)
-
-    sx, sy, sz = p1x - p0x, p1y - p0y, p1z - p0z
-    inv_len = jax.lax.rsqrt(jnp.maximum(sx * sx + sy * sy + sz * sz, 1e-30))
-    ax_, ay_, az_ = sx * inv_len, sy * inv_len, sz * inv_len
 
     rx, ry, rz = ox - p0x, oy - p0y, oz - p0z
     ar = ax_ * rx + ay_ * ry + az_ * rz
@@ -122,7 +119,7 @@ def _phaseb_one(chunk_cl_ref, chunk_rays_ref, t_out_ref, pid_out_ref,
     a_safe = jnp.where(ok, a, 1.0)
     t_mid = -b / a_safe
     qx, qy, qz = pox + pdx * t_mid, poy + pdy * t_mid, poz + pdz * t_mid
-    c_mid = qx * qx + qy * qy + qz * qz - rr * rr
+    c_mid = qx * qx + qy * qy + qz * qz - rr2
     disc = -c_mid / a_safe
     ok = ok & (disc >= 0.0)
     dt = jnp.sqrt(jnp.maximum(disc, 0.0))
@@ -132,7 +129,9 @@ def _phaseb_one(chunk_cl_ref, chunk_rays_ref, t_out_ref, pid_out_ref,
     def miter_ok(t):
         px, py, pz = ox + dx * t, oy + dy * t, oz + dz * t
         h0 = (px - p0x) * n0x + (py - p0y) * n0y + (pz - p0z) * n0z
-        h1 = (px - p1x) * n1x + (py - p1y) * n1y + (pz - p1z) * n1z
+        # (p − p1)·n1 = (p − p0)·n1 − (p1−p0)·n1
+        h1 = (px - p0x) * n1x + (py - p0y) * n1y + (pz - p0z) * n1z \
+            - sn1
         return (h0 >= 0.0) & (h1 <= 0.0)
 
     near_ok = ok & (t_near >= mint2) & (t_near <= maxt2) & miter_ok(t_near)

@@ -34,14 +34,22 @@ from .intersect_packed import PRIM_F
 GROUP_T = 8  # tiles per pallas program ((8, 128) output tiling)
 
 
-def _cyl_test(rows, rays):
+def _cyl_test_tm(rows, rays):
     """Dense miter-cylinder test: rows [PRIM_F, K] (one cluster's segments),
-    rays [8, CH] → (t_best [CH], pid_best [CH]) for this cluster only.
+    rays [8, CH] → (t_m [CH, K] with inf = miss, pid_row [1, K]) —
+    UNREDUCED so the kernel can defer the per-slot lane reduction to a
+    [TILE, K] running min (merge = 3 VPU ops/slot vs ~16 for the
+    reduce+select tail; the reduction happens once per early-exit check
+    and once per tile instead of once per slot).
 
     Math identical to the reference HairShape::rayIntersect
     (src/shapes/hair.cpp:485-542): project the ray into the plane ⊥ segment
     axis, solve the recentered quadratic, accept roots between the miter
-    planes — vectorized as [CH, K] component-wise VPU ops.
+    planes — vectorized as [CH, K] component-wise VPU ops. The rows carry
+    the build-time precomputed unit axis, sn1 = (p1−p0)·n1 and r² (see
+    intersect_swept.build_swept_hair) — the kernel is VPU-compute-bound,
+    so the ~19 per-slot-iteration ops those replace come straight off the
+    bounce-wave time.
     """
     def seg(j):
         return rows[j][None, :]           # [1, K]
@@ -50,20 +58,17 @@ def _cyl_test(rows, rays):
         return rays[j][:, None]           # [CH, 1]
 
     p0x, p0y, p0z = seg(0), seg(1), seg(2)
-    p1x, p1y, p1z = seg(3), seg(4), seg(5)
+    ax_, ay_, az_ = seg(3), seg(4), seg(5)
     n0x, n0y, n0z = seg(6), seg(7), seg(8)
     n1x, n1y, n1z = seg(9), seg(10), seg(11)
-    rr = seg(12)
+    sn1 = seg(13)                         # (p1−p0)·n1, [1, K]
+    rr2 = seg(14)                         # r², [1, K]
     pid_row = pltpu.bitcast(rows[PRIM_F - 1][None, :], jnp.int32)
 
     ox, oy, oz = rayc(0), rayc(1), rayc(2)
     dx, dy, dz = rayc(3), rayc(4), rayc(5)
     mint2 = rayc(6)
     maxt2 = rayc(7)
-
-    sx, sy, sz = p1x - p0x, p1y - p0y, p1z - p0z
-    inv_len = jax.lax.rsqrt(jnp.maximum(sx * sx + sy * sy + sz * sz, 1e-30))
-    ax_, ay_, az_ = sx * inv_len, sy * inv_len, sz * inv_len
 
     rx, ry, rz = ox - p0x, oy - p0y, oz - p0z
     ar = ax_ * rx + ay_ * ry + az_ * rz
@@ -78,7 +83,7 @@ def _cyl_test(rows, rays):
     inv_a = 1.0 / a_safe          # one reciprocal replaces two divisions
     t_mid = -b * inv_a
     qx, qy, qz = pox + pdx * t_mid, poy + pdy * t_mid, poz + pdz * t_mid
-    c_mid = qx * qx + qy * qy + qz * qz - rr * rr
+    c_mid = qx * qx + qy * qy + qz * qz - rr2
     disc = -c_mid * inv_a
     ok = ok & (disc >= 0.0)
     dt = jnp.sqrt(jnp.maximum(disc, 0.0))
@@ -91,7 +96,6 @@ def _cyl_test(rows, rays):
     # test vs re-evaluating the hit point for each root.
     on0 = rx * n0x + ry * n0y + rz * n0z
     dn0 = dx * n0x + dy * n0y + dz * n0z
-    sn1 = sx * n1x + sy * n1y + sz * n1z          # (p1−p0)·n1, [1, K]
     on1 = rx * n1x + ry * n1y + rz * n1z - sn1
     dn1 = dx * n1x + dy * n1y + dz * n1z
 
@@ -104,9 +108,15 @@ def _cyl_test(rows, rays):
     hit = (pid_row >= 0) & (near_ok | far_ok)
 
     t_m = jnp.where(hit, t, jnp.inf)
+    return t_m, pid_row
+
+
+def _cyl_test(rows, rays):
+    """Reduced form: (t_best [CH], pid_best [CH]) for this cluster."""
+    t_m, pid_row = _cyl_test_tm(rows, rays)
     t_best = jnp.min(t_m, axis=-1)                          # [CH]
-    is_best = t_m <= t_best[:, None]
-    pid_best = jnp.max(jnp.where(is_best & hit, pid_row, -1), axis=-1)
+    is_best = (t_m <= t_best[:, None]) & jnp.isfinite(t_m)
+    pid_best = jnp.max(jnp.where(is_best, pid_row, -1), axis=-1)
     return t_best, pid_best
 
 
@@ -128,18 +138,15 @@ def _cyl_test_mxu(rows, rays):
     """
     K = rows.shape[1]
     p0 = rows[0:3]                         # [3, K]
-    p1 = rows[3:6]
+    a = rows[3:6]                          # [3, K] precomputed unit axis
     n0 = rows[6:9]
     n1 = rows[9:12]
-    rr = rows[12][None, :]                 # [1, K]
+    sn1_row = rows[13][None, :]            # (p1−p0)·n1
+    rr2 = rows[14][None, :]                # r²
     pid_row = pltpu.bitcast(rows[PRIM_F - 1][None, :], jnp.int32)
 
-    seg = p1 - p0
-    inv_len = jax.lax.rsqrt(jnp.maximum(jnp.sum(seg * seg, 0), 1e-30))
-    a = seg * inv_len[None, :]             # [3, K] unit axis
-
-    # cluster centroid (mean of segment midpoints) for recentering
-    centroid = jnp.mean(0.5 * (p0 + p1), axis=1)            # [3]
+    # cluster centroid (mean of segment starts) for recentering
+    centroid = jnp.mean(p0, axis=1)                          # [3]
     p0c = p0 - centroid[:, None]
     o_raw = rays[0:3]                      # [3, CH]
     d3 = rays[3:6]                         # [3, CH]
@@ -164,8 +171,8 @@ def _cyl_test_mxu(rows, rays):
     # per-segment constants ([1, K] cheap VPU rows)
     pa = jnp.sum(p0c * a, 0)[None, :]
     pn0 = jnp.sum(p0c * n0, 0)[None, :]
-    p1c = p1 - centroid[:, None]
-    p1n1 = jnp.sum(p1c * n1, 0)[None, :]
+    # (p1−centroid)·n1 = (p0−centroid)·n1 + (p1−p0)·n1
+    p1n1 = jnp.sum(p0c * n1, 0)[None, :] + sn1_row
     p0sq = jnp.sum(p0c * p0c, 0)[None, :]
     # per-ray constants ([CH, 1])
     o_d = jnp.sum(o3 * d3, 0)[:, None]
@@ -176,7 +183,7 @@ def _cyl_test_mxu(rows, rays):
     ad = d_a
     A = d_sq - ad * ad
     B = (o_d - d_p0) - ad * ar
-    Cc = (o_sq - 2.0 * o_p0 + p0sq) - ar * ar - rr * rr
+    Cc = (o_sq - 2.0 * o_p0 + p0sq) - ar * ar - rr2
     disc = B * B - A * Cc
     ok = (A > 1e-18) & (disc >= 0.0)
     inv_a = 1.0 / jnp.where(A > 1e-18, A, 1.0)
@@ -217,21 +224,17 @@ def _cyl_test_oct(rows, rays_o):
         return rays_o[:, j:j + 1]         # [8, 1]
 
     p0x, p0y, p0z = seg(0), seg(1), seg(2)
-    p1x, p1y, p1z = seg(3), seg(4), seg(5)
+    ax_, ay_, az_ = seg(3), seg(4), seg(5)
     n0x, n0y, n0z = seg(6), seg(7), seg(8)
     n1x, n1y, n1z = seg(9), seg(10), seg(11)
-    rr = seg(12)
+    sn1 = seg(13)
+    rr2 = seg(14)
     pid_row = pltpu.bitcast(rows[PRIM_F - 1][None, :], jnp.int32)
 
     ox, oy, oz = rayc(0), rayc(1), rayc(2)
     dx, dy, dz = rayc(3), rayc(4), rayc(5)
     mint2 = rayc(6)
     maxt2 = rayc(7)
-
-    sx, sy, sz = p1x - p0x, p1y - p0y, p1z - p0z
-    inv_len = jax.lax.rsqrt(jnp.maximum(sx * sx + sy * sy + sz * sz,
-                                        1e-30))
-    ax_, ay_, az_ = sx * inv_len, sy * inv_len, sz * inv_len
 
     rx, ry, rz = ox - p0x, oy - p0y, oz - p0z
     ar = ax_ * rx + ay_ * ry + az_ * rz
@@ -246,7 +249,7 @@ def _cyl_test_oct(rows, rays_o):
     inv_a = 1.0 / a_safe
     t_mid = -b * inv_a
     qx, qy, qz = pox + pdx * t_mid, poy + pdy * t_mid, poz + pdz * t_mid
-    c_mid = qx * qx + qy * qy + qz * qz - rr * rr
+    c_mid = qx * qx + qy * qy + qz * qz - rr2
     disc = -c_mid * inv_a
     ok = ok & (disc >= 0.0)
     dt = jnp.sqrt(jnp.maximum(disc, 0.0))
@@ -255,7 +258,6 @@ def _cyl_test_oct(rows, rays_o):
 
     on0 = rx * n0x + ry * n0y + rz * n0z
     dn0 = dx * n0x + dy * n0y + dz * n0z
-    sn1 = sx * n1x + sy * n1y + sz * n1z
     on1 = rx * n1x + ry * n1y + rz * n1z - sn1
     dn1 = dx * n1x + dy * n1y + dz * n1z
 
@@ -403,6 +405,8 @@ def _tiled_kernel(slots_ref,            # scalar prefetch [T * q_max] packed
                   pid_out_ref,          # VMEM [GROUP_T, TILE]
                   seg_vmem=None,        # scratch VMEM [n_buf, PRIM_F, K]
                   sems=None,            # DMA semaphores [n_buf]
+                  run_t=None,           # scratch VMEM [TILE, K] running t
+                  run_pid=None,         # scratch VMEM [TILE, K] running pid
                   *, q_max: int, any_hit: bool, exit_every: int = 1,
                   nop: bool = False, mxu: bool = False, n_buf: int = 2,
                   resident: bool = False, unroll: int = 1):
@@ -444,12 +448,11 @@ def _tiled_kernel(slots_ref,            # scalar prefetch [T * q_max] packed
             # found a hit no remaining cluster can beat (best_t <= the
             # suffix-min entry bound packed in slot q's high bits) or has
             # no remaining candidates (bound > its own last entry t)
-            def resolved(q):
+            def resolved(q, best):
                 packed = slots_ref[t_glob * q_max + q]
                 bq = (packed >> 20) & TE_INF
                 te_next = jnp.where(bq == TE_INF, jnp.inf,
                                     tmin + bq.astype(jnp.float32) * tscale)
-                best = t_out_ref[g]
                 if any_hit:
                     done_ray = jnp.isfinite(best) | (te_next > t_pmax)
                 else:
@@ -470,8 +473,11 @@ def _tiled_kernel(slots_ref,            # scalar prefetch [T * q_max] packed
                     # Works for BOTH the VMEM-resident table and the
                     # non-resident DMA pipeline (needs n_buf > unroll so
                     # the k in-iteration reads never collide with the
-                    # k in-flight prefetches; enforced in tiled_phase_b)
-                    t_u, p_u = None, None
+                    # k in-flight prefetches; enforced in tiled_phase_b).
+                    # The per-slot lane reduction is DEFERRED: each slot
+                    # merges its unreduced [TILE, K] t matrix into a
+                    # running min (3 VPU ops) and the reduce runs once
+                    # per exit check + once per tile.
                     for k in range(unroll):
                         if resident:
                             qk = jnp.minimum(q + k, n_q - 1)
@@ -495,23 +501,19 @@ def _tiled_kernel(slots_ref,            # scalar prefetch [T * q_max] packed
                                     seg_vmem.at[q % n_buf],
                                     sems.at[q % n_buf]).wait()
                             rows = seg_vmem[(q + k) % n_buf]
-                        tqk, pqk = _cyl_test(rows, rays)
+                        t_mk, pid_row = _cyl_test_tm(rows, rays)
                         if k > 0:
                             # drop duplicates past the end of the list
-                            tqk = jnp.where(q + k < n_q, tqk, jnp.inf)
-                        if t_u is None:
-                            t_u, p_u = tqk, pqk
-                        else:
-                            take = tqk < t_u
-                            t_u = jnp.where(take, tqk, t_u)
-                            p_u = jnp.where(take, pqk, p_u)
-                    prev_t = t_out_ref[g]
-                    better = t_u < prev_t
-                    t_out_ref[g] = jnp.where(better, t_u, prev_t)
-                    pid_out_ref[g] = jnp.where(better, p_u,
-                                               pid_out_ref[g])
+                            t_mk = jnp.where(q + k < n_q, t_mk, jnp.inf)
+                        prev = run_t[...]
+                        better = t_mk < prev
+                        run_t[...] = jnp.where(better, t_mk, prev)
+                        run_pid[...] = jnp.where(
+                            better, jnp.broadcast_to(pid_row, better.shape),
+                            run_pid[...])
                     q_next = jnp.minimum(q + unroll, n_q)
-                    return q_next, resolved(q_next - 1)
+                    return q_next, resolved(q_next - 1,
+                                            jnp.min(run_t[...], axis=-1))
                 if resident:
                     rows = seg_rows_hbm[cid(q)]      # VMEM dynamic slice
                 else:
@@ -535,13 +537,24 @@ def _tiled_kernel(slots_ref,            # scalar prefetch [T * q_max] packed
                     pid_out_ref[g] = jnp.where(better, pq, pid_out_ref[g])
                 done = jax.lax.cond(
                     (q + 1) % exit_every == 0,
-                    lambda: resolved(q),
+                    lambda: resolved(q, t_out_ref[g]),
                     lambda: jnp.bool_(False)) if exit_every > 1 \
-                    else resolved(q)
+                    else resolved(q, t_out_ref[g])
                 return q + 1, done
 
+            deferred = unroll > 1 and not nop and not mxu
+            if deferred:
+                run_t[...] = jnp.full(run_t.shape, jnp.inf, jnp.float32)
+                run_pid[...] = jnp.full(run_pid.shape, -1, jnp.int32)
             q_end, _ = jax.lax.while_loop(cond, body,
                                           (jnp.int32(0), jnp.bool_(False)))
+            if deferred:
+                rt = run_t[...]
+                best = jnp.min(rt, axis=-1)                  # [TILE]
+                t_out_ref[g] = best
+                is_best = (rt <= best[:, None]) & jnp.isfinite(rt)
+                pid_out_ref[g] = jnp.max(
+                    jnp.where(is_best, run_pid[...], -1), axis=-1)
             # prefetched-but-unconsumed DMAs (early exit) must be drained
             # so the next tile's reuse of the buffer slots doesn't mismatch
             if not resident:
@@ -1132,16 +1145,19 @@ def _tiled_phase_b_impl(slots, cnt, tmin, tscale, rays8, t_pmax, seg_rows,
     T_pad = T + pad
 
     C = seg_rows.shape[0]
+    deferred = unroll > 1 and not nop and not mxu
+    run_scratch = [pltpu.VMEM((TILE, K), jnp.float32),
+                   pltpu.VMEM((TILE, K), jnp.int32)] if deferred else []
     if resident:
         seg_spec = pl.BlockSpec((C, PRIM_F, K), lambda i, *_: (0, 0, 0),
                                 memory_space=pltpu.VMEM)
-        scratch = []
+        scratch = run_scratch
     else:
         seg_spec = pl.BlockSpec(memory_space=pltpu.ANY)
         scratch = [
             pltpu.VMEM((n_buf, PRIM_F, K), jnp.float32),
             pltpu.SemaphoreType.DMA((n_buf,)),
-        ]
+        ] + run_scratch
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=4,
         grid=(T_pad // GROUP_T,),
@@ -1160,10 +1176,19 @@ def _tiled_phase_b_impl(slots, cnt, tmin, tscale, rays8, t_pmax, seg_rows,
         ],
         scratch_shapes=scratch,
     )
+    kern = functools.partial(_tiled_kernel, q_max=q_max, any_hit=any_hit,
+                             exit_every=exit_every, nop=nop, mxu=mxu,
+                             n_buf=n_buf, resident=resident, unroll=unroll)
+    if resident and deferred:
+        # resident mode has no seg_vmem/sems scratch: the two run
+        # buffers arrive as the FIRST positional scratch refs — route
+        # them to the right keyword slots
+        base = kern
+
+        def kern(*args):
+            return base(*args[:-2], run_t=args[-2], run_pid=args[-1])
     t, pid = pl.pallas_call(
-        functools.partial(_tiled_kernel, q_max=q_max, any_hit=any_hit,
-                          exit_every=exit_every, nop=nop, mxu=mxu,
-                          n_buf=n_buf, resident=resident, unroll=unroll),
+        kern,
         out_shape=(jax.ShapeDtypeStruct((T_pad, TILE), jnp.float32),
                    jax.ShapeDtypeStruct((T_pad, TILE), jnp.int32)),
         grid_spec=grid_spec,
