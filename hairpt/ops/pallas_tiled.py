@@ -508,9 +508,14 @@ def _tiled_kernel(slots_ref,            # scalar prefetch [T * q_max] packed
                         prev = run_t[...]
                         better = t_mk < prev
                         run_t[...] = jnp.where(better, t_mk, prev)
-                        run_pid[...] = jnp.where(
-                            better, jnp.broadcast_to(pid_row, better.shape),
-                            run_pid[...])
+                        if not any_hit:
+                            # occlusion queries only consume (pid >= 0):
+                            # skip the per-slot pid merge and synthesize
+                            # the flag from best-t finiteness at the end
+                            run_pid[...] = jnp.where(
+                                better,
+                                jnp.broadcast_to(pid_row, better.shape),
+                                run_pid[...])
                     q_next = jnp.minimum(q + unroll, n_q)
                     return q_next, resolved(q_next - 1,
                                             jnp.min(run_t[...], axis=-1))
@@ -545,16 +550,20 @@ def _tiled_kernel(slots_ref,            # scalar prefetch [T * q_max] packed
             deferred = unroll > 1 and not nop and not mxu
             if deferred:
                 run_t[...] = jnp.full(run_t.shape, jnp.inf, jnp.float32)
-                run_pid[...] = jnp.full(run_pid.shape, -1, jnp.int32)
+                if not any_hit:
+                    run_pid[...] = jnp.full(run_pid.shape, -1, jnp.int32)
             q_end, _ = jax.lax.while_loop(cond, body,
                                           (jnp.int32(0), jnp.bool_(False)))
             if deferred:
                 rt = run_t[...]
                 best = jnp.min(rt, axis=-1)                  # [TILE]
                 t_out_ref[g] = best
-                is_best = (rt <= best[:, None]) & jnp.isfinite(rt)
-                pid_out_ref[g] = jnp.max(
-                    jnp.where(is_best, run_pid[...], -1), axis=-1)
+                if any_hit:
+                    pid_out_ref[g] = jnp.where(jnp.isfinite(best), 0, -1)
+                else:
+                    is_best = (rt <= best[:, None]) & jnp.isfinite(rt)
+                    pid_out_ref[g] = jnp.max(
+                        jnp.where(is_best, run_pid[...], -1), axis=-1)
             # prefetched-but-unconsumed DMAs (early exit) must be drained
             # so the next tile's reuse of the buffer slots doesn't mismatch
             if not resident:
