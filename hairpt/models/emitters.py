@@ -460,10 +460,22 @@ def env_sample(env: EnvMap, u2):
     # row
     iy = jnp.searchsorted(env.marg_cdf, u2[..., 0])
     iy = jnp.clip(iy, 0, h - 1)
-    # column
-    row_cdf = env.cond_cdf[iy]
-    ix = jnp.sum((row_cdf < u2[..., 1:2]).astype(jnp.int32), axis=-1)
-    ix = jnp.clip(ix, 0, w - 1)
+    # column: lower_bound on the row's conditional CDF via flat-index
+    # bisection — ceil(log2 w)+1 scalar gathers per lane instead of the
+    # previous [N, w] row gather + linear compare-sum (w× the HBM
+    # traffic; identical result: ix = #(cond_cdf[iy] < u))
+    cond_flat = env.cond_cdf.reshape(-1)
+    base = iy * w
+    u_col = u2[..., 1]
+    lo = jnp.zeros_like(iy)
+    hi = jnp.full_like(iy, w)
+    for _ in range(int(np.ceil(np.log2(max(w, 2)))) + 1):
+        mid = (lo + hi) // 2
+        c = cond_flat[base + jnp.clip(mid, 0, w - 1)]
+        pred = c < u_col
+        lo = jnp.where(pred, jnp.minimum(mid + 1, hi), lo)
+        hi = jnp.where(pred, hi, mid)
+    ix = jnp.clip(lo, 0, w - 1)
     # uniform within the texel
     v = (iy.astype(jnp.float32) + 0.5) / h
     u = (ix.astype(jnp.float32) + 0.5) / w
