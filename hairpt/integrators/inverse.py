@@ -32,8 +32,10 @@ def recompute_hair_tables(materials: mat.MaterialTable, marschner_rows):
         w, lw = hair_bsdf.azimuthal_sampling_tables(
             jax.lax.stop_gradient(v))  # sampling tables stay detached
         vals.append(v); ws.append(w); lws.append(lw)
-    return mat.HairTables(values=jnp.stack(vals), weights=jnp.stack(ws),
-                          lobe_weight=jnp.stack(lws))
+    stacked = jnp.stack(vals)
+    return mat.HairTables(values=stacked, weights=jnp.stack(ws),
+                          lobe_weight=jnp.stack(lws),
+                          values_quad=hair_bsdf.quad_pack(stacked))
 
 
 def apply_params_arrays(arrays, params: dict, marschner_rows):

@@ -72,9 +72,11 @@ def respectralize_arrays(scene: Scene, A_band, lam_band,
             v = hair_bsdf.precompute_azimuthal(sa, beta_r, eta_r)
             w, lw = hair_bsdf.azimuthal_sampling_tables(v)
             vals.append(v); ws.append(w); lws.append(lw)
+        stacked = jnp.stack(vals)
         arr2 = arr2._replace(hair_tables=mat.HairTables(
-            values=jnp.stack(vals), weights=jnp.stack(ws),
-            lobe_weight=jnp.stack(lws)))
+            values=stacked, weights=jnp.stack(ws),
+            lobe_weight=jnp.stack(lws),
+            values_quad=hair_bsdf.quad_pack(stacked)))
     return arr2
 
 

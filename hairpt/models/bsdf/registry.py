@@ -117,6 +117,9 @@ class HairTables(NamedTuple):
     values: jnp.ndarray    # [K, 3(lobe R/TT/TRT), 64(cosθd), 64(phi), 3(rgb)]
     weights: jnp.ndarray   # [K, 3, 64, 64] dilated max-weights for sampling
     lobe_weight: jnp.ndarray  # [K, 3, 64] ∫N dφ per cosθd row
+    values_quad: jnp.ndarray = None  # [K, 63, 63, 3, 4, 3] 2×2 bilinear
+    #                          quads (hair.quad_pack): one block gather
+    #                          per lane replaces 12 texel gathers
 
 
 class GatheredMat(NamedTuple):

@@ -569,9 +569,11 @@ class SceneBuilder:
                     jnp.asarray(sigma_a, jnp.float32), beta_r, eta)
                 w, lw = hair_bsdf.azimuthal_sampling_tables(v)
                 vals.append(v); ws.append(w); lws.append(lw)
-            hair_tables = mat.HairTables(values=jnp.stack(vals),
-                                         weights=jnp.stack(ws),
-                                         lobe_weight=jnp.stack(lws))
+            stacked = jnp.stack(vals)
+            hair_tables = mat.HairTables(
+                values=stacked, weights=jnp.stack(ws),
+                lobe_weight=jnp.stack(lws),
+                values_quad=hair_bsdf.quad_pack(stacked))
 
         # area lights: collect emissive triangles (post-sort indices)
         area = None
