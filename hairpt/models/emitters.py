@@ -32,14 +32,20 @@ SUN_APP_RADIUS_DEG = 0.5358 / 2.0
 
 
 class EnvMap(NamedTuple):
-    """Baked lat-long environment with sampling CDFs (device arrays)."""
+    """Baked lat-long environment with an O(1) alias sampling table.
+
+    The reference inverts a marginal/conditional CDF pair per sample
+    (src/libcore/mipmap.h hierarchical warp); on TPU every CDF bisection
+    step is a serialized scalar gather, so the bake builds a Vose alias
+    table over the flat texel grid instead — sampling is 2 gathers
+    (slot probability + alias index) and the pdf is 1 gather into the
+    flat texel-pdf table, all branchless."""
     image: jnp.ndarray       # [H, W, 3] radiance
     to_world: jnp.ndarray    # [3, 3] rotation (emitter-local → world)
     to_local: jnp.ndarray    # [3, 3]
-    marg_cdf: jnp.ndarray    # [H] row CDF  (sin-weighted)
-    cond_cdf: jnp.ndarray    # [H, W] per-row column CDF
-    row_pdf: jnp.ndarray     # [H] marginal row probability
-    col_pdf: jnp.ndarray     # [H, W] conditional col probability
+    alias_idx: jnp.ndarray   # [H*W] alias slot target
+    alias_prob: jnp.ndarray  # [H*W] P(keep slot) in the alias method
+    texel_pdf: jnp.ndarray   # [H*W] discrete texel probability
 
 
 class AreaLights(NamedTuple):
@@ -227,19 +233,28 @@ def area_emit(al: AreaLights, u_sel, u_tri, u_dir):
 # environment baking
 # ---------------------------------------------------------------------------
 
-def _build_env_cdfs(image: np.ndarray):
-    h, w = image.shape[:2]
-    lum = image @ np.array([0.212671, 0.715160, 0.072169])
-    theta = (np.arange(h) + 0.5) / h * np.pi
-    weights = lum * np.sin(theta)[:, None] + 1e-12
-    row_w = weights.sum(axis=1)
-    marg_cdf = np.cumsum(row_w)
-    marg_cdf /= marg_cdf[-1]
-    cond = np.cumsum(weights, axis=1)
-    col_pdf = weights / cond[:, -1:]
-    cond_cdf = cond / cond[:, -1:]
-    row_pdf = row_w / row_w.sum()
-    return marg_cdf, cond_cdf, row_pdf, col_pdf
+def _build_alias_table(weights: np.ndarray):
+    """Vose alias method over the flat weight array (O(N) build).
+    Returns (alias_idx [N] int32, alias_prob [N] float32, pdf [N] float64)."""
+    w = np.asarray(weights, np.float64).reshape(-1)
+    n = w.size
+    pdf = w / w.sum()
+    scaled = pdf * n
+    alias = np.arange(n, dtype=np.int32)
+    prob = np.ones(n, np.float64)
+    small = list(np.nonzero(scaled < 1.0)[0][::-1])
+    large = list(np.nonzero(scaled >= 1.0)[0][::-1])
+    while small and large:
+        s = small.pop()
+        g = large.pop()
+        prob[s] = scaled[s]
+        alias[s] = g
+        scaled[g] = (scaled[g] + scaled[s]) - 1.0
+        (small if scaled[g] < 1.0 else large).append(g)
+    # leftovers are ≈1 up to rounding
+    for i in small + large:
+        prob[i] = 1.0
+    return alias, prob.astype(np.float32), pdf
 
 
 def make_envmap(image: np.ndarray, to_world3: Optional[np.ndarray] = None,
@@ -247,14 +262,17 @@ def make_envmap(image: np.ndarray, to_world3: Optional[np.ndarray] = None,
     image = np.asarray(image, np.float32) * scale
     if to_world3 is None:
         to_world3 = np.eye(3)
-    marg_cdf, cond_cdf, row_pdf, col_pdf = _build_env_cdfs(image)
+    h = image.shape[0]
+    lum = image @ np.array([0.212671, 0.715160, 0.072169])
+    theta = (np.arange(h) + 0.5) / h * np.pi
+    weights = lum * np.sin(theta)[:, None] + 1e-12
+    alias_idx, alias_prob, pdf = _build_alias_table(weights)
     return EnvMap(image=jnp.asarray(image),
                   to_world=jnp.asarray(to_world3, jnp.float32),
                   to_local=jnp.asarray(np.linalg.inv(to_world3), jnp.float32),
-                  marg_cdf=jnp.asarray(marg_cdf, jnp.float32),
-                  cond_cdf=jnp.asarray(cond_cdf, jnp.float32),
-                  row_pdf=jnp.asarray(row_pdf, jnp.float32),
-                  col_pdf=jnp.asarray(col_pdf, jnp.float32))
+                  alias_idx=jnp.asarray(alias_idx),
+                  alias_prob=jnp.asarray(alias_prob),
+                  texel_pdf=jnp.asarray(pdf, jnp.float32))
 
 
 def make_constant(radiance, res: int = 8) -> EnvMap:
@@ -454,29 +472,18 @@ def env_eval(env: EnvMap, d_world):
 
 
 def env_sample(env: EnvMap, u2):
-    """Importance-sample a direction ∝ luminance·sinθ.
+    """Importance-sample a direction ∝ luminance·sinθ via the alias table:
+    u2.x picks a slot, u2.y flips slot-vs-alias — O(1), 2 gathers, no CDF
+    bisection (replaces the reference's hierarchical mipmap warp,
+    src/libcore/mipmap.h / envmap.cpp:324 internalSampleDirection).
     Returns (d_world [N,3], radiance [N,3], pdf_solid_angle [N])."""
     h, w = env.image.shape[:2]
-    # row
-    iy = jnp.searchsorted(env.marg_cdf, u2[..., 0])
-    iy = jnp.clip(iy, 0, h - 1)
-    # column: lower_bound on the row's conditional CDF via flat-index
-    # bisection — ceil(log2 w)+1 scalar gathers per lane instead of the
-    # previous [N, w] row gather + linear compare-sum (w× the HBM
-    # traffic; identical result: ix = #(cond_cdf[iy] < u))
-    cond_flat = env.cond_cdf.reshape(-1)
-    base = iy * w
-    u_col = u2[..., 1]
-    lo = jnp.zeros_like(iy)
-    hi = jnp.full_like(iy, w)
-    for _ in range(int(np.ceil(np.log2(max(w, 2)))) + 1):
-        mid = (lo + hi) // 2
-        c = cond_flat[base + jnp.clip(mid, 0, w - 1)]
-        pred = c < u_col
-        lo = jnp.where(pred, jnp.minimum(mid + 1, hi), lo)
-        hi = jnp.where(pred, hi, mid)
-    ix = jnp.clip(lo, 0, w - 1)
-    # uniform within the texel
+    n = h * w
+    slot = jnp.clip((u2[..., 0] * n).astype(jnp.int32), 0, n - 1)
+    keep = u2[..., 1] < env.alias_prob[slot]
+    idx = jnp.where(keep, slot, env.alias_idx[slot])
+    iy = idx // w
+    ix = idx - iy * w
     v = (iy.astype(jnp.float32) + 0.5) / h
     u = (ix.astype(jnp.float32) + 0.5) / w
     theta = v * jnp.pi
@@ -485,9 +492,8 @@ def env_sample(env: EnvMap, u2):
     d_local = jnp.stack([st * jnp.sin(phi), jnp.cos(theta),
                          -st * jnp.cos(phi)], axis=-1)
     d_world = d_local @ env.to_world.T
-    pdf_texel = env.row_pdf[iy] * env.col_pdf[iy, ix]
-    pdf = pdf_texel * (h * w) / (2.0 * jnp.pi * jnp.pi
-                                 * jnp.maximum(st, 1e-5))
+    pdf = env.texel_pdf[idx] * (h * w) / (2.0 * jnp.pi * jnp.pi
+                                          * jnp.maximum(st, 1e-5))
     radiance = env.image[iy, ix]
     return d_world, radiance, pdf
 
@@ -498,6 +504,6 @@ def env_pdf(env: EnvMap, d_world):
     ix = jnp.clip((u * w).astype(jnp.int32), 0, w - 1)
     iy = jnp.clip((v * h).astype(jnp.int32), 0, h - 1)
     st = jnp.sin(jnp.clip(v, 1e-4, 1 - 1e-4) * jnp.pi)
-    pdf_texel = env.row_pdf[iy] * env.col_pdf[iy, ix]
+    pdf_texel = env.texel_pdf[iy * w + ix]
     return pdf_texel * (h * w) / (2.0 * jnp.pi * jnp.pi
                                   * jnp.maximum(st, 1e-5))
