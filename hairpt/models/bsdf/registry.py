@@ -712,10 +712,22 @@ def sample_mix(active_kinds, table, tex, mat_id, uv, gm, wi, u_lobe, u2,
         # nested branch: refract the sampled wo out of the layer
         wo_out, R21, tir_o = _refract_out(wo, gm.eta)
         sel_n = is_coat & coat_nested
+        sel_s = is_coat & ~coat_nested
+        # specular-branch direction: smooth coat = mirror delta;
+        # rough coat = microfacet-sampled glossy reflection
+        # (roughcoating.cpp:293-316 samples the NDF — treating it as a
+        # mirror would leave the D·G·F lobe in pdf() forever unsampled)
+        wo_s = reflect_z(wi)
+        if ROUGHCOATING in akt:
+            from .plastic import _dyn_sample_m
+            m_h, _ = _dyn_sample_m(gm.dist, gm.alpha, wi, u2)
+            wo_g = 2.0 * jnp.sum(wi * m_h, -1, keepdims=True) * m_h - wi
+            wo_s = jnp.where(coat_rough[..., None], wo_g, wo_s)
         # recompute the full coated f/pdf at the outgoing direction
         # (mirrors eval; keeps MIS-consistent pdfs for smooth nested lobes)
         gm_a = gather(table, tex, table.mix_a[m], uv)
-        wo_eval = jnp.where(sel_n[..., None], wo_out, wo)
+        wo_eval = jnp.where(sel_n[..., None], wo_out,
+                            jnp.where(sel_s[..., None], wo_s, wo))
         if COATING in akt:
             f_c0, p_c0 = _coat_eval_pdf(sub, gm, gm_a, wi, wo_eval,
                                         hair_tables, False)
@@ -744,17 +756,25 @@ def sample_mix(active_kinds, table, tex, mat_id, uv, gm, wi, u_lobe, u2,
         pdf = jnp.where(smooth_n, p_c, pdf)
         pdf = jnp.where(sel_n & is_delta, pdf * (1 - p_spec), pdf)
         pdf = jnp.where(sel_n & (tir_i | tir_o), 0.0, pdf)
-        # specular branch: mirror reflection off the coat
-        sel_s = is_coat & ~coat_nested
-        wo_s = reflect_z(wi)
+        # specular branch
         wo = jnp.where(sel_s[..., None], wo_s, wo)
-        wt = jnp.where(sel_s[..., None],
+        # smooth coating: delta mirror with weight specular·R12/p_spec
+        sel_s_delta = sel_s & ~coat_rough
+        wt = jnp.where(sel_s_delta[..., None],
                        gm.specular * (R12 / jnp.maximum(p_spec,
                                                         1e-7))[..., None],
                        wt)
-        pdf = jnp.where(sel_s, p_spec, pdf)
-        is_delta = jnp.where(sel_s, True, is_delta)
-        is_delta = jnp.where(sel_n, is_delta, is_delta)
+        pdf = jnp.where(sel_s_delta, p_spec, pdf)
+        is_delta = jnp.where(sel_s_delta, True, is_delta)
+        # rough coating: smooth glossy lobe — weight f/pdf with the full
+        # mixture pdf (MIS-consistent); below-horizon samples are rejected
+        sel_s_rough = sel_s & coat_rough
+        ok_g = sel_s_rough & (wo[..., 2] * wi[..., 2] > 0) & (p_c > 1e-9)
+        wt = jnp.where(ok_g[..., None],
+                       f_c / jnp.maximum(p_c, 1e-9)[..., None],
+                       jnp.where(sel_s_rough[..., None], 0.0, wt))
+        pdf = jnp.where(sel_s_rough, jnp.where(ok_g, p_c, 0.0), pdf)
+        is_delta = jnp.where(sel_s_rough, False, is_delta)
         eta_s = jnp.where(is_coat, 1.0, eta_s)
     return wo, wt, pdf, is_delta, eta_s
 

@@ -31,7 +31,7 @@ SLOW_MODULES = {
     "test_singlescatter", "test_bounded_media", "test_cloth",
     "test_manifold", "test_vpl", "test_intersect", "test_sobol",
     "test_instancing", "test_texture_ewa", "test_tiledfilm",
-    "test_spectral", "test_wrappers",
+    "test_spectral", "test_wrappers", "test_chi2_audit", "test_multihost",
 }
 
 
