@@ -52,6 +52,37 @@ def apply_params(scene: Scene, params: dict):
     return apply_params_arrays(scene.arrays, params, scene.marschner_rows)
 
 
+def make_prb_loss_grad(scene: Scene, loss_fn=None):
+    """Path-replay-backprop loss+gradient at the params level: O(1)
+    memory in depth, so gradients run at the workload's true maxDepth
+    (65) where the scan-AD mode's per-bounce checkpoints cannot fit.
+
+    Returns f(arrays_base, params, pixel_idx, sample_idx, *loss_args)
+        -> (loss, d_params). Chain rule: PRB returns cotangents w.r.t.
+    (float material fields, hair tables); the outer vjp through
+    apply_params_arrays carries them to σ_a/β_R/diffuse (including
+    through the differentiable azimuthal-table precompute)."""
+    import jax
+    from . import prb
+    gradf = prb.make_prb_grad_fn(scene, loss_fn=loss_fn)
+    rows = scene.marschner_rows
+
+    def f(arrays_base, params, pixel_idx, sample_idx, *loss_args):
+        def theta_of(p):
+            return prb.float_theta(apply_params_arrays(arrays_base, p,
+                                                       rows))
+        theta, vjp_outer = jax.vjp(theta_of, params)
+        arrs = arrays_base._replace(
+            materials=arrays_base.materials._replace(**theta[0]),
+            hair_tables=theta[1])
+        (loss, _L), d_theta = gradf(arrs, pixel_idx, sample_idx,
+                                    *loss_args)
+        (d_params,) = vjp_outer(d_theta)
+        return loss, d_params
+
+    return f
+
+
 def make_render_fn(scene: Scene, spp: int):
     """Build a jittable differentiable renderer.
 
