@@ -49,6 +49,7 @@ D_RR = 8
 D_SSS_DIST = 9              # single-scatter interior distance
 D_SSS_SEL = 10              # single-scatter light selection
 D_SSS_POS = 11              # +12: single-scatter light position
+D_NEE_RR = 13               # shadow-ray RR (cfg.nee_rr)
 
 
 def _swept_params(cfg):
@@ -562,6 +563,23 @@ def make_li_fn(scene: Scene, differentiable: bool = False,
                 if cfg.strict_normals:
                     nee_ok = nee_ok \
                         & (dot(geo_n, d_nee) * wo_nee[..., 2] > 0)
+                # shadow-ray RR: the full pre-visibility contribution is
+                # known BEFORE the occlusion query; dim samples (deep
+                # bounces, dim sky texels) trace with p = lum/nee_rr and
+                # carry 1/p — unbiased, cuts the any-hit load on lanes
+                # that contribute almost nothing (the sun-disc samples
+                # that carry the image always have p = 1)
+                w_nee = jnp.where(is_dl, 1.0,
+                                  _mi_weight(pdf_nee, bsdf_pdf_nee))
+                contrib = st.throughput * le_nee * f_nee \
+                    * (w_nee / jnp.maximum(pdf_nee, 1e-20))[..., None]
+                if cfg.nee_rr > 0.0:
+                    lum_c = jax.lax.stop_gradient(contrib) @ jnp.asarray(
+                        [0.212671, 0.715160, 0.072169], jnp.float32)
+                    p_tr = jnp.clip(lum_c / cfg.nee_rr, 0.05, 1.0)
+                    u_srr = s1(pix, smp, dims + D_NEE_RR)
+                    nee_ok = nee_ok & (u_srr < p_tr)
+                    contrib = contrib / p_tr[..., None]
                 shadow_o = hit.p + geo_n * jnp.where(
                     dot(d_nee, geo_n) > 0, ray_eps, -ray_eps)[..., None]
                 shadow = Ray(o=shadow_o, d=d_nee,
@@ -583,13 +601,7 @@ def make_li_fn(scene: Scene, differentiable: bool = False,
                     # during backward is pure waste
                     occluded = checkpoint_name(occluded, "isect")
                 vis = nee_ok & ~occluded
-                w_nee = jnp.where(is_dl, 1.0,
-                                  _mi_weight(pdf_nee, bsdf_pdf_nee))
-                li_acc = li_acc + jnp.where(
-                    vis[..., None],
-                    st.throughput * le_nee * f_nee
-                    * (w_nee / jnp.maximum(pdf_nee, 1e-20))[..., None],
-                    0.0)
+                li_acc = li_acc + jnp.where(vis[..., None], contrib, 0.0)
 
             # ---- BSDF sampling ----
             u_lobe = s1(pix, smp, dims + D_BSDF_LOBE)

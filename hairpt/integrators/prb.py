@@ -60,6 +60,8 @@ def _check_supported(scene: Scene):
     if arr.checkers is not None and arr.checkers.mips.shape[1] > 0:
         raise AssertionError("PRB: textured materials unsupported")
     assert mat.DIPOLE not in set(int(k) for k in scene.active_kinds)
+    assert scene.config.nee_rr == 0.0, \
+        "PRB: shadow-ray RR not replayed (set nee_rr=0 for gradients)"
 
 
 def float_theta(arrays):

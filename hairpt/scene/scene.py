@@ -105,6 +105,13 @@ class RenderConfig:
     #                            queries (0 = off; set at build to a few
     #                            cluster diameters for hair scenes)
     nee_probs: tuple = (1.0, 0.0, 0.0)  # (env, area, delta) selection probs
+    nee_rr: float = 0.0        # shadow-ray Russian roulette luminance
+    #                            threshold (0 = trace every shadow ray):
+    #                            NEE samples whose full pre-visibility
+    #                            contribution is dimmer than this are
+    #                            traced with p = lum/nee_rr and reweighted
+    #                            1/p — unbiased; cuts the any-hit load of
+    #                            deep-bounce/dim-sky samples
     integrator: str = "path"   # scene-XML integrator type (CLI default)
     tiled_film: bool = False   # tiledhdrfilm: stream bands to disk
     sss_single: bool = False   # subsurface: single scattering (vs dipole)
