@@ -336,7 +336,8 @@ def _single_scatter(arr, cfg, p, n, wo_world, params, sel,
 
 
 def make_li_fn(scene: Scene, differentiable: bool = False,
-               n_uniform_dims: int = 0, ablate: tuple = ()):
+               n_uniform_dims: int = 0, ablate: tuple = (),
+               antithetic: bool = False):
     """Builds the jit-able per-wavefront radiance estimator.
 
     Returns li(arr: SceneArrays, pixel_idx [N], sample_idx [N])
@@ -375,6 +376,19 @@ def make_li_fn(scene: Scene, differentiable: bool = False,
     ray_eps = cfg.ray_eps
     _U = [None]  # set per-call when n_uniform_dims > 0
 
+    def _flip(u, dim):
+        # antithetic BSDF-sampling stream: flip the lobe/longitudinal/
+        # azimuthal dims (per-bounce offsets 3..7) so paired renders
+        # cancel first-order sampling noise — the u→1−u mirror of the
+        # vMF/azimuthal warps. All other dims (camera, NEE, RR) keep
+        # the primary stream so the pair shares its path skeleton.
+        if not antithetic:
+            return u
+        rel = jnp.mod(dim - DIM_BASE, DIM_STRIDE)
+        mirror = (dim >= DIM_BASE) & (rel >= D_BSDF_LOBE) \
+            & (rel < D_BSDF_U2B + 2)
+        return jnp.where(mirror, 1.0 - u, u)
+
     def s1(pix, smp, dim):
         if n_uniform_dims > 0:
             d = jnp.mod(dim, n_uniform_dims)
@@ -382,13 +396,15 @@ def make_li_fn(scene: Scene, differentiable: bool = False,
                 _U[0], d, axis=1, keepdims=False) if jnp.ndim(d) == 0 \
                 else jnp.take_along_axis(_U[0], d[None].astype(jnp.int32),
                                          axis=1)[:, 0]
-        return rng.next_1d(smode, pix, smp, dim)
+        return _flip(rng.next_1d(smode, pix, smp, dim), dim)
 
     def s2(pix, smp, dim):
         if n_uniform_dims > 0:
             return jnp.stack([s1(pix, smp, dim), s1(pix, smp, dim + 1)],
                              axis=-1)
-        return rng.next_2d(smode, pix, smp, dim)
+        u = rng.next_2d(smode, pix, smp, dim)
+        return jnp.stack([_flip(u[..., 0], dim),
+                          _flip(u[..., 1], dim + 1)], axis=-1)
 
     def li(arr, pixel_idx, sample_idx, uniforms=None, cam_to_world=None):
         if n_uniform_dims > 0:

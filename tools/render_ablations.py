@@ -57,11 +57,13 @@ def mask_tables(ht, lobe):
                        values_quad=hair_bsdf.quad_pack(vals))
 
 
-def hair_stats(img, sky_quantile=0.8):
-    """(mean luminance over the hair region, vertical band centroid in
-    [0,1]). Hair region = pixels darker than the sky (the scene is a
-    dark fiber mass against a bright sunsky background)."""
-    lum = img @ np.array([0.212671, 0.715160, 0.072169])
+def hair_stats(disp, sky_quantile=0.8):
+    """(mean DISPLAY-domain luminance over the hair region, vertical
+    band centroid in [0,1]). disp is a gamma-encoded 0..1 image (the
+    reference artifacts are LDR PNGs with a clipped sky, so both sides
+    are compared in the same display domain). Hair region = pixels
+    darker than the sky."""
+    lum = disp @ np.array([0.212671, 0.715160, 0.072169])
     thresh = np.quantile(lum, sky_quantile)
     hair = lum < thresh
     m = float(lum[hair].mean()) if hair.any() else 0.0
@@ -72,15 +74,18 @@ def hair_stats(img, sky_quantile=0.8):
     return m, cent
 
 
-def srgb_to_linear(x):
-    x = x.astype(np.float64) / 255.0
-    return np.where(x <= 0.04045, x / 12.92, ((x + 0.055) / 1.055) ** 2.4)
+def to_display(linear_img):
+    """Linear radiance → the reference ldrfilm's display encoding
+    (gamma 2.2, clipped to [0, 1] — scene_marschner.xml ldrfilm)."""
+    return np.clip(np.asarray(linear_img, np.float64),
+                   0.0, 1.0) ** (1.0 / 2.2)
 
 
 def load_ref_png(name):
     from hairpt.utils import io as io_utils
-    img = io_utils.read_png(os.path.join(REF_DIR, "results", name))
-    return srgb_to_linear(img[..., :3])
+    # read_png returns 0..1 display-domain floats
+    return io_utils.read_png(os.path.join(REF_DIR, "results",
+                                          name))[..., :3]
 
 
 def main():
@@ -90,6 +95,8 @@ def main():
     ap.add_argument("--depth", type=int, default=16)
     ap.add_argument("--hair-quality", type=float, default=0.4)
     ap.add_argument("--cpu", action="store_true")
+    ap.add_argument("--recompute", action="store_true",
+                    help="recompute metrics from the saved .npy renders")
     args = ap.parse_args()
 
     import jax
@@ -105,29 +112,35 @@ def main():
     from hairpt.utils import io as io_utils
 
     os.makedirs(OUT, exist_ok=True)
-    t0 = time.time()
-    scene = load_scene(os.path.join(REF_DIR, "scene_marschner.xml"),
-                       res_scale=args.res_scale,
-                       hair_quality=args.hair_quality)
-    scene = scene._replace(config=dataclasses.replace(
-        scene.config, max_depth=args.depth, spp=args.spp))
-    print(f"[ablate] scene built in {time.time()-t0:.0f}s "
-          f"({scene.config.width}x{scene.config.height})", flush=True)
+    scene = None
+    if not args.recompute:
+        t0 = time.time()
+        scene = load_scene(os.path.join(REF_DIR, "scene_marschner.xml"),
+                           res_scale=args.res_scale,
+                           hair_quality=args.hair_quality)
+        scene = scene._replace(config=dataclasses.replace(
+            scene.config, max_depth=args.depth, spp=args.spp))
+        print(f"[ablate] scene built in {time.time()-t0:.0f}s "
+              f"({scene.config.width}x{scene.config.height})", flush=True)
 
     variants = {"full": None, "r": 0, "tt": 1, "trt": 2}
     ours = {}
     for name, lobe in variants.items():
-        ht = mask_tables(scene.arrays.hair_tables, lobe)
-        sc = scene._replace(arrays=scene.arrays._replace(hair_tables=ht))
-        t0 = time.time()
-        img = np.asarray(path_int.render(sc, spp=args.spp))
-        print(f"[ablate] {name}: rendered in {time.time()-t0:.0f}s "
-              f"mean {img.mean():.4f}", flush=True)
-        io_utils.write_png(os.path.join(OUT, f"{name}.png"),
-                           io_utils.tonemap_srgb(img))
-        np.save(os.path.join(OUT, f"{name}.npy"),
-                img.astype(np.float32))
-        ours[name] = hair_stats(img)
+        npy_path = os.path.join(OUT, f"{name}.npy")
+        if args.recompute and os.path.exists(npy_path):
+            img = np.load(npy_path)
+        else:
+            ht = mask_tables(scene.arrays.hair_tables, lobe)
+            sc = scene._replace(
+                arrays=scene.arrays._replace(hair_tables=ht))
+            t0 = time.time()
+            img = np.asarray(path_int.render(sc, spp=args.spp))
+            print(f"[ablate] {name}: rendered in {time.time()-t0:.0f}s "
+                  f"mean {img.mean():.4f}", flush=True)
+            io_utils.write_png(os.path.join(OUT, f"{name}.png"),
+                               io_utils.tonemap_srgb(img))
+            np.save(npy_path, img.astype(np.float32))
+        ours[name] = hair_stats(to_display(img))
 
     ref_names = {"full": "scene_marschner_diffuse.png",
                  "r": "scene_marschner_diffuse_8_R_only.png",
