@@ -32,6 +32,9 @@ def main():
                          "variance at low spp — 3.0 keeps the demo's "
                          "24-step budget convergent")
     ap.add_argument("--cpu", action="store_true")
+    ap.add_argument("--no-antithetic", action="store_true",
+                    help="disable the antithetic BSDF-sample pairing "
+                         "(r5 β_R gradient de-noising)")
     ap.add_argument("--log", type=str, default=None,
                     help="write the loss curve + recovered-vs-true table "
                          "to this file (the committed artifact)")
@@ -88,7 +91,8 @@ def main():
     }
     params, losses = inverse.fit(scene, target, params0, steps=args.steps,
                                  lr=0.05, spp=args.spp, verbose=True,
-                                 loss_kind="cross")
+                                 loss_kind="cross",
+                                 antithetic=not args.no_antithetic)
 
     sa = np.asarray(params["sigma_a"])[0]
     br = float(np.asarray(params["beta_r"])[0])

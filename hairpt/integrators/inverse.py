@@ -83,14 +83,23 @@ def make_prb_loss_grad(scene: Scene, loss_fn=None):
     return f
 
 
-def make_render_fn(scene: Scene, spp: int):
+def make_render_fn(scene: Scene, spp: int, antithetic: bool = False):
     """Build a jittable differentiable renderer.
 
     Returns render(arrays_base, params, seed) -> image [H,W,3]. The scene
     arrays and target are ARGUMENTS, never closure constants — lowering
     embeds closure constants by value, which fetches device arrays back
-    through the compile tunnel (minutes per array; cf. bench.py)."""
-    li = path_int.make_li_fn(scene, differentiable=True)
+    through the compile tunnel (minutes per array; cf. bench.py).
+
+    antithetic: each sample index renders a (u, 1−u)-mirrored pair of
+    the BSDF-sampling dims and averages them — first-order sampling
+    noise in the lobe-width direction cancels, which removes the
+    gradient-noise rectification that biased recovered β_R upward
+    (VERDICT r4 #5). Costs 2 waves per sample."""
+    lis = [path_int.make_li_fn(scene, differentiable=True)]
+    if antithetic:
+        lis.append(path_int.make_li_fn(scene, differentiable=True,
+                                       antithetic=antithetic))
     cfg = scene.config
     n_pix = cfg.width * cfg.height
     fl = scene.film
@@ -103,11 +112,12 @@ def make_render_fn(scene: Scene, spp: int):
             pixel_idx = jnp.arange(n_pix, dtype=jnp.uint32)
             sample_idx = (jnp.full((n_pix,), s, jnp.uint32)
                           + seed.astype(jnp.uint32) * 65536)
-            radiance, pos, _ = li(arrays, pixel_idx, sample_idx)
-            radiance = jnp.nan_to_num(radiance, nan=0.0, posinf=0.0,
-                                      neginf=0.0)
-            image, weight = film_mod.splat_samples(fl, pos, radiance,
-                                                   image, weight)
+            for li in lis:
+                radiance, pos, _ = li(arrays, pixel_idx, sample_idx)
+                radiance = jnp.nan_to_num(radiance, nan=0.0, posinf=0.0,
+                                          neginf=0.0)
+                image, weight = film_mod.splat_samples(fl, pos, radiance,
+                                                       image, weight)
         return film_mod.develop(image, weight)
 
     return render
@@ -127,7 +137,8 @@ def loss_fn(scene: Scene, params: dict, target, spp: int, seed: int = 0):
 def fit(scene: Scene, target, params0: dict, steps: int = 32,
         lr: float = 0.05, spp: int = 2, verbose: bool = False,
         checkpoint_dir: str | None = None, checkpoint_every: int = 8,
-        loss_kind: str = "mse", decay_steps: int | None = None):
+        loss_kind: str = "mse", decay_steps: int | None = None,
+        antithetic: bool = False):
     """Adam loop over the selected parameters. Returns (params, losses).
 
     checkpoint_dir: if set, the (params, opt_state, step) pytree is
@@ -177,9 +188,10 @@ def fit(scene: Scene, target, params0: dict, steps: int = 32,
                                                  alpha=0.1))
     state = opt.init(params0)
     if loss_kind == "cross":
-        render = make_render_fn(scene, max(1, spp // 2))
+        render = make_render_fn(scene, max(1, spp // 2),
+                                antithetic=antithetic)
     else:
-        render = make_render_fn(scene, spp)
+        render = make_render_fn(scene, spp, antithetic=antithetic)
 
     @jax.jit
     def step(arrays_base, target, params, state, seed):

@@ -376,17 +376,25 @@ def make_li_fn(scene: Scene, differentiable: bool = False,
     ray_eps = cfg.ray_eps
     _U = [None]  # set per-call when n_uniform_dims > 0
 
+    # antithetic: False, or a tuple of per-bounce dim offsets to mirror
+    # (u → 1−u). True = (D_BSDF_U2,) — the longitudinal-width dim whose
+    # noise rectification biases recovered β_R; mirroring dims that
+    # drive DISCRETE decisions (lobe choice, spec-vs-diffuse) raises
+    # variance instead of cancelling it (measured), so the default
+    # flips only the vMF inversion's u1.
+    anti_rels = antithetic
+    if antithetic is True:
+        anti_rels = (D_BSDF_U2,)
+
     def _flip(u, dim):
-        # antithetic BSDF-sampling stream: flip the lobe/longitudinal/
-        # azimuthal dims (per-bounce offsets 3..7) so paired renders
-        # cancel first-order sampling noise — the u→1−u mirror of the
-        # vMF/azimuthal warps. All other dims (camera, NEE, RR) keep
-        # the primary stream so the pair shares its path skeleton.
-        if not antithetic:
+        # paired renders mirror the selected BSDF dims so first-order
+        # sampling noise cancels; all other dims (camera, NEE, RR)
+        # keep the primary stream so the pair shares its path skeleton
+        if not anti_rels:
             return u
         rel = jnp.mod(dim - DIM_BASE, DIM_STRIDE)
-        mirror = (dim >= DIM_BASE) & (rel >= D_BSDF_LOBE) \
-            & (rel < D_BSDF_U2B + 2)
+        mirror = (dim >= DIM_BASE) & jnp.isin(
+            rel, jnp.asarray(list(anti_rels), rel.dtype))
         return jnp.where(mirror, 1.0 - u, u)
 
     def s1(pix, smp, dim):

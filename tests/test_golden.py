@@ -127,29 +127,60 @@ def test_golden_hair_curl_roughplastic_tone():
     assert (np.abs(sky_o / np.maximum(sky_r, 1e-6) - 1.0) < 0.12).all()
 
 
-@pytest.mark.parametrize("xml,png,lo,hi", [
+def _erode(m, k):
+    for _ in range(k):
+        m = m & np.roll(m, 1, 0) & np.roll(m, -1, 0) \
+            & np.roll(m, 1, 1) & np.roll(m, -1, 1)
+    return m
+
+
+@pytest.mark.parametrize("xml,png,sky1,erode,lo,hi", [
     # Tungsten cross-renderer ground truth + procedural stand-in
-    # geometry: gates document the measured r3 envelope (ANALYSIS.md) —
-    # furball [1.21, 1.29, 1.89] (blue = sky-through-gap + rim
-    # coverage, measured 7.7% sky-dominant hair-box pixels vs 0% in the
-    # dense real asset), curly [0.77, 0.60, 0.80]
-    ("furball/scene.xml", "furball/TungstenRender.png", 0.8, 2.15),
-    ("curly-hair/scene.xml", "curly-hair/TungstenRender.png", 0.42, 1.1),
+    # geometry. r5 findings (ANALYSIS.md §5): (a) Tungsten's conversion
+    # IGNORED the fork's skyScale=5 — rendering furball with skyScale=1
+    # drops the blue ratio 1.98 → 1.47; (b) the remaining blue rides
+    # the silhouette (partial-coverage pixels mix sky) — a 2-px
+    # interior erosion gives [1.16, 1.04, 1.38]. Together the furball
+    # envelope tightens [0.8, 2.15] → [0.8, 1.45] (r4 VERDICT item 4).
+    # Curly's stand-in densified 0.3 → 1.0 (ratios 0.77/0.60/0.80 →
+    # 0.86/0.66/0.86); its green deficit is Tungsten's rough_plastic
+    # interior-absorption difference (ANALYSIS.md §2: our roughplastic
+    # matches mitsuba's own render 1.01-1.06 channel-neutral).
+    ("furball/scene.xml", "furball/TungstenRender.png", True, 2,
+     0.80, 1.45),
+    ("curly-hair/scene.xml", "curly-hair/TungstenRender.png", False, 0,
+     0.55, 1.1),
 ])
-def test_golden_tungsten_hair_tone_envelope(xml, png, lo, hi):
+def test_golden_tungsten_hair_tone_envelope(xml, png, sky1, erode, lo,
+                                            hi):
     """Regression envelope for the Tungsten-compared hair scenes: the
-    per-channel hair-region tone ratio must stay inside the measured r3
-    window — catches future radiometry regressions while acknowledging
-    the cross-renderer + stand-in-geometry floor (ANALYSIS.md)."""
+    per-channel hair-region tone ratio must stay inside the measured r5
+    window — catches radiometry regressions while acknowledging the
+    (now-diagnosed) cross-renderer floor (ANALYSIS.md §5)."""
+    import tempfile
     from hairpt.utils import io as io_utils
-    tm = render(f"{REF}/{xml}", spp=8, res_scale=0.0625, quality=0.3,
-                depth=6)
+    src = f"{REF}/{xml}"
+    if sky1:
+        with open(src) as f:
+            txt = f.read()
+        # keep the scene-dir basename: the fiber stand-in generator is
+        # keyed on it (xml_loader._standin_fibers)
+        td = os.path.join(tempfile.mkdtemp(), os.path.dirname(xml))
+        os.makedirs(td, exist_ok=True)
+        src = os.path.join(td, "scene.xml")
+        with open(src, "w") as f:
+            f.write(txt.replace('<float name="skyScale" value="5"/>',
+                                '<float name="skyScale" value="1"/>'))
+    tm = render(src, spp=8, res_scale=0.0625, quality=1.0, depth=6)
     ref = downsample(io_utils.read_png(f"{REF}/{png}"), *tm.shape[:2])
     lum_o = tm.mean(-1)
     lum_r = ref.mean(-1)
-    mask = (lum_o > 0.08) & (lum_r > 0.08)
-    assert mask.mean() > 0.1
+    mask = _erode((lum_o > 0.08) & (lum_r > 0.08), erode)
+    assert mask.sum() > 200
     mo = tm[mask].mean(0)
     mr = ref[mask].mean(0)
     ratio = mo / np.maximum(mr, 1e-6)
     assert (ratio > lo).all() and (ratio < hi).all(), (ratio, mo, mr)
+    # the residual difference must keep the documented Tungsten
+    # signature — not an arbitrary channel skew
+    assert ratio.max() - ratio.min() < 0.45, ratio
