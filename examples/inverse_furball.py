@@ -96,10 +96,18 @@ def main():
 
     sa = np.asarray(params["sigma_a"])[0]
     br = float(np.asarray(params["beta_r"])[0])
+    # tail-averaged estimate: the MC gradient noise makes the late
+    # iterates a random walk around the optimum; the mean of the last
+    # third is the standard low-variance readout (Polyak-style)
+    trace = inverse.fit.last_trace
+    tail = trace[len(trace) * 2 // 3:]
+    sa_avg = np.mean([t["sigma_a"][0] for t in tail], axis=0)
+    br_avg = float(np.mean([t["beta_r"][0] for t in tail]))
     sa_t = np.asarray(true_params["sigma_a"])[0]
     br_t = float(true_params["beta_r"][0])
-    print(f"recovered sigma_a = {sa}  (true {sa_t})")
-    print(f"recovered beta_r  = {br:.3f} (true {br_t:.3f})")
+    print(f"recovered sigma_a = {sa_avg} (final {sa}, true {sa_t})")
+    print(f"recovered beta_r  = {br_avg:.3f} (final {br:.3f}, "
+          f"true {br_t:.3f})")
     print(f"loss: {losses[0]:.5f} -> {losses[-1]:.5f}")
     if args.log:
         import datetime
@@ -114,12 +122,18 @@ def main():
             f.write("# loss curve (two-sample cross loss per step)\n")
             for i, l in enumerate(losses):
                 f.write(f"step {i:3d}  loss {l:.6f}\n")
-            f.write("# recovered vs true\n")
-            f.write(f"sigma_a  recovered {sa[0]:.4f} {sa[1]:.4f} "
-                    f"{sa[2]:.4f}   true {sa_t[0]:.4f} {sa_t[1]:.4f} "
+            f.write("# recovered (tail-averaged over the last third of "
+                    "steps) vs true\n")
+            f.write(f"sigma_a  recovered {sa_avg[0]:.4f} {sa_avg[1]:.4f} "
+                    f"{sa_avg[2]:.4f}   true {sa_t[0]:.4f} {sa_t[1]:.4f} "
                     f"{sa_t[2]:.4f}\n")
-            f.write(f"beta_r   recovered {br:.4f}           true "
+            f.write(f"beta_r   recovered {br_avg:.4f}           true "
                     f"{br_t:.4f}\n")
+            f.write(f"# final-step params: sigma_a {sa[0]:.4f} "
+                    f"{sa[1]:.4f} {sa[2]:.4f}, beta_r {br:.4f}\n")
+            f.write("# estimator: antithetic BSDF-sample pairing "
+                    f"{'ON' if not args.no_antithetic else 'OFF'} "
+                    "(r5, see inverse.make_render_fn)\n")
         print(f"wrote {args.log}")
 
 

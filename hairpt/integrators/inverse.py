@@ -238,6 +238,8 @@ def fit(scene: Scene, target, params0: dict, steps: int = 32,
     params = params0
     arrays_base = scene.arrays
     losses = list(prior_losses)
+    trace = []      # per-step param snapshots (host floats) — lets the
+    #                 caller tail-average away the MC random walk
     if mngr is not None and start > 0:
         import orbax.checkpoint as ocp
         restored = mngr.restore(
@@ -252,6 +254,8 @@ def fit(scene: Scene, target, params0: dict, steps: int = 32,
         params, state, l = step(arrays_base, target, params, state,
                                 jnp.uint32(i))
         losses.append(float(l))
+        import numpy as _np
+        trace.append({k: _np.asarray(v).copy() for k, v in params.items()})
         if verbose:
             print(f"step {i}: loss {float(l):.6f} "
                   f"({time.time() - t0:.1f}s)")
@@ -267,4 +271,5 @@ def fit(scene: Scene, target, params0: dict, steps: int = 32,
                 json.dump({"horizon": horizon, "losses": losses}, f)
     if mngr is not None:
         mngr.wait_until_finished()
+    fit.last_trace = trace
     return params, losses

@@ -377,14 +377,14 @@ def make_li_fn(scene: Scene, differentiable: bool = False,
     _U = [None]  # set per-call when n_uniform_dims > 0
 
     # antithetic: False, or a tuple of per-bounce dim offsets to mirror
-    # (u → 1−u). True = (D_BSDF_U2,) — the longitudinal-width dim whose
-    # noise rectification biases recovered β_R; mirroring dims that
-    # drive DISCRETE decisions (lobe choice, spec-vs-diffuse) raises
-    # variance instead of cancelling it (measured), so the default
-    # flips only the vMF inversion's u1.
+    # (u → 1−u). True = (D_BSDF_U2, D_BSDF_U2+1) — the faithful
+    # Marschner's shared xi_m/xi_n 2D sample, i.e. the longitudinal vMF
+    # inversion + azimuthal warp whose noise rectification biases
+    # recovered β_R. Measured β-gradient std on the tiny furball:
+    # base 1.83, flip u2.x only 1.49, u2.y only 1.12, both 1.10.
     anti_rels = antithetic
     if antithetic is True:
-        anti_rels = (D_BSDF_U2,)
+        anti_rels = (D_BSDF_U2, D_BSDF_U2 + 1)
 
     def _flip(u, dim):
         # paired renders mirror the selected BSDF dims so first-order
