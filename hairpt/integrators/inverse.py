@@ -193,6 +193,24 @@ def fit(scene: Scene, target, params0: dict, steps: int = 32,
     else:
         render = make_render_fn(scene, spp, antithetic=antithetic)
 
+    # r5: the relative normalization must NOT use the raw noisy target —
+    # 1/(t²+ε) is correlated with the (A−t)(B−t) residual in dark noisy
+    # pixels, and that correlation biased the cross loss toward
+    # over-smoothed params (measured: the biased loss scored the WRONG
+    # β 2× better than truth; a 16-step box-blurred normalizer flips the
+    # ordering to truth by 29%). The blur keeps the dark-REGION
+    # upweighting (hair absorption tint) while decorrelating per-pixel
+    # noise.
+    if loss_kind == "cross":
+        import numpy as _np
+        tb = _np.asarray(target)
+        for _ in range(16):
+            tb = (tb + _np.roll(tb, 1, 0) + _np.roll(tb, -1, 0)
+                  + _np.roll(tb, 1, 1) + _np.roll(tb, -1, 1)) / 5.0
+        wnorm = jnp.asarray(1.0 / (tb ** 2 + 1e-2), jnp.float32)
+    else:
+        wnorm = None
+
     @jax.jit
     def step(arrays_base, target, params, state, seed):
         def loss(p):
@@ -202,12 +220,10 @@ def fit(scene: Scene, target, params0: dict, steps: int = 32,
                 # Var(img) term that plain MC-MSE minimizes alongside the
                 # true error (at low spp that term dominates and pushes
                 # roughness up, since wider lobes smooth the noise).
-                # Normalized by target brightness so dark-region color
-                # (hair absorption tint) is not drowned by the sky.
                 a = render(arrays_base, p, seed * 2)
                 bimg = render(arrays_base, p, seed * 2 + 1)
                 d2 = (a - target) * (bimg - target)
-                return jnp.mean(d2 / (target ** 2 + 1e-2))
+                return jnp.mean(d2 * wnorm)
             img = render(arrays_base, p, seed)
             d2 = (img - target) ** 2
             if loss_kind == "relative":
