@@ -94,9 +94,16 @@ def main():
     run_bwd = os.environ.get("BENCH_BWD", "1") == "1"
 
     import jax
-    jax.config.update("jax_compilation_cache_dir",
-                      os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                                   ".jax_cache"))
+    cache_dir = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                             ".jax_cache")
+    # cold/warm detection for the compile-latency row (VERDICT r4 #8):
+    # the persistent compilation cache is shared across processes, so a
+    # pre-populated dir means this process's first wave is a WARM start
+    # (deserialize, ~tens of s through the tunnel) rather than a cold
+    # XLA compile (~2-3 min at 1024²)
+    cache_state = "warm" if (os.path.isdir(cache_dir)
+                             and len(os.listdir(cache_dir)) > 0) else "cold"
+    jax.config.update("jax_compilation_cache_dir", cache_dir)
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
     import jax.numpy as jnp
     from hairpt.core import rng as rng_mod
@@ -274,6 +281,8 @@ def main():
         "value": round(fwdbwd_mrays, 3),
         "unit": "Mrays/s",
         "vs_baseline": round(ratio, 3),
+        "first_wave_s": round(t_compile, 1),
+        "compile_cache": cache_state,
     }))
 
 

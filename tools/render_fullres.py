@@ -83,7 +83,17 @@ def main():
         print(f"[fullres] {name}: {t_render:.0f}s render "
               f"({mrays:.2f} Mrays/s, mean {img.mean():.4f})", flush=True)
 
-    with open(os.path.join(OUT, "metrics.json"), "w") as f:
+    # merge with prior runs (a --scenes subset must not drop the rest)
+    metrics_path = os.path.join(OUT, "metrics.json")
+    merged = {}
+    if os.path.exists(metrics_path):
+        with open(metrics_path) as f:
+            for r in json.load(f):
+                merged[r["scene"]] = r
+    for r in rows:
+        merged[r["scene"]] = r
+    rows = [merged[k] for k in SCENES if k in merged]
+    with open(metrics_path, "w") as f:
         json.dump(rows, f, indent=1)
     with open(os.path.join(OUT, "README.md"), "w") as f:
         f.write("# Full-resolution renders (north-star scenes)\n\n"
